@@ -1,0 +1,2 @@
+from .lww import lww_dedup  # noqa: F401
+from .apply import BatchApplier, ApplyConfig  # noqa: F401

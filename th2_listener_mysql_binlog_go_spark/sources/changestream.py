@@ -1,0 +1,142 @@
+"""Binlog-shaped change-event streams (the engine's S1 "source" operator).
+
+The reference tails a live MySQL binlog
+(/root/reference/component/listener/listener.go:115-155). This sandbox has
+no MySQL, so the source is a GTID-ordered change-event *table* with the
+exact event model of FIXTURES.md §2 — the same shape a binlog decoder
+(Debezium-style) would land. Two generators:
+
+- :func:`synthetic_changestream` — fully distributed generation from
+  ``spark.range`` with hash-derived pseudo-randomness: no driver-side
+  materialization, deterministic for a given (n_events, seed), scales to
+  10^10 rows on a cluster (each executor generates its own id range).
+  Builds in hot-key skew, multi-change keys, DELETE→INSERT resurrection,
+  TRUNCATEs, unobserved tables, and non-matching query events.
+
+- :func:`derived_changestream` — a stream *derived from the driver's
+  ``events`` parquet table with arithmetic-only SQL* (no engine-specific
+  hash functions), so the identical SQL text runs in DuckDB for the
+  correctness oracle. Used by ``__spark_entry__.queries()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Flat change-event schema (FIXTURES.md §2). before/after are kept flat
+# (prefixed) rather than nested structs in the derived stream so DuckDB
+# value-hash comparison sees identical primitive columns.
+CHANGE_SCHEMA = (
+    "gtid bigint, log_name string, log_pos bigint, seq bigint, ts bigint, "
+    "schema_name string, table_name string, op string, "
+    "before struct<repo:string,path:string,commit:string,lang:string,content:string>, "
+    "after struct<repo:string,path:string,commit:string,lang:string,content:string>, "
+    "ddl string"
+)
+
+_LANGS = ["py", "go", "java", "ts", "rs", "sql", "md"]
+
+
+def synthetic_changestream(
+    spark: SparkSession,
+    n_events: int,
+    n_repos: int = 200,
+    n_paths: int = 500,
+    seed: int = 42,
+    with_truncate: bool = True,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic, distributed change stream of ``n_events`` rows.
+
+    Event mix mirrors FIXTURES.md §2 (~60/30/9/1 I/U/D/DDL); ~2% of rows
+    target an unobserved table (exercising the table filter,
+    listener.go:236-240); ~0.5% are non-matching query statements that the
+    DDL classifier must drop (listener.go:254-256). Hot-key skew: half of
+    all DML lands on ~1% of repos.
+    """
+    rng = spark.range(0, n_events, 1, n_partitions or spark.sparkContext.defaultParallelism)
+    h = lambda k: F.abs(F.xxhash64(F.col("id"), F.lit(seed), F.lit(k)))  # noqa: E731
+
+    m = h(1) % 1000
+    op = (
+        F.when(m < 600, "INSERT")
+        .when(m < 900, "UPDATE")
+        .when(m < 990, "DELETE")
+        .when(m < (995 if with_truncate else 990), "TRUNCATE")
+        .otherwise("QUERY_OTHER")  # becomes a non-matching statement
+    )
+    hot = (h(2) % 1000) < 500
+    n_hot = max(1, n_repos // 100)
+    repo_id = F.when(hot, h(3) % n_hot).otherwise(h(3) % n_repos)
+    path_id = h(4) % n_paths
+    repo = F.concat(F.lit("org"), (repo_id % 97).cast("string"), F.lit("/proj"), repo_id.cast("string"))
+    path = F.concat(
+        F.lit("src/pkg"), (path_id % 13).cast("string"), F.lit("/mod_"), path_id.cast("string"),
+        F.element_at(F.array(*[F.lit("." + x) for x in _LANGS]), (h(5) % 7 + 1).cast("int")),
+    )
+    lang = F.element_at(F.array(*[F.lit(x) for x in _LANGS]), (h(5) % 7 + 1).cast("int"))
+    md5 = F.md5(F.concat(repo, F.lit("@"), path, F.lit("@"), F.col("id").cast("string")))
+    commit = F.concat(md5, F.substring(md5, 1, 8))
+    content = F.concat(F.lit("c:"), F.repeat(F.substring(md5, 1, 16), (3 + h(6) % 100).cast("int")))
+
+    row = F.struct(
+        repo.alias("repo"), path.alias("path"), commit.alias("commit"),
+        lang.alias("lang"), content.alias("content"),
+    )
+    null_row = F.lit(None).cast(
+        "struct<repo:string,path:string,commit:string,lang:string,content:string>"
+    )
+    is_dml = op.isin("INSERT", "UPDATE", "DELETE")
+    unobserved = is_dml & ((h(7) % 50) == 0)
+
+    df = rng.select(
+        F.col("id").alias("gtid"),
+        F.concat(F.lit("binlog."), F.lpad((F.col("id") / 100000).cast("bigint").cast("string"), 6, "0")).alias("log_name"),
+        ((F.col("id") % 100000) * 256 + 4).alias("log_pos"),
+        (F.col("id") / 3).cast("bigint").alias("seq"),
+        (F.lit(1700000000000000000) + F.col("id") * 1000000).alias("ts"),
+        F.lit("repos").alias("schema_name"),
+        F.when(unobserved, "shadow_table").otherwise(F.when(is_dml, "files").otherwise("files")).alias("table_name"),
+        F.when(op == "QUERY_OTHER", "QUERY").otherwise(op).alias("op"),
+        F.when(op.isin("UPDATE", "DELETE"), row).otherwise(null_row).alias("before"),
+        F.when(op.isin("INSERT", "UPDATE"), row).otherwise(null_row).alias("after"),
+        F.when(op == "TRUNCATE", F.lit("TRUNCATE TABLE repos.files;"))
+        .when(op == "QUERY_OTHER", F.lit("SET SESSION sql_mode='STRICT_TRANS_TABLES'"))
+        .otherwise(F.lit(None).cast("string")).alias("ddl"),
+    )
+    return df
+
+
+# --------------------------------------------------------------------------
+# Oracle-parity derived stream: identical SQL text runs in Spark and DuckDB.
+# Arithmetic/md5/CASE only — no xxhash64, no engine-specific functions.
+# Ops: m = event_id % 1000 → <600 INSERT, <900 UPDATE, else DELETE.
+# Hot-key skew: half of events land on 5 repos, rest on 50.
+# --------------------------------------------------------------------------
+
+DERIVED_STREAM_SQL = """
+SELECT
+  event_id AS gtid,
+  CASE WHEN (event_id % 1000) < 600 THEN 'INSERT'
+       WHEN (event_id % 1000) < 900 THEN 'UPDATE'
+       ELSE 'DELETE' END AS op,
+  'repos' AS schema_name,
+  CASE WHEN (event_id % 53) = 0 THEN 'shadow_table' ELSE 'files' END AS table_name,
+  'repo_' || CAST(CASE WHEN (event_id % 100) < 50 THEN user_id % 5
+                       ELSE user_id % 50 END AS VARCHAR) AS repo,
+  'src/f' || CAST((event_id * 37) % 211 AS VARCHAR) || '.py' AS path,
+  md5(CAST(event_id AS VARCHAR)) ||
+    substring(md5(CAST(event_id AS VARCHAR)), 1, 8) AS commit,
+  CASE (event_id % 7) WHEN 0 THEN 'py' WHEN 1 THEN 'go' WHEN 2 THEN 'java'
+       WHEN 3 THEN 'ts' WHEN 4 THEN 'rs' WHEN 5 THEN 'sql'
+       ELSE 'md' END AS lang,
+  'c:' || md5('content' || CAST(event_id AS VARCHAR)) AS content
+FROM events
+""".strip()
+
+
+def derived_changestream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run DERIVED_STREAM_SQL over ``{sf_dir}/events.parquet`` in Spark."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    return spark.sql(DERIVED_STREAM_SQL)

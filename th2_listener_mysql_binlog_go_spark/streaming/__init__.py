@@ -1,0 +1,2 @@
+from .lineage import LineageWriter  # noqa: F401
+from .runner import ReplayRunner  # noqa: F401

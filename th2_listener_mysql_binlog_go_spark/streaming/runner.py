@@ -1,0 +1,122 @@
+"""Micro-batch replay runner: checkpointed, exactly-once, resumable.
+
+The Spark analogue of the reference's sync loop + resume logic
+(/root/reference/component/listener/listener.go:85-227):
+
+- **Batch planning is deterministic**: batch k covers GTIDs
+  [k*span, (k+1)*span). Resume recomputes k0 from the table's persisted
+  ``watermark_gtid`` — no external checkpoint store needed; the *table
+  itself* is the checkpoint (the (name,pos) token of listener.go:325-332
+  become snapshot properties). A partially applied batch is replayed from
+  its top; the per-sub-batch id guard in :class:`BatchApplier` makes the
+  already-applied prefix a no-op (cf. the reference's weaker resume from
+  last *published* message, which can re-emit — we converge exactly).
+- **Source-range validation** (the error-1236 recovery analogue,
+  listener.go:91-110): a watermark beyond the source's max GTID clamps to
+  a no-op; a watermark before the source's min (expired binlog) raises
+  unless ``allow_gaps`` — matching the reference's choice to restart from
+  the earliest available position.
+- At scale the source table is partitioned/sorted by GTID range, so each
+  batch's ``gtid`` filter becomes partition pruning + a parquet range
+  scan — no full-stream rescans per batch.
+
+An event-driven Structured Streaming shell with ``foreachBatch`` is in
+:mod:`.structured` — batch planning there comes from the stream engine,
+while apply semantics are identical.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.apply import ApplyConfig, BatchApplier
+from ..plans.lake import LakeTable
+from .lineage import LineageWriter
+
+
+class ReplayRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: LakeTable,
+        batch_span: int = 100_000,
+        config: ApplyConfig | None = None,
+        lineage_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.table = table
+        self.batch_span = batch_span
+        self.applier = BatchApplier(table, config)
+        self.lineage = LineageWriter(lineage_dir) if lineage_dir else None
+
+    def run(
+        self,
+        stream: DataFrame,
+        max_batches: int | None = None,
+        allow_gaps: bool = False,
+    ) -> dict:
+        """Replay ``stream`` (change events, CHANGE_SCHEMA-shaped) into the
+        table from the current watermark. Returns summary metrics."""
+        bounds = stream.agg(
+            F.min("gtid").alias("lo"), F.max("gtid").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return {"batches": 0, "events": 0}
+        lo, hi = bounds["lo"], bounds["hi"]
+        wm = self.table.watermark_gtid
+
+        if wm >= hi:
+            return {"batches": 0, "events": 0, "clamped": True}
+        if wm >= 0 and wm < lo - 1 and not allow_gaps:
+            # Expired-source analogue of MySQL error 1236
+            # (listener.go:48-51,91-110): data between wm and lo is gone.
+            raise RuntimeError(
+                f"source no longer covers watermark {wm} (min gtid {lo}); "
+                "pass allow_gaps=True to restart from earliest available"
+            )
+
+        span = self.batch_span
+        # A batch whose final segment committed recorded itself complete;
+        # resume restarts at the *next* batch, else from the watermark's
+        # batch (whose applied prefix replays as guarded no-ops).
+        done = int(self.table.snapshot.properties.get("last_complete_batch", "-1"))
+        k0 = max(lo // span, (wm // span) if wm >= 0 else 0, done + 1)
+        k1 = hi // span
+        total = {"batches": 0, "events": 0, "rows_inserted": 0, "rows_updated": 0,
+                 "rows_deleted": 0, "ddl_applied": 0}
+        for k in range(k0, k1 + 1):
+            if max_batches is not None and total["batches"] >= max_batches:
+                break
+            t0 = time.monotonic()
+            batch = stream.filter(
+                (F.col("gtid") >= k * span) & (F.col("gtid") < (k + 1) * span)
+            )
+            m = self.applier.apply(
+                batch, batch_id=k,
+                final_extra_props={"last_complete_batch": str(k)},
+            )
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            total["batches"] += 1
+            for key in ("rows_inserted", "rows_updated", "rows_deleted", "ddl_applied"):
+                total[key] += m[key]
+            total["events"] += m["rows_inserted"] + m["rows_updated"] + m["rows_deleted"]
+            if self.lineage:
+                base = {
+                    "batch_id": k, "gtid_min": k * span, "gtid_max": min((k + 1) * span - 1, hi),
+                    "rows_inserted": m["rows_inserted"], "rows_updated": m["rows_updated"],
+                    "rows_deleted": m["rows_deleted"],
+                    "rows_applied": m["rows_inserted"] + m["rows_updated"] + m["rows_deleted"],
+                    "ddl_applied": m["ddl_applied"], "wall_ms": wall_ms,
+                }
+                rows = [dict(base, partition_id=-1)]
+                # per-partition rows: files written to each bucket this batch
+                rows += [
+                    dict(base, partition_id=int(b), rows_applied=int(n))
+                    for b, n in m.get("partitions", [])
+                ]
+                self.lineage.write(rows)
+        total["watermark_gtid"] = self.table.watermark_gtid
+        return total
