@@ -1,0 +1,58 @@
+"""Emulates the driver's correctness gate: run every ``queries()`` entry in
+Spark and its ``oracle_sql()`` in DuckDB on the same parquet tables;
+compare row counts, column sets, and order-insensitive values."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+def _normalize(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    rows = []
+    for tup in df.itertuples(index=False):
+        row = []
+        for v in tup:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                row.append("∅")
+            elif isinstance(v, float):
+                row.append(f"{v:.6f}")
+            else:
+                row.append(str(v))
+        rows.append(tuple(row))
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("name", list(entry.queries().keys()))
+def test_query_matches_oracle(spark, name):
+    q = entry.queries()[name]
+    oracles = entry.oracle_sql()
+    sdf = q(spark, SF_DIR).toPandas()
+    assert name in oracles, f"{name} lacks an oracle entry"
+    odf = _duck(oracles[name])
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} vs oracle {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns), f"{name}: columns differ"
+    a, b = _normalize(sdf), _normalize(odf)
+    mismatches = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
+    assert a == b, f"{name}: first mismatching rows {[(a[i], b[i]) for i in mismatches]}"
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    assert df.count() >= 0
+    assert df.schema is not None

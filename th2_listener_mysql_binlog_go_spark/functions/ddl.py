@@ -82,7 +82,11 @@ def classify_ddl_cols(ddl: Column, session_schema: Column | None = None) -> list
         schema_col = F.when(hit, F.regexp_extract(ddl, pat, gs)).otherwise(schema_col)
         table_col = F.when(hit, F.regexp_extract(ddl, pat, gt)).otherwise(table_col)
     if session_schema is not None:
-        schema_col = F.when(schema_col == "", session_schema).otherwise(schema_col)
+        # session-schema fallback applies only to *matched* statements
+        # (listener.go:257-259 runs after a successful ExtractOperation)
+        schema_col = F.when(
+            (schema_col == "") & (op_col != "UNKNOWN"), session_schema
+        ).otherwise(schema_col)
     return [schema_col.alias("ddl_schema"), table_col.alias("ddl_table"), op_col.alias("ddl_op")]
 
 

@@ -124,14 +124,14 @@ SELECT
   'repos' AS schema_name,
   CASE WHEN (event_id % 53) = 0 THEN 'shadow_table' ELSE 'files' END AS table_name,
   'repo_' || CAST(CASE WHEN (event_id % 100) < 50 THEN user_id % 5
-                       ELSE user_id % 50 END AS VARCHAR) AS repo,
-  'src/f' || CAST((event_id * 37) % 211 AS VARCHAR) || '.py' AS path,
-  md5(CAST(event_id AS VARCHAR)) ||
-    substring(md5(CAST(event_id AS VARCHAR)), 1, 8) AS commit,
+                       ELSE user_id % 50 END AS STRING) AS repo,
+  'src/f' || CAST((event_id * 37) % 211 AS STRING) || '.py' AS path,
+  md5(CAST(event_id AS STRING)) ||
+    substring(md5(CAST(event_id AS STRING)), 1, 8) AS commit,
   CASE (event_id % 7) WHEN 0 THEN 'py' WHEN 1 THEN 'go' WHEN 2 THEN 'java'
        WHEN 3 THEN 'ts' WHEN 4 THEN 'rs' WHEN 5 THEN 'sql'
        ELSE 'md' END AS lang,
-  'c:' || md5('content' || CAST(event_id AS VARCHAR)) AS content
+  'c:' || md5('content' || CAST(event_id AS STRING)) AS content
 FROM events
 """.strip()
 
@@ -140,3 +140,25 @@ def derived_changestream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run DERIVED_STREAM_SQL over ``{sf_dir}/events.parquet`` in Spark."""
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
     return spark.sql(DERIVED_STREAM_SQL)
+
+
+def to_change_schema(flat: DataFrame) -> DataFrame:
+    """Flat derived-stream rows -> the nested CHANGE_SCHEMA envelope
+    (before/after structs per op, FIXTURES.md §2) the apply path consumes."""
+    row = F.struct("repo", "path", "commit", "lang", "content")
+    null_row = F.lit(None).cast(
+        "struct<repo:string,path:string,commit:string,lang:string,content:string>"
+    )
+    return flat.select(
+        "gtid",
+        F.concat(F.lit("binlog."), F.lpad((F.col("gtid") / 100000).cast("bigint").cast("string"), 6, "0")).alias("log_name"),
+        ((F.col("gtid") % 100000) * 256 + 4).alias("log_pos"),
+        (F.col("gtid") / 3).cast("bigint").alias("seq"),
+        (F.lit(1700000000000000000) + F.col("gtid") * 1000000).alias("ts"),
+        "schema_name",
+        "table_name",
+        "op",
+        F.when(F.col("op").isin("UPDATE", "DELETE"), row).otherwise(null_row).alias("before"),
+        F.when(F.col("op").isin("INSERT", "UPDATE"), row).otherwise(null_row).alias("after"),
+        F.lit(None).cast("string").alias("ddl"),
+    )
