@@ -1,0 +1,107 @@
+"""Benchmark harness: headline CDC queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is end-to-end CDC apply throughput: a deterministic
+synthetic change stream (scaled off the sf dir's event count) replayed
+through the full engine (decode -> filter -> segment -> LWW -> bucketed
+copy-on-write MERGE commits) into a fresh lake table. Per-query wall
+times for the oracle-checked operators are reported alongside.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), CDC_BENCH_EVENTS (override stream size),
+CDC_BENCH_BUCKETS (default 64).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from th2_listener_mysql_binlog_go_spark.session import build_session
+    import __spark_entry__ as entry
+    from th2_listener_mysql_binlog_go_spark.plans.lake import LakeTable
+    from th2_listener_mysql_binlog_go_spark.sources.changestream import synthetic_changestream
+    from th2_listener_mysql_binlog_go_spark.streaming.runner import ReplayRunner
+
+    spark = build_session(
+        "cdc-bench", master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 32),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    n_events_dir = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    # headline stream: 10x the sf's event count (>= 1M at sf0.1)
+    n_events = int(os.environ.get("CDC_BENCH_EVENTS", str(max(n_events_dir * 10, 100_000))))
+
+    times: dict[str, float] = {}
+
+    # ---- headline: full CDC apply throughput -------------------------------
+    stream = synthetic_changestream(
+        spark, n_events, n_repos=max(200, n_events // 5000), n_paths=2000,
+        n_partitions=CPUS * 2,
+    ).persist()
+    stream.count()  # materialize generation outside the timed window
+
+    tmp = tempfile.mkdtemp(prefix="cdc_bench_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "t"),
+        [("repo", "string"), ("path", "string"), ("commit", "string"),
+         ("lang", "string"), ("content", "string")],
+        key_cols=["repo", "path"],
+        num_buckets=int(os.environ.get("CDC_BENCH_BUCKETS", "64")),
+    )
+    runner = ReplayRunner(
+        spark, table, batch_span=max(n_events // 8, 1),
+        lineage_dir=os.path.join(tmp, "lineage"),
+    )
+    t0 = time.monotonic()
+    runner.run(stream)
+    apply_sec = time.monotonic() - t0
+    times["cdc_apply_replay"] = round(apply_sec, 3)
+    final_rows = table.read().count()
+    stream.unpersist()
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    # ---- per-operator queries (same set the correctness gate checks) ------
+    qs = entry.queries()
+    for name, fn in qs.items():
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        times[name] = round(time.monotonic() - t0, 3)
+        _ = n
+
+    events_per_sec = n_events / apply_sec if apply_sec > 0 else 0.0
+    print(json.dumps({
+        "metric": "cdc_apply_events_per_sec",
+        "value": round(events_per_sec, 1),
+        "unit": "events/sec",
+        "queries": times,
+        "sf": sf,
+        "detail": {
+            "n_events": n_events,
+            "apply_sec": round(apply_sec, 3),
+            "final_rows": final_rows,
+            "cpus": CPUS,
+        },
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

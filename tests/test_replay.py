@@ -16,6 +16,7 @@ N_EVENTS = 4000
 
 
 def _stream(spark, **kw):
+    kw.setdefault("truncate_per_10k", 25)  # ~10 truncates in 4000 events
     return synthetic_changestream(spark, N_EVENTS, n_repos=50, n_paths=80, **kw)
 
 

@@ -1,0 +1,106 @@
+"""Size estimation + greedy split invariants, mirroring the reference's
+randomized tests (bean_test.go:54-179, insert_test.go:25-42,
+delete_test.go:25-42)."""
+
+import json
+import random
+
+import pytest
+
+from th2_listener_mysql_binlog_go_spark.functions.split import (
+    datamap_size,
+    greedy_split_sizes,
+    json_size,
+    record_base_size,
+    split_plan,
+)
+
+
+def _random_row(rng):
+    """5 value types like bean_test.go:181-231: string, int, float, bytes, None."""
+    row = {}
+    for i in range(rng.randint(1, 10)):
+        t = rng.randint(0, 4)
+        k = f"col_{i}"
+        if t == 0:
+            row[k] = "".join(rng.choice('ab"\\\nxyz \t') for _ in range(rng.randint(0, 30)))
+        elif t == 1:
+            row[k] = rng.randint(-2**62, 2**62)
+        elif t == 2:
+            row[k] = rng.random() * 10**rng.randint(-5, 5)
+        elif t == 3:
+            row[k] = bytes(rng.randrange(256) for _ in range(rng.randint(0, 40)))
+        else:
+            row[k] = None
+    return row
+
+
+def _serialize(schema, table, op, field, rows):
+    def enc(v):
+        if isinstance(v, bytes):
+            import base64
+            return base64.b64encode(v).decode()
+        return v
+    doc = {"Schema": schema, "Table": table, "Operation": op,
+           field: [{k: enc(v) for k, v in r.items()} for r in rows]}
+    return json.dumps(doc, separators=(",", ":"))
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_size_estimate_upper_bounds_serialized(seed):
+    """SizeBytes() >= len(Serialize()) — bean_test.go:54-92."""
+    rng = random.Random(seed)
+    rows = [_random_row(rng) for _ in range(rng.randint(2, 8))]
+    est = record_base_size("s", "t", "INSERT", "Inserted")
+    est += len(rows) - 1
+    est += sum(datamap_size(r) for r in rows)
+    actual = len(_serialize("s", "t", "INSERT", "Inserted", rows))
+    assert est >= actual, f"estimate {est} < serialized {actual}"
+
+
+def test_json_size_scalars():
+    assert json_size(None) == 4
+    assert json_size(12345) == 5
+    assert json_size(-7) == 2
+    assert json_size("ab") == len('"ab"')
+    assert json_size('a"b') == len(json.dumps('a"b'))
+    assert json_size(b"xyz1") == ((4 + 2) // 3) * 4 + 2  # base64 sizing, bean.go:82
+
+
+def test_doubling_rows_splits_in_two():
+    """insert_test.go:25-42 / delete_test.go:25-42: doubling a bean's rows
+    and splitting at the original size yields exactly 2 parts; at half
+    the size, >= 4 parts."""
+    rng = random.Random(7)
+    rows = [_random_row(rng) for _ in range(6)]
+    base = record_base_size("s", "t", "INSERT", "Inserted")
+    sizes = [datamap_size(r) for r in rows]
+    original = base + sum(sizes) + len(sizes) - 1
+    doubled = sizes + sizes
+    parts = greedy_split_sizes(doubled, base, original)
+    assert max(parts) + 1 == 2
+    parts_half = greedy_split_sizes(doubled, base, max(original // 2, base + max(sizes) + 1))
+    assert max(parts_half) + 1 >= 4
+
+
+def test_single_row_and_update_not_splittable():
+    assert greedy_split_sizes([100], 10, 50) == [0]
+
+
+def test_split_plan_spark(spark):
+    rows = []
+    for ev in range(10):
+        op = "INSERT" if ev % 2 == 0 else "UPDATE"
+        for i in range(8):
+            rows.append((ev, i, 300, op))
+    df = spark.createDataFrame(rows, "event_id int, row_order int, est_size int, op string")
+    out = split_plan(df, "event_id", "row_order", "est_size", "op", max_size=1000, base_size=50)
+    got = {(r["event_id"], r["row_order"]): r["part_idx"] for r in out.collect()}
+    # UPDATE events: never split (update.go:49-55)
+    assert all(got[(ev, i)] == 0 for ev in range(1, 10, 2) for i in range(8))
+    # INSERT events: 8 rows * ~301 bytes at max 1000 -> several parts, order preserved
+    ins = [got[(0, i)] for i in range(8)]
+    assert ins == sorted(ins) and max(ins) >= 2
+    # each part's size within bound: 50 + 3*301 + 2 < 1000 -> 3 rows/part
+    from collections import Counter
+    assert all(c <= 3 for c in Counter(ins).values())

@@ -1,0 +1,54 @@
+"""Structured Streaming shell: drain a change-event directory via
+foreachBatch, converge to the oracle state, then resume after new files."""
+
+import os
+
+from th2_listener_mysql_binlog_go_spark.plans.lake import LakeTable
+from th2_listener_mysql_binlog_go_spark.sources.changestream import (
+    CHANGE_SCHEMA,
+    synthetic_changestream,
+)
+from th2_listener_mysql_binlog_go_spark.streaming.structured import StreamingApplier
+
+from .oracle import df_fingerprint, replay_oracle, state_fingerprint
+
+SCHEMA = [("repo", "string"), ("path", "string"), ("commit", "string"),
+          ("lang", "string"), ("content", "string")]
+
+
+def _oracle_events(stream_df):
+    return [
+        {
+            "gtid": r["gtid"], "op": r["op"], "table_name": r["table_name"],
+            "before": r["before"].asDict() if r["before"] else None,
+            "after": r["after"].asDict() if r["after"] else None,
+        }
+        for r in stream_df.collect()
+    ]
+
+
+def test_streaming_drain_and_resume(spark, tmp_path):
+    src = str(tmp_path / "events")
+    full = synthetic_changestream(spark, 3000, n_repos=40, n_paths=60, truncate_per_10k=20)
+    # stage 1: first 2000 events land as files
+    full.filter("gtid < 2000").repartition(4).write.parquet(src)
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], num_buckets=8)
+    sa = StreamingApplier(spark, table, lineage_dir=str(tmp_path / "lin"))
+    q = sa.start(src, str(tmp_path / "ckpt"), CHANGE_SCHEMA, available_now=True,
+                 max_files_per_trigger=2)
+    q.awaitTermination(300)
+    part1 = state_fingerprint(replay_oracle(_oracle_events(full.filter("gtid < 2000"))))
+    got1 = df_fingerprint([r.asDict() for r in table.read().collect()])
+    assert got1 == part1
+
+    # stage 2: more binlog segments arrive; restart from checkpoint
+    full.filter("gtid >= 2000").repartition(2).write.mode("append").parquet(src)
+    table2 = LakeTable.load(spark, table.root)
+    sa2 = StreamingApplier(spark, table2, lineage_dir=str(tmp_path / "lin"))
+    q2 = sa2.start(src, str(tmp_path / "ckpt"), CHANGE_SCHEMA, available_now=True)
+    q2.awaitTermination(300)
+    expected = state_fingerprint(replay_oracle(_oracle_events(full)))
+    got = df_fingerprint([r.asDict() for r in LakeTable.load(spark, table.root).read().collect()])
+    assert got == expected
+    assert os.path.exists(str(tmp_path / "lin"))

@@ -92,7 +92,11 @@ def classify_ddl_cols(ddl: Column, session_schema: Column | None = None) -> list
 
 # ----------------------------------------------------------------- ALTER parsing
 
-_ADD_RE = re.compile(r"(?i)ADD\s+(?:COLUMN\s+)?`?(\w+)`?\s+([\w()0-9, ]+?)\s*;?\s*$")
+_ADD_RE = re.compile(
+    r"(?i)ADD\s+(?:COLUMN\s+)?"
+    r"(?!(?:INDEX|KEY|CONSTRAINT|PRIMARY|UNIQUE|FOREIGN|FULLTEXT|SPATIAL)\b)"
+    r"`?(\w+)`?\s+([\w()0-9, ]+?)\s*;?\s*$"
+)
 _RENAME_RE = re.compile(r"(?i)RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?\s*;?\s*$")
 _MODIFY_RE = re.compile(r"(?i)(?:MODIFY|ALTER)\s+(?:COLUMN\s+)?`?(\w+)`?\s+(?:SET\s+DATA\s+TYPE\s+|TYPE\s+)?([\w()0-9, ]+?)\s*;?\s*$")
 

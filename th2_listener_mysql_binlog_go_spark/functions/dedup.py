@@ -1,0 +1,213 @@
+"""Deduplication operators for training-data pipelines at corpus scale.
+
+Four escalating strategies over a ``documents(doc_id, text, ...)`` table:
+
+- **exact**: hash-groupBy on a canonical fingerprint — one shuffle on the
+  md5, keeps the min doc_id per group. O(n), the always-on first pass.
+- **MinHash + LSH**: shingle -> per-seed min-hash signature -> band
+  buckets -> candidate pairs via a self-join *on band bucket* (never the
+  O(n^2) cross join) -> verified by signature similarity. Hashes are
+  md5-derived (lexicographic min over hex strings), so the whole pipeline
+  is deterministic and oracle-reproducible in any SQL engine.
+- **SimHash**: 64-bit majority-vote signature per document via a pandas
+  UDF (bit arithmetic is awkward in pure SQL), near-dups = signatures at
+  small Hamming distance within 16-bit band buckets.
+- **n-gram Jaccard**: exact pairwise Jaccard, but only over candidate
+  pairs that share at least one shingle (inverted-index join), computed
+  with two groupBys — the verification stage after LSH, or standalone on
+  smaller corpora.
+
+Scale notes: every strategy shuffles on a *derived key* (fingerprint,
+band bucket, shingle), never on doc pairs; hot shingles (stop-phrase
+shingles) are capped via a document-frequency filter before the join —
+the classic inverted-index skew guard.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .text import fingerprint, shingles
+
+
+# ------------------------------------------------------------------ exact
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per canonical fingerprint.
+    Adds ``dup_count`` (group size)."""
+    fp = df.withColumn("fp", fingerprint(F.col(text_col)))
+    w = Window.partitionBy("fp")
+    ranked = fp.withColumn("dup_count", F.count("*").over(w)).withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("fp").orderBy(id_col))
+    )
+    return ranked.filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ------------------------------------------------------------------ minhash
+
+def minhash_signature(text: Column, n_hashes: int = 16, k: int = 5) -> Column:
+    """Deterministic MinHash signature: per seed i, min over shingles of
+    md5(i || shingle) — lexicographic min over hex strings, identical in
+    any engine with md5. array<string> of length n_hashes."""
+    sh = shingles(text, k)
+    sig = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(str(i) + "|"), s))))
+        for i in range(n_hashes)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    min_sig_sim: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, verified by
+    signature agreement. Returns (id_a, id_b, sig_sim) with id_a < id_b.
+
+    Shuffle profile: one explode to ``bands`` rows/doc, one self-join on
+    (band, bucket) — collision groups only — then a distinct on pairs.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), n_hashes, k).alias("sig"),
+    )
+    banded = sigs.select(
+        "id", "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.array_join(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|"
+                    )).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.size(F.filter(
+                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                lambda v: v,
+            )).alias("agree"),
+        )
+        .distinct()
+        .withColumn("sig_sim", (F.col("agree") / F.lit(n_hashes)).cast("double"))
+    )
+    return pairs.filter(F.col("sig_sim") >= min_sig_sim).select("id_a", "id_b", "sig_sim")
+
+
+# ------------------------------------------------------------------ ngram jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_jaccard: float = 0.5,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard over word-k-shingle sets for pairs sharing >=1
+    shingle. Inverted-index join; shingles appearing in more than
+    ``max_shingle_df`` docs are dropped first (stop-shingle skew guard —
+    they generate quadratic candidates and carry no signal)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    rare = sh.join(
+        sh.groupBy("sh").agg(F.count("*").alias("df_")).filter(F.col("df_") <= max_shingle_df),
+        "sh",
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col("a.id") < F.col("b.id")])
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard", (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).cast("double"))
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard).select("id_a", "id_b", "jaccard")
+
+
+# ------------------------------------------------------------------ simhash
+
+@pandas_udf("long")
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over word 2-shingles (Arrow-batched pandas UDF; the
+    per-bit majority vote doesn't decompose into portable SQL)."""
+    import hashlib
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        toks = "".join(c.lower() if c.isalnum() else " " for c in t).split()
+        grams = [" ".join(toks[j:j + 2]) for j in range(max(len(toks) - 1, 1))]
+        acc = np.zeros(64, dtype=np.int64)
+        for g in grams:
+            h = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big", signed=False)
+            bits = (h >> np.arange(64)) & 1
+            acc += np.where(bits == 1, 1, -1)
+        v = 0
+        for bit in range(64):
+            if acc[bit] > 0:
+                v |= 1 << bit
+        out[i] = np.int64(v - (1 << 64) if v >= (1 << 63) else v)
+    return pd.Series(out)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit bands
+    (a pair within distance d <= 3 shares at least one of 4 bands; wider d
+    uses it as a recall-bounded prefilter)."""
+    sigs = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    banded = sigs.select(
+        "id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftrightunsigned(F.col("sig"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for b in range(4)
+        ])).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.key") == F.col("b.key"),
+                      F.col("a.id") < F.col("b.id")])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,122 @@
+"""Size estimation + size-bounded greedy split (operators S8/S9).
+
+Re-implements the reference's serialization-free JSON size upper bound and
+its greedy sequential packing of multi-row events into parts <= max_size:
+
+- size model: ``jsonSize`` (/root/reference/component/bean/bean.go:65-87)
+  — null=4, ints/floats as formatted length, strings quoted+escaped,
+  bytes as base64 ``((n+2)/3)*4+2``; ``DataMap.sizeBytes`` adds
+  ``"k":v`` + commas + braces (bean.go:55-63); envelope base from
+  ``Record.sizeBytes`` + the payload-field header (bean.go:47-53,
+  insert.go:64-66). Invariant (tested like bean_test.go:54-92):
+  ``estimate >= len(json.dumps(...))``.
+- split: sequential greedy — close the part when the next row would
+  overflow ``max_size``, restart at base size (bean.go:129-150). Only
+  multi-row INSERT/DELETE events are splittable; UPDATE/Query are not
+  (update.go:49-55, query.go:48-54). The reference's ``Delete.Split``
+  emits *Insert* beans (delete.go:59) — a bug we deliberately do NOT
+  replicate (SURVEY.md §2 S9).
+
+Spark surface: :func:`split_plan` runs the packing per event group with
+``applyInPandas`` — sequential *within* an event (the algorithm is
+order-dependent by spec), parallel *across* events, Arrow-batched, no
+per-row Python in the driver. For the oracle-checkable monotone variant
+see ``__spark_entry__.q_size_split_plan``.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def json_size(value) -> int:
+    """Upper-bound JSON size of one scalar (bean.go:65-87 semantics)."""
+    if value is None:
+        return 4
+    if isinstance(value, bool):
+        return 5 if not value else 4
+    if isinstance(value, int):
+        return len(str(value))
+    if isinstance(value, float):
+        return len(repr(value)) if math.isfinite(value) else 4
+    if isinstance(value, str):
+        return len(json.dumps(value))
+    if isinstance(value, (bytes, bytearray)):
+        return ((len(value) + 2) // 3) * 4 + 2
+    return len(json.dumps(value, default=str))
+
+
+def datamap_size(row: dict) -> int:
+    """"{"k":v,...}" size for one row map (bean.go:55-63)."""
+    size = 2 + max(len(row) - 1, 0)
+    for k, v in row.items():
+        size += json_size(k) + 1 + json_size(v)
+    return size
+
+
+def record_base_size(schema: str, table: str, operation: str, payload_field: str) -> int:
+    """Envelope base: Record.sizeBytes (bean.go:47-53) + '"<field>":[]'
+    header (insert.go:64-66 uses 13 for 'Inserted')."""
+    size = 2
+    size += 9 + json_size(schema) + 1
+    size += 8 + json_size(table) + 1
+    size += 12 + json_size(operation) + 1
+    size += len(payload_field) + 5  # "<field>":[...]
+    return size
+
+
+def greedy_split_sizes(row_sizes: list[int], base_size: int, max_size: int) -> list[int]:
+    """Part index per row — sequential greedy close-on-overflow
+    (DataSlice.split, bean.go:129-150)."""
+    parts = []
+    part_idx = 0
+    part_size = 0
+    for i, s in enumerate(row_sizes):
+        if i == 0:
+            part_size = base_size + s
+        elif part_size + s + 1 > max_size:
+            part_idx += 1
+            part_size = base_size + s
+        else:
+            part_size += s + 1
+        parts.append(part_idx)
+    return parts
+
+
+def split_plan(
+    df: DataFrame,
+    event_col: str,
+    order_col: str,
+    size_col: str,
+    op_col: str,
+    max_size: int,
+    base_size: int = 64,
+) -> DataFrame:
+    """Assign each row of each multi-row event to a size-bounded part.
+
+    Input: one row per event-row with a precomputed ``size_col`` (use
+    :func:`datamap_size` upstream or an expression). Output adds
+    ``part_idx``; UPDATE/Query events always get part 0 (not splittable).
+    """
+    from pyspark.sql import types as T
+
+    # copy — StructType.add mutates (and df.schema is cached on the df)
+    out_schema = T.StructType(list(df.schema.fields) + [T.StructField("part_idx", T.IntegerType())])
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        op = pdf[op_col].iloc[0] if len(pdf) else None
+        if len(pdf) <= 1 or op not in ("INSERT", "DELETE"):
+            pdf["part_idx"] = 0
+            return pdf
+        pdf["part_idx"] = pd.array(
+            greedy_split_sizes(pdf[size_col].tolist(), base_size, max_size), dtype="int32"
+        )
+        return pdf
+
+    return df.groupBy(event_col).applyInPandas(pack, schema=out_schema)

@@ -1,0 +1,98 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+Beyond the reference's operator set (which is pure CDC plumbing), a 100 TB
+corpus engine needs corpus hygiene operators over a ``documents`` table:
+language identification, quality scoring, token counting, and document
+fingerprinting. All are pure Catalyst column expressions (whole-stage
+codegen, no Python in the hot path) and deliberately restricted to
+functions with exact DuckDB equivalents so every one is oracle-checkable
+in ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Scores are marker-hit counts per 1k chars; the argmax wins. This is the
+# classic fastText-free fallback: cheap, deterministic, good enough to
+# route documents to language-specific pipelines.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " die ", " und ", " ist ", " das "],
+    "fr": [" le ", " la ", " et ", " les ", " est "],
+    "es": [" el ", " de ", " que ", " los ", " es "],
+}
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Occurrences of ``needle`` via length arithmetic — portable to any
+    SQL engine (no regexp_count), and codegen-friendly."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("bigint")
+
+
+def lang_id(text: Column) -> Column:
+    """Best-guess language code by marker-hit argmax; 'und' if nothing hits."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = [
+        (lang, sum((_count_occurrences(padded, m) for m in markers), F.lit(0)))
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    best_score = scores[0][1]
+    best_lang = F.lit(scores[0][0])
+    for lang, s in scores[1:]:
+        better = s > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, s).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (size of split on runs of whitespace)."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("bigint")
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: length band + alpha ratio + stopword
+    presence — the usual pre-training corpus filter trio (length/punct/
+    stopword ratios), as one arithmetic expression."""
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    stop_hits = _count_occurrences(F.concat(F.lit(" "), F.lower(text), F.lit(" ")), " the ")
+    length_band = F.when((n >= 100) & (n <= 20000), F.lit(1.0)).when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    stop_band = F.when(stop_hits > 0, F.lit(1.0)).otherwise(F.lit(0.3))
+    return ((length_band + alpha_ratio + stop_band) / F.lit(3.0)).cast("double")
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum,
+    collapse whitespace."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return t
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    Collisions across formatting variants collapse (the dedup prefilter)."""
+    return F.md5(normalize_text(text))
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Word k-shingles of the normalized text (array<string>), the MinHash
+    input. Empty/short docs yield their full token string as one shingle."""
+    toks = F.split(normalize_text(text), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+    )

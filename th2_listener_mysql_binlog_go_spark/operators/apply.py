@@ -47,6 +47,12 @@ class ApplyConfig:
     )
     session_schema: str = "repos"
     files_per_bucket: int = 1
+    # 'mor' appends LWW-deduped deltas (O(batch) per merge, the scale
+    # path); 'cow' rewrites affected buckets (delta-free reads, exact
+    # insert/update lineage split). See plans/lake.py.
+    merge_mode: str = "mor"
+    # in mor mode, fold deltas into base once this many delta files exist
+    auto_compact_deltas: int | None = 256
 
     def observed_pairs(self) -> list[tuple[str, str]]:
         return [(s, t) for s, ts in self.observed.items() for t in ts]
@@ -127,14 +133,13 @@ class BatchApplier:
         return out
 
     def _apply_ddl(self, d: dict, extra_props: dict[str, str]) -> bool:
-        """Execute one DDL event against the lake table (schema evolution).
+        """Execute one schema-evolution DDL event against the lake table.
 
         Returns True if a metadata commit happened. The reference only
-        *forwards* DDL (component/bean/query.go:23-29); we apply it."""
+        *forwards* DDL (component/bean/query.go:23-29); we apply it.
+        TRUNCATE never reaches here — it is handled as a GTID marker
+        inside :meth:`apply` (commit-atomic with the batch merge)."""
         t = self.table
-        if d["op"] == "TRUNCATE":
-            t.truncate(extra_properties=extra_props)
-            return True
         if d["op"] == "ALTER_TABLE":
             cmd = parse_alter(d["ddl"] or "")
             try:
@@ -168,14 +173,30 @@ class BatchApplier:
         ddls = self._collect_ddl(batch)
         changes = self.flatten_dml(batch)
 
-        # Segment boundaries at DDL gtids (hard part (c)): events on each
-        # side of an ALTER/TRUNCATE see different table states.
         metrics = {
             "batch_id": batch_id, "rows_inserted": 0, "rows_updated": 0,
             "rows_deleted": 0, "ddl_applied": 0, "ddl_dropped": 0,
             "segments": 0, "buckets_touched": 0, "partitions": [],
         }
-        bounds = [d["gtid"] for d in ddls]
+
+        # TRUNCATE is a GTID high-water marker, committed atomically with
+        # the batch's final merge (O(1), order-safe, replay-monotonic).
+        # Dead-row elision: DML at or before the marker never survives a
+        # read, so don't even write it.
+        trunc_gtids = [d["gtid"] for d in ddls if d["op"] == "TRUNCATE"]
+        schema_ddls = [d for d in ddls if d["op"] != "TRUNCATE"]
+        final_props = dict(final_extra_props or {})
+        if trunc_gtids:
+            trunc_max = max(trunc_gtids)
+            changes = changes.filter(F.col(GTID_COL) > trunc_max)
+            final_props["truncate_gtid"] = str(trunc_max)
+            metrics["ddl_applied"] += len(trunc_gtids)
+
+        # Segment boundaries at schema-evolution DDL gtids (hard part (c)):
+        # events on each side of an ALTER see different table shapes.
+        # Segments and DDLs share one monotonic sub-id sequence; the
+        # table's last_batch_id guard makes any crash-replay prefix a no-op.
+        bounds = [d["gtid"] for d in schema_ddls]
         segments: list[tuple[int | None, int | None]] = []
         lo: int | None = None
         for b in bounds:
@@ -183,10 +204,6 @@ class BatchApplier:
             lo = b
         segments.append((lo, None))
 
-        # Segments and DDLs share one monotonic sub-id sequence; the
-        # table's last_batch_id guard makes any crash-replay prefix a
-        # no-op — including TRUNCATE, which would otherwise wipe data a
-        # later, already-applied segment had written.
         pos = 0
         for i, (lo_g, hi_g) in enumerate(segments):
             seg = changes
@@ -194,21 +211,17 @@ class BatchApplier:
                 seg = seg.filter(F.col(GTID_COL) > lo_g)
             if hi_g is not None:
                 seg = seg.filter(F.col(GTID_COL) < hi_g)
-            # Dead-segment elision: DML wholly before a later TRUNCATE of
-            # the (single) observed target never survives — skip its merge.
-            wiped = any(
-                d["op"] == "TRUNCATE" and hi_g is not None and d["gtid"] >= hi_g
-                for d in ddls
-            )
             sub_id = batch_id * 1024 + pos
             pos += 1
-            if not wiped and sub_id > self.table.last_batch_id:
+            if sub_id > self.table.last_batch_id:
                 m = self.table.merge(
                     seg, sub_id,
+                    mode=self.config.merge_mode,
                     files_per_bucket=self.config.files_per_bucket,
-                    # the last segment's commit marks the batch complete, so
-                    # resume can skip it instead of no-op-replaying it
-                    extra_properties=final_extra_props if i == len(segments) - 1 else None,
+                    auto_compact_deltas=self.config.auto_compact_deltas,
+                    # the last segment's commit carries the truncate marker
+                    # and the batch-complete property (resume skip)
+                    extra_properties=final_props if i == len(segments) - 1 else None,
                 )
                 if not m.get("skipped"):
                     metrics["rows_inserted"] += m["rows_inserted"]
@@ -217,10 +230,10 @@ class BatchApplier:
                     metrics["buckets_touched"] = max(metrics["buckets_touched"], m["buckets_touched"])
                     metrics["partitions"].extend(m.get("partitions", []))
                     metrics["segments"] += 1
-            if i < len(ddls):
+            if i < len(schema_ddls):
                 ddl_sub = batch_id * 1024 + pos
                 pos += 1
                 if ddl_sub > self.table.last_batch_id:
-                    applied = self._apply_ddl(ddls[i], {"last_batch_id": str(ddl_sub)})
+                    applied = self._apply_ddl(schema_ddls[i], {"last_batch_id": str(ddl_sub)})
                     metrics["ddl_applied" if applied else "ddl_dropped"] += 1
         return metrics

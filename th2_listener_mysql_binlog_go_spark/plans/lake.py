@@ -3,7 +3,7 @@
 The north rule asks for Iceberg-style apply semantics (MERGE upsert, schema
 evolution, exactly-once commits, time travel for lineage) but this sandbox
 ships no Iceberg/Delta jars, so this module implements the minimal table
-format that supplies them, Iceberg-style:
+format that supplies them, Iceberg/Hudi-style:
 
 - **Atomic snapshot pointer.** Every commit writes an immutable JSON
   snapshot (``_meta/v{N}.json``) and atomically swaps ``_meta/HEAD`` to it
@@ -14,18 +14,29 @@ format that supplies them, Iceberg-style:
   of the files it wrote (a "schema epoch"). ADD/RENAME/WIDEN/DROP are
   metadata-only — old files are re-mapped on read by id, missing columns
   materialize as NULL, narrower physical types are cast up.
-- **Hash-bucket layout for bounded copy-on-write MERGE.** Rows are assigned
-  ``bucket = pmod(xxhash64(key...), num_buckets)``. A merge only reads and
-  rewrites the buckets that contain changed keys; untouched buckets are
-  carried into the new snapshot by reference. At 100 TB with e.g. 4096
-  buckets, a micro-batch touching 1% of the key space rewrites ~1% of
-  files and shuffles only batch + affected-bucket rows — never the table.
+- **Hash-bucket layout.** Rows are assigned
+  ``bucket = pmod(xxhash64(key...), num_buckets)``; every data file belongs
+  to exactly one bucket, so key-scoped work (merge, compaction, point
+  lookups) touches only its buckets' files.
+- **Two merge strategies** (the Hudi CoW/MOR split):
+
+  * ``mode='mor'`` (default scale path): the batch is LWW-deduped and
+    appended as per-bucket *delta* files — DELETE rows become tombstones.
+    Cost is O(batch) regardless of table size: the target is never read.
+    Readers resolve only *dirty* buckets (those holding deltas) with a
+    last-writer-wins window; clean buckets stream straight from base
+    files. Compaction folds deltas into fresh base files.
+  * ``mode='cow'``: classic copy-on-write — affected buckets are read,
+    merged, and rewritten, yielding delta-free reads and exact
+    inserted/updated/deleted lineage splits. Right when batches are rare
+    and large relative to the touched key range.
+
 - **Exactly-once.** Each row stores ``_gtid`` (the GTID of its last
   writer) and each snapshot stores ``last_batch_id`` + ``watermark_gtid``
   properties. Replaying an already-applied batch is a metadata no-op
-  (batch-id guard), and even a forced re-merge converges because the
-  last-writer-wins window keys on ``_gtid`` (idempotent merge). This is
-  strictly stronger than the reference listener's at-least-once resume
+  (batch-id guard), and even a forced re-merge converges because LWW
+  resolution keys on ``_gtid``. Strictly stronger than the reference
+  listener's at-least-once resume
   (/root/reference/component/listener/listener.go:198-227).
 
 Reference parity: this module is the apply-side completion of the Go
@@ -83,7 +94,7 @@ class Snapshot:
     num_buckets: int
     epoch: int
     epoch_schemas: dict[str, list[ColumnSpec]]  # epoch -> physical columns at write time
-    files: list[dict]  # {"path": rel, "bucket": int, "epoch": int}
+    files: list[dict]  # {"path": rel, "bucket": int, "epoch": int, "kind": "base"|"delta"}
     properties: dict[str, str] = field(default_factory=dict)
     parent: int | None = None
 
@@ -119,12 +130,21 @@ class Snapshot:
         by_id = {c.id: c.name for c in self.columns}
         return [by_id[i] for i in self.key_ids]
 
+    def sub(self, files: list[dict]) -> "Snapshot":
+        return Snapshot(
+            version=self.version, columns=self.columns, key_ids=self.key_ids,
+            num_buckets=self.num_buckets, epoch=self.epoch,
+            epoch_schemas=self.epoch_schemas, files=files,
+            properties=self.properties,
+        )
 
-def _struct_of(columns: list[ColumnSpec], extra_meta: bool = True) -> T.StructType:
+
+def _struct_of(columns: list[ColumnSpec], with_op: bool = False) -> T.StructType:
     fields = [T.StructField(c.name, _parse_type(c.type), c.nullable) for c in columns]
-    if extra_meta:
-        fields.append(T.StructField(GTID_COL, T.LongType(), False))
-        fields.append(T.StructField(BUCKET_COL, T.IntegerType(), False))
+    fields.append(T.StructField(GTID_COL, T.LongType(), False))
+    fields.append(T.StructField(BUCKET_COL, T.IntegerType(), False))
+    if with_op:
+        fields.append(T.StructField(OP_COL, T.StringType(), False))
     return T.StructType(fields)
 
 
@@ -210,209 +230,122 @@ class LakeTable:
     def last_batch_id(self) -> int:
         return int(self.snapshot.properties.get("last_batch_id", "-1"))
 
+    @property
+    def truncate_gtid(self) -> int:
+        """Rows with _gtid <= this are logically truncated (GTID-aware
+        TRUNCATE marker — O(1), commit-atomic, order-safe; dead rows are
+        physically dropped at the next compaction)."""
+        return int(self.snapshot.properties.get("truncate_gtid", "-1"))
+
     # ---------------------------------------------------------------- read
 
-    def read(self, include_meta: bool = False, snapshot: Snapshot | None = None) -> DataFrame:
-        """Current table state as a DataFrame (time travel via ``snapshot``).
-
-        Files are grouped by schema epoch; each group is read with the
-        exact physical schema it was written with, re-mapped to the current
-        logical schema by column id (rename-safe), NULL-filled for columns
-        added later, and cast up for widened types. Column pruning and
-        filter pushdown still apply per group (plain parquet scans).
-        """
-        snap = snapshot or self.snapshot
+    def _read_mapped(self, snap: Snapshot, files: list[dict], with_op: bool) -> DataFrame | None:
+        """Read ``files`` with their exact write-time physical schemas,
+        re-mapped to the current logical schema by column id (rename-safe,
+        NULL-filled for later columns, cast for widened types). Plain
+        parquet scans per epoch group — column pruning + filter pushdown
+        still apply."""
+        if not files:
+            return None
         cur_types = {c.id: c.type for c in snap.columns}
         cur_names = {c.id: c.name for c in snap.columns}
-
-        out_schema = _struct_of(snap.columns, extra_meta=True)
-        if not snap.files:
-            return self.spark.createDataFrame([], out_schema if include_meta else _struct_of(snap.columns, False))
-
         by_epoch: dict[str, list[str]] = {}
-        for fi in snap.files:
+        for fi in files:
             by_epoch.setdefault(str(fi["epoch"]), []).append(os.path.join(self.root, fi["path"]))
-
         parts = []
         for epoch, paths in by_epoch.items():
             phys = snap.epoch_schemas[epoch]
-            df = self.spark.read.schema(_struct_of(phys, extra_meta=True)).parquet(*paths)
+            df = self.spark.read.schema(_struct_of(phys, with_op=with_op)).parquet(*paths)
             sel = []
             phys_by_id = {c.id: c for c in phys}
             for cid, cname in cur_names.items():
                 if cid in phys_by_id:
                     sel.append(F.col(phys_by_id[cid].name).cast(cur_types[cid]).alias(cname))
-                else:  # column added after these files were written
+                else:
                     sel.append(F.lit(None).cast(cur_types[cid]).alias(cname))
             sel += [F.col(GTID_COL), F.col(BUCKET_COL)]
+            if with_op:
+                sel.append(F.col(OP_COL))
             parts.append(df.select(*sel))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        if not include_meta:
-            df = df.drop(GTID_COL, BUCKET_COL)
         return df
 
-    # ---------------------------------------------------------------- merge
+    def _lww_resolve(self, df: DataFrame, keys: list[str]) -> DataFrame:
+        """Resolve base+delta rows: last writer (max _gtid) wins per key,
+        DELETE tombstones drop the key. On gtid ties a non-KEEP (delta)
+        row wins for determinism."""
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(GTID_COL).desc(), (F.col(OP_COL) == _KEEP).asc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col(OP_COL) != "DELETE"))
+            .drop("_rn")
+        )
+
+    def read(self, include_meta: bool = False, snapshot: Snapshot | None = None) -> DataFrame:
+        """Current table state (time travel via ``snapshot``).
+
+        Clean buckets (no deltas) stream directly from base files; dirty
+        buckets pay one key-shuffle LWW window over (their base + deltas)
+        only — the merge-on-read tax, bounded by compaction."""
+        snap = snapshot or self.snapshot
+        keys = snap.key_names
+        trunc = int(snap.properties.get("truncate_gtid", "-1"))
+
+        base = [fi for fi in snap.files if fi.get("kind", "base") == "base"]
+        delta = [fi for fi in snap.files if fi.get("kind", "base") == "delta"]
+        dirty_buckets = {fi["bucket"] for fi in delta}
+        clean = self._read_mapped(snap, [fi for fi in base if fi["bucket"] not in dirty_buckets], with_op=False)
+        out = None
+        if delta:
+            dirty_base = self._read_mapped(snap, [fi for fi in base if fi["bucket"] in dirty_buckets], with_op=False)
+            delta_df = self._read_mapped(snap, delta, with_op=True)
+            dirty = delta_df if dirty_base is None else dirty_base.withColumn(OP_COL, F.lit(_KEEP)).unionByName(delta_df)
+            out = self._lww_resolve(dirty, keys).drop(OP_COL)
+        if clean is not None:
+            out = clean if out is None else clean.unionByName(out)
+        if out is None:
+            st = _struct_of(snap.columns)
+            out = self.spark.createDataFrame([], st)
+        if trunc >= 0:
+            # GTID-aware TRUNCATE: rows last written at or before the
+            # marker are logically gone (pushed down to the parquet scans).
+            out = out.filter(F.col(GTID_COL) > trunc)
+        if not include_meta:
+            out = out.drop(GTID_COL, BUCKET_COL)
+        return out
+
+    # ---------------------------------------------------------------- write helpers
 
     def bucket_expr(self, key_cols: list[str] | None = None):
         keys = key_cols or self.snapshot.key_names
         return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.snapshot.num_buckets)).cast("int")
 
-    def merge(
-        self,
-        changes: DataFrame,
-        batch_id: int,
-        extra_properties: dict[str, str] | None = None,
-        files_per_bucket: int = 1,
-        batch_gtid_max: int | None = None,
-    ) -> dict:
-        """Copy-on-write MERGE of a change batch (the Iceberg ``MERGE INTO`` analogue).
-
-        ``changes`` must carry the current logical columns plus ``_op``
-        ('INSERT'|'UPDATE'|'DELETE') and ``_gtid`` (bigint, total order).
-        Semantics: last writer (max ``_gtid``) wins per key; a winning
-        DELETE removes the key; winning INSERT/UPDATE upserts the row —
-        i.e. resolution happens on the *final* op per key, so
-        DELETE→INSERT resurrection within one batch lands as the INSERT.
-
-        Scale shape: shuffles only (batch ∪ affected buckets) by key for
-        the LWW window, then once more by bucket for the write. Untouched
-        buckets are carried by reference. ``files_per_bucket`` > 1 salts
-        the write so one hot bucket is written by several tasks.
-
-        Returns lineage metrics. Replay of an applied batch (batch_id <=
-        last_batch_id) is a no-op returning {"skipped": True}.
-        """
-        snap = self.snapshot
-        if batch_id <= self.last_batch_id:
-            return {"skipped": True, "batch_id": batch_id}
-
-        keys = snap.key_names
-        # Lenient projection: logical columns the batch doesn't carry
-        # (events decoded before an ADD COLUMN landed) materialize as NULL.
-        avail = set(changes.columns)
-        proj = [
-            F.col(c.name).cast(c.type).alias(c.name) if c.name in avail
-            else F.lit(None).cast(c.type).alias(c.name)
-            for c in snap.columns
-        ]
-        changes = changes.select(*proj, OP_COL, GTID_COL).withColumn(
-            BUCKET_COL, self.bucket_expr()
-        )
-
-        # Affected buckets: bounded by num_buckets, safe to collect.
-        affected = sorted(
-            r[0] for r in changes.select(BUCKET_COL).distinct().collect()
-        )
-        affected_set = set(affected)
-
-        # Current contents of only the affected buckets.
-        touched_files = [fi for fi in snap.files if fi["bucket"] in affected_set]
-        untouched_files = [fi for fi in snap.files if fi["bucket"] not in affected_set]
-        if touched_files:
-            target_snap = Snapshot(
-                version=snap.version, columns=snap.columns, key_ids=snap.key_ids,
-                num_buckets=snap.num_buckets, epoch=snap.epoch,
-                epoch_schemas=snap.epoch_schemas, files=touched_files,
-            )
-            target = self.read(include_meta=True, snapshot=target_snap).withColumn(
-                OP_COL, F.lit(_KEEP)
-            )
-            unioned = target.unionByName(changes)
-        else:
-            unioned = changes
-
-        # Last-writer-wins per key over the GTID total order (SURVEY.md §2
-        # "needed by our engine"); tie-break KEEP<changes on equal gtid is
-        # impossible by construction (gtids are unique, target rows carry
-        # the gtid that wrote them, and the batch-id guard keeps replayed
-        # batches out) but we order (_gtid, is_change) for determinism.
-        w = Window.partitionBy(*keys).orderBy(
-            F.col(GTID_COL).desc(), (F.col(OP_COL) == _KEEP).asc()
-        )
-        wf = Window.partitionBy(*keys).rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-        ranked = unioned.withColumn("_rn", F.row_number().over(w)).withColumn(
-            "_had_target", F.max(F.when(F.col(OP_COL) == _KEEP, 1).otherwise(0)).over(wf)
-        )
-        winners = ranked.filter(F.col("_rn") == 1)
-
-        # observe() rides the write action — lineage metrics cost no extra pass.
-        obs = Observation(f"merge-{batch_id}")
-        is_change = F.col(OP_COL) != _KEEP
-        winners = winners.observe(
-            obs,
-            F.sum(F.when(is_change & (F.col(OP_COL) != "DELETE") & (F.col("_had_target") == 0), 1)
-                  .otherwise(0)).alias("rows_inserted"),
-            F.sum(F.when(is_change & (F.col(OP_COL) != "DELETE") & (F.col("_had_target") == 1), 1)
-                  .otherwise(0)).alias("rows_updated"),
-            F.sum(F.when((F.col(OP_COL) == "DELETE") & (F.col("_had_target") == 1), 1)
-                  .otherwise(0)).alias("rows_deleted"),
-            F.max(F.when(is_change, F.col(GTID_COL))).alias("max_gtid"),
-            F.min(F.when(is_change, F.col(GTID_COL))).alias("min_gtid"),
-        )
-        survivors = winners.filter(F.col(OP_COL) != "DELETE")
-
-        # Physical write: salt spreads a hot bucket over several tasks/files.
-        salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.lit(7)), F.lit(files_per_bucket))
-        new_version = snap.version + 1
-        commit_dir_rel = os.path.join("data", f"c{new_version:012d}-{uuid.uuid4().hex[:8]}")
-        commit_dir = os.path.join(self.root, commit_dir_rel)
+    def _physical_out_cols(self, snap: Snapshot) -> list:
         phys_names = {c.id: c.name for c in snap.epoch_schemas[str(snap.epoch)]}
-        cur_by_name = {c.name: c for c in snap.columns}
-        out_cols = [F.col(c.name).alias(phys_names[cur_by_name[c.name].id]) for c in snap.columns]
+        return [F.col(c.name).alias(phys_names[c.id]) for c in snap.columns]
+
+    def _write_files(self, df: DataFrame, commit_dir_rel: str, with_op: bool,
+                     files_per_bucket: int = 1) -> None:
+        """Write rows partitioned by bucket. ``files_per_bucket`` > 1 salts
+        the shuffle so a hot bucket is written by several tasks/files."""
+        snap = self.snapshot
+        keys = snap.key_names
+        cols = self._physical_out_cols(snap) + [F.col(GTID_COL), F.col(BUCKET_COL)]
+        if with_op:
+            cols.append(F.col(OP_COL))
+        salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.lit(7)), F.lit(files_per_bucket))
         (
-            survivors.repartition(F.col(BUCKET_COL), salt)
-            .select(*out_cols, F.col(GTID_COL), F.col(BUCKET_COL),
-                    F.col(BUCKET_COL).alias("_bucket_p"))
+            df.repartition(F.col(BUCKET_COL), salt)
+            .select(*cols, F.col(BUCKET_COL).alias("_bucket_p"))
             .write.partitionBy("_bucket_p")
-            .parquet(commit_dir)
+            .parquet(os.path.join(self.root, commit_dir_rel))
         )
-        m = obs.get
 
-        written = self._list_commit_files(commit_dir_rel, snap.epoch)
-        new_files = untouched_files + written
-
-        # Per-partition lineage from the parquet footers of the files this
-        # commit wrote (driver-side metadata reads, no extra Spark pass).
-        import pyarrow.parquet as pq
-
-        per_bucket: dict[int, int] = {}
-        for fi in written:
-            n = pq.ParquetFile(os.path.join(self.root, fi["path"])).metadata.num_rows
-            per_bucket[fi["bucket"]] = per_bucket.get(fi["bucket"], 0) + n
-
-        props = dict(snap.properties)
-        batch_max = batch_gtid_max if batch_gtid_max is not None else m["max_gtid"]
-        if batch_max is None:
-            batch_max = self.watermark_gtid
-        props["watermark_gtid"] = str(max(self.watermark_gtid, batch_max))
-        props["last_batch_id"] = str(batch_id)
-        props.update(extra_properties or {})
-
-        new_snap = Snapshot(
-            version=new_version, columns=snap.columns, key_ids=snap.key_ids,
-            num_buckets=snap.num_buckets, epoch=snap.epoch,
-            epoch_schemas=snap.epoch_schemas, files=new_files,
-            properties=props, parent=snap.version,
-        )
-        self._write_snapshot(new_snap)
-        return {
-            "skipped": False,
-            "batch_id": batch_id,
-            "rows_inserted": int(m["rows_inserted"] or 0),
-            "rows_updated": int(m["rows_updated"] or 0),
-            "rows_deleted": int(m["rows_deleted"] or 0),
-            "gtid_min": m["min_gtid"],
-            "gtid_max": m["max_gtid"],
-            "buckets_touched": len(affected),
-            "partitions": sorted(per_bucket.items()),
-            "version": new_version,
-        }
-
-    def _list_commit_files(self, commit_dir_rel: str, epoch: int) -> list[dict]:
+    def _list_commit_files(self, commit_dir_rel: str, epoch: int, kind: str) -> list[dict]:
         out = []
         base = os.path.join(self.root, commit_dir_rel)
         for dirpath, _dirs, fnames in os.walk(base):
@@ -426,8 +359,179 @@ class LakeTable:
                         bucket = int(seg.split("=", 1)[1])
                 if bucket is None:
                     raise ValueError(f"no bucket dir in {rel}")
-                out.append({"path": rel, "bucket": bucket, "epoch": epoch})
+                out.append({"path": rel, "bucket": bucket, "epoch": epoch, "kind": kind})
         return out
+
+    @staticmethod
+    def _footer_rows(root: str, files: list[dict]) -> dict[int, int]:
+        """Per-bucket row counts from parquet footers (driver-side metadata
+        reads of just-written files — no Spark pass; the lineage analogue
+        of Iceberg manifest stats)."""
+        import pyarrow.parquet as pq
+
+        per_bucket: dict[int, int] = {}
+        for fi in files:
+            n = pq.ParquetFile(os.path.join(root, fi["path"])).metadata.num_rows
+            per_bucket[fi["bucket"]] = per_bucket.get(fi["bucket"], 0) + n
+        return per_bucket
+
+    # ---------------------------------------------------------------- merge
+
+    def merge(
+        self,
+        changes: DataFrame,
+        batch_id: int,
+        mode: str = "cow",
+        extra_properties: dict[str, str] | None = None,
+        files_per_bucket: int = 1,
+        batch_gtid_max: int | None = None,
+        auto_compact_deltas: int | None = None,
+    ) -> dict:
+        """MERGE a change batch (the Iceberg ``MERGE INTO`` analogue).
+
+        ``changes`` must carry the current logical columns plus ``_op``
+        ('INSERT'|'UPDATE'|'DELETE') and ``_gtid`` (bigint, total order).
+        Semantics: last writer (max ``_gtid``) wins per key; a winning
+        DELETE removes the key; winning INSERT/UPDATE upserts the row —
+        resolution on the *final* op per key, so DELETE→INSERT
+        resurrection within one batch lands as the INSERT.
+
+        ``mode='mor'`` appends LWW-deduped deltas (O(batch), target never
+        read); ``mode='cow'`` rewrites affected buckets (delta-free reads,
+        exact insert/update/delete lineage). ``auto_compact_deltas``: in
+        mor mode, compact when delta-file count exceeds it.
+
+        Returns lineage metrics. Replay of an applied batch (batch_id <=
+        last_batch_id) is a no-op returning {"skipped": True}.
+        """
+        snap = self.snapshot
+        if batch_id <= self.last_batch_id:
+            return {"skipped": True, "batch_id": batch_id}
+        keys = snap.key_names
+
+        # Lenient projection: logical columns the batch doesn't carry
+        # (events decoded before an ADD COLUMN landed) materialize as NULL.
+        avail = set(changes.columns)
+        proj = [
+            F.col(c.name).cast(c.type).alias(c.name) if c.name in avail
+            else F.lit(None).cast(c.type).alias(c.name)
+            for c in snap.columns
+        ]
+        changes = changes.select(*proj, OP_COL, GTID_COL).withColumn(
+            BUCKET_COL, self.bucket_expr()
+        )
+
+        new_version = snap.version + 1
+        obs = Observation(f"merge-{batch_id}")
+
+        if changes.isEmpty():
+            # metadata-only commit: properties (batch id, watermark,
+            # truncate marker) must still advance for exactly-once resume.
+            # (Also: Observation on a fully-empty write trips a JVM assert.)
+            m = {"max_gtid": None, "min_gtid": None}
+            written: list[dict] = []
+            new_files = snap.files
+            counts = {"rows_inserted": 0, "rows_updated": 0, "rows_deleted": 0}
+        elif mode == "mor":
+            # LWW-dedup the batch itself, append as per-bucket deltas.
+            w = Window.partitionBy(*keys).orderBy(F.col(GTID_COL).desc())
+            winners = changes.withColumn("_rn", F.row_number().over(w)).filter(
+                F.col("_rn") == 1
+            ).drop("_rn")
+            winners = winners.observe(
+                obs,
+                F.sum(F.when(F.col(OP_COL) != "DELETE", 1).otherwise(0)).alias("rows_upserted"),
+                F.sum(F.when(F.col(OP_COL) == "DELETE", 1).otherwise(0)).alias("rows_deleted"),
+                F.max(F.col(GTID_COL)).alias("max_gtid"),
+                F.min(F.col(GTID_COL)).alias("min_gtid"),
+            )
+            commit_dir_rel = os.path.join("data", f"d{new_version:012d}-{uuid.uuid4().hex[:8]}")
+            self._write_files(winners, commit_dir_rel, with_op=True,
+                              files_per_bucket=files_per_bucket)
+            m = obs.get
+            written = self._list_commit_files(commit_dir_rel, snap.epoch, "delta")
+            new_files = snap.files + written
+            counts = {
+                "rows_inserted": int(m["rows_upserted"] or 0),
+                "rows_updated": 0,
+                "rows_deleted": int(m["rows_deleted"] or 0),
+            }
+        elif mode == "cow":
+            affected = sorted(r[0] for r in changes.select(BUCKET_COL).distinct().collect())
+            affected_set = set(affected)
+            touched = [fi for fi in snap.files if fi["bucket"] in affected_set]
+            untouched = [fi for fi in snap.files if fi["bucket"] not in affected_set]
+            target = self.read(include_meta=True, snapshot=snap.sub(touched))
+            unioned = target.withColumn(OP_COL, F.lit(_KEEP)).unionByName(changes)
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(GTID_COL).desc(), (F.col(OP_COL) == _KEEP).asc()
+            )
+            wf = Window.partitionBy(*keys).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            ranked = unioned.withColumn("_rn", F.row_number().over(w)).withColumn(
+                "_had_target", F.max(F.when(F.col(OP_COL) == _KEEP, 1).otherwise(0)).over(wf)
+            )
+            is_change = F.col(OP_COL) != _KEEP
+            winners = ranked.filter(F.col("_rn") == 1).observe(
+                obs,
+                F.sum(F.when(is_change & (F.col(OP_COL) != "DELETE") & (F.col("_had_target") == 0), 1)
+                      .otherwise(0)).alias("rows_inserted"),
+                F.sum(F.when(is_change & (F.col(OP_COL) != "DELETE") & (F.col("_had_target") == 1), 1)
+                      .otherwise(0)).alias("rows_updated"),
+                F.sum(F.when((F.col(OP_COL) == "DELETE") & (F.col("_had_target") == 1), 1)
+                      .otherwise(0)).alias("rows_deleted"),
+                F.max(F.when(is_change, F.col(GTID_COL))).alias("max_gtid"),
+                F.min(F.when(is_change, F.col(GTID_COL))).alias("min_gtid"),
+            )
+            survivors = winners.filter(F.col(OP_COL) != "DELETE")
+            commit_dir_rel = os.path.join("data", f"c{new_version:012d}-{uuid.uuid4().hex[:8]}")
+            self._write_files(survivors, commit_dir_rel, with_op=False,
+                              files_per_bucket=files_per_bucket)
+            m = obs.get
+            written = self._list_commit_files(commit_dir_rel, snap.epoch, "base")
+            new_files = untouched + written
+            counts = {
+                "rows_inserted": int(m["rows_inserted"] or 0),
+                "rows_updated": int(m["rows_updated"] or 0),
+                "rows_deleted": int(m["rows_deleted"] or 0),
+            }
+        else:
+            raise ValueError(f"unknown merge mode {mode!r}")
+
+        per_bucket = self._footer_rows(self.root, written)
+        props = dict(snap.properties)
+        batch_max = batch_gtid_max if batch_gtid_max is not None else m["max_gtid"]
+        if batch_max is None:
+            batch_max = self.watermark_gtid
+        props["watermark_gtid"] = str(max(self.watermark_gtid, batch_max))
+        props["last_batch_id"] = str(batch_id)
+        extra = dict(extra_properties or {})
+        if "truncate_gtid" in extra:  # monotonic merge: replays can't regress it
+            extra["truncate_gtid"] = str(max(self.truncate_gtid, int(extra["truncate_gtid"])))
+        props.update(extra)
+
+        self._write_snapshot(Snapshot(
+            version=new_version, columns=snap.columns, key_ids=snap.key_ids,
+            num_buckets=snap.num_buckets, epoch=snap.epoch,
+            epoch_schemas=snap.epoch_schemas, files=new_files,
+            properties=props, parent=snap.version,
+        ))
+        result = {
+            "skipped": False,
+            "batch_id": batch_id,
+            **counts,
+            "gtid_min": m["min_gtid"],
+            "gtid_max": m["max_gtid"],
+            "buckets_touched": len(per_bucket),
+            "partitions": sorted(per_bucket.items()),
+            "version": new_version,
+        }
+        if mode == "mor" and auto_compact_deltas is not None:
+            n_delta = sum(1 for fi in self.snapshot.files if fi.get("kind") == "delta")
+            if n_delta > auto_compact_deltas:
+                result["compacted_buckets"] = self.compact()
+        return result
 
     # ---------------------------------------------------------------- DDL
 
@@ -496,33 +600,28 @@ class LakeTable:
     # ---------------------------------------------------------------- maintenance
 
     def compact(self, target_buckets: list[int] | None = None) -> int:
-        """Rewrite each (multi-file) bucket into one file per epoch-current
-        schema. Keeps read plans small as commits accumulate; the 100 TB
-        analogue of Iceberg's rewrite_data_files."""
+        """Fold deltas into base and coalesce multi-file buckets: rewrite
+        every bucket that has delta files or >1 base file into fresh
+        single-epoch base files. The 100 TB analogue of Iceberg's
+        rewrite_data_files / Hudi compaction; bounded to the dirty buckets."""
         snap = self.snapshot
         from collections import Counter
 
         counts = Counter(fi["bucket"] for fi in snap.files)
-        todo = [b for b, n in counts.items() if n > 1 and (target_buckets is None or b in target_buckets)]
+        dirty = {fi["bucket"] for fi in snap.files if fi.get("kind") == "delta"}
+        todo = {b for b, n in counts.items() if n > 1} | dirty
+        if target_buckets is not None:
+            todo &= set(target_buckets)
         if not todo:
             return 0
-        todo_set = set(todo)
-        keep = [fi for fi in snap.files if fi["bucket"] not in todo_set]
-        sub = Snapshot(version=snap.version, columns=snap.columns, key_ids=snap.key_ids,
-                       num_buckets=snap.num_buckets, epoch=snap.epoch,
-                       epoch_schemas=snap.epoch_schemas,
-                       files=[fi for fi in snap.files if fi["bucket"] in todo_set])
-        df = self.read(include_meta=True, snapshot=sub)
+        keep = [fi for fi in snap.files if fi["bucket"] not in todo]
+        df = self.read(include_meta=True, snapshot=snap.sub(
+            [fi for fi in snap.files if fi["bucket"] in todo]
+        ))
         new_version = snap.version + 1
-        commit_dir_rel = os.path.join("data", f"c{new_version:012d}-compact-{uuid.uuid4().hex[:8]}")
-        phys_names = {c.id: c.name for c in snap.epoch_schemas[str(snap.epoch)]}
-        out_cols = [F.col(c.name).alias(phys_names[c.id]) for c in snap.columns]
-        (
-            df.repartition(F.col(BUCKET_COL))
-            .select(*out_cols, F.col(GTID_COL), F.col(BUCKET_COL), F.col(BUCKET_COL).alias("_bucket_p"))
-            .write.partitionBy("_bucket_p").parquet(os.path.join(self.root, commit_dir_rel))
-        )
-        files = keep + self._list_commit_files(commit_dir_rel, snap.epoch)
+        commit_dir_rel = os.path.join("data", f"k{new_version:012d}-{uuid.uuid4().hex[:8]}")
+        self._write_files(df, commit_dir_rel, with_op=False)
+        files = keep + self._list_commit_files(commit_dir_rel, snap.epoch, "base")
         self._write_snapshot(Snapshot(
             version=new_version, columns=snap.columns, key_ids=snap.key_ids,
             num_buckets=snap.num_buckets, epoch=snap.epoch, epoch_schemas=snap.epoch_schemas,

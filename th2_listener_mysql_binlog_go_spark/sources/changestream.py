@@ -45,25 +45,28 @@ def synthetic_changestream(
     n_paths: int = 500,
     seed: int = 42,
     with_truncate: bool = True,
+    truncate_per_10k: int = 1,
     n_partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic, distributed change stream of ``n_events`` rows.
 
-    Event mix mirrors FIXTURES.md §2 (~60/30/9/1 I/U/D/DDL); ~2% of rows
-    target an unobserved table (exercising the table filter,
+    Event mix mirrors FIXTURES.md §2 (~60/30/9/~1 I/U/D/other); ~2% of
+    rows target an unobserved table (exercising the table filter,
     listener.go:236-240); ~0.5% are non-matching query statements that the
-    DDL classifier must drop (listener.go:254-256). Hot-key skew: half of
-    all DML lands on ~1% of repos.
+    DDL classifier must drop (listener.go:254-256); TRUNCATE rate is
+    ``truncate_per_10k``/10k (default ~0.01%, a realistic DDL cadence).
+    Hot-key skew: half of all DML lands on ~1% of repos.
     """
     rng = spark.range(0, n_events, 1, n_partitions or spark.sparkContext.defaultParallelism)
     h = lambda k: F.abs(F.xxhash64(F.col("id"), F.lit(seed), F.lit(k)))  # noqa: E731
 
-    m = h(1) % 1000
+    t_rate = truncate_per_10k * 10 if with_truncate else 0
+    m = h(1) % 100000
     op = (
-        F.when(m < 600, "INSERT")
-        .when(m < 900, "UPDATE")
-        .when(m < 990, "DELETE")
-        .when(m < (995 if with_truncate else 990), "TRUNCATE")
+        F.when(m < 60000, "INSERT")
+        .when(m < 90000, "UPDATE")
+        .when(m < 99000, "DELETE")
+        .when(m < 99000 + t_rate, "TRUNCATE")
         .otherwise("QUERY_OTHER")  # becomes a non-matching statement
     )
     hot = (h(2) % 1000) < 500

@@ -1,0 +1,93 @@
+"""Structured Streaming shell: readStream -> foreachBatch(apply).
+
+The event-driven counterpart of :mod:`.runner` (which plans batches by
+GTID range itself). Here Spark's streaming engine does source tracking:
+``readStream`` tails the change-event directory (new parquet files =
+new binlog segments), ``maxFilesPerTrigger`` paces micro-batches, the
+checkpointLocation persists source offsets, and ``foreachBatch`` hands
+each micro-batch to the same :class:`BatchApplier` used in batch replay.
+
+Exactly-once composition: Structured Streaming replays the last
+in-flight epoch after a crash with the *same* epoch id; the applier's
+monotonic sub-batch guard (epoch_id * 1024 + segment vs the table's
+``last_batch_id``) turns that replay into a no-op prefix, and LWW on
+``_gtid`` makes even forced re-merges converge. This mirrors — and
+strengthens — the reference's resume-from-last-published-position loop
+(/root/reference/component/listener/listener.go:85-227), which can
+re-emit events (at-least-once) where we cannot.
+
+A table should be fed EITHER by ReplayRunner or by this shell, not both
+interleaved: each assumes its own batch-id sequence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.apply import ApplyConfig, BatchApplier
+from ..plans.lake import LakeTable
+from .lineage import LineageWriter
+
+
+class StreamingApplier:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: LakeTable,
+        config: ApplyConfig | None = None,
+        lineage_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.table = table
+        self.applier = BatchApplier(table, config)
+        self.lineage = LineageWriter(lineage_dir) if lineage_dir else None
+
+    def start(
+        self,
+        source_dir: str,
+        checkpoint_dir: str,
+        schema_ddl: str,
+        available_now: bool = True,
+        max_files_per_trigger: int | None = None,
+    ) -> StreamingQuery:
+        """Tail ``source_dir`` (parquet change events, CHANGE_SCHEMA shape)
+        and apply each micro-batch. ``available_now=True`` drains what
+        exists and stops — the batch-replay-of-a-stream mode; otherwise
+        runs continuously."""
+        reader = self.spark.readStream.schema(schema_ddl)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(source_dir)
+
+        def handle(batch_df, epoch_id: int) -> None:
+            import time
+
+            t0 = time.monotonic()
+            m = self.applier.apply(
+                batch_df, batch_id=int(epoch_id),
+                final_extra_props={"last_complete_batch": str(int(epoch_id))},
+            )
+            if self.lineage:
+                wall_ms = int((time.monotonic() - t0) * 1000)
+                base = {
+                    "batch_id": int(epoch_id),
+                    "gtid_min": None, "gtid_max": None,
+                    "rows_inserted": m["rows_inserted"], "rows_updated": m["rows_updated"],
+                    "rows_deleted": m["rows_deleted"],
+                    "rows_applied": m["rows_inserted"] + m["rows_updated"] + m["rows_deleted"],
+                    "ddl_applied": m["ddl_applied"], "wall_ms": wall_ms,
+                }
+                rows = [dict(base, partition_id=-1)] + [
+                    dict(base, partition_id=int(b), rows_applied=int(n))
+                    for b, n in m.get("partitions", [])
+                ]
+                self.lineage.write(rows)
+
+        writer = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
