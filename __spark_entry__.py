@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from th2_listener_mysql_binlog_go_spark.functions.ddl import SPARK_PATTERNS, classify_ddl_cols
 from th2_listener_mysql_binlog_go_spark.functions.decode import decode_bean_json
+from th2_listener_mysql_binlog_go_spark.functions import dedup as dd
+from th2_listener_mysql_binlog_go_spark.functions import multimodal as mm
+from th2_listener_mysql_binlog_go_spark.functions import similarity as sim
+from th2_listener_mysql_binlog_go_spark.functions import text as tx
 from th2_listener_mysql_binlog_go_spark.operators.lww import lww_dedup
 from th2_listener_mysql_binlog_go_spark.operators.pairing import pair_alternating
 from th2_listener_mysql_binlog_go_spark.plans.lake import LakeTable
@@ -171,6 +175,85 @@ def q_size_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- training-data pipeline ops
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical-fingerprint groupBy, min-id representative."""
+    out = dd.dedup_exact(_docs(spark, sf_dir))
+    return out.select("doc_id", "fp", F.col("dup_count").cast("bigint").alias("dup_count"))
+
+
+def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (md5-derived, deterministic)."""
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=16, bands=4, k=5,
+                                min_sig_sim=0.5)
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over shingle-sharing candidate pairs."""
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, min_jaccard=0.5,
+                                  max_shingle_df=100)
+
+
+def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID + quality score + token count + fingerprint per doc."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        tx.lang_id(F.col("text")).alias("lang_guess"),
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.quality_score(F.col("text")).alias("quality"),
+        tx.fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the 10 lowest-id vectors."""
+    e = _embs(spark, sf_dir)
+    lo = e.agg(F.min("vec_id")).collect()[0][0]
+    queries_df = e.filter(F.col("vec_id") < lo + 10)
+    return sim.cosine_topk(e, queries_df, k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only check: not SQL-expressible
+    — seeded-numpy hyperplanes inside a pandas UDF)."""
+    e = _embs(spark, sf_dir)
+    lo = e.agg(F.min("vec_id")).collect()[0][0]
+    return sim.lsh_topk(e, e.filter(F.col("vec_id") < lo + 10), k=5)
+
+
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH blocking (rows-only)."""
+    return sim.cosine_neardup_pairs(_embs(spark, sf_dir), threshold=0.99)
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: 64-bit majority vote in a pandas
+    UDF has no portable SQL form)."""
+    return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthesize binary payloads from documents,
+    decode via mapInPandas (deterministic fake decoder; real codecs are a
+    clearly-marked stub). Rows-only."""
+    media = mm.synthesize_media(_docs(spark, sf_dir), "doc_id", "text")
+    feats = mm.decode_media(media, fake=True)
+    return feats.select(
+        "media_id", "kind", "byte_len", "width", "height",
+        F.round(F.element_at("feature", 1), 3).alias("f0"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_changestream": q_changestream,
@@ -181,10 +264,167 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_ddl_classify": q_ddl_classify,
         "cdc_json_decode": q_json_decode,
         "cdc_size_split_plan": q_size_split_plan,
+        "doc_dedup_exact": q_doc_dedup_exact,
+        "doc_minhash_lsh": q_doc_minhash_lsh,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_text_stats": q_doc_text_stats,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "emb_neardup": q_emb_neardup,
+        "doc_simhash": q_doc_simhash,
+        "media_decode": q_media_decode,
     }
 
 
 # ---------------------------------------------------------------- oracles
+
+# DuckDB equivalent of functions/text.py normalize_text + shingles(k=5)
+_NORM_DUCK = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+_SHINGLE_CTES = f"""
+norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
+toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(greatest(len(w) - 5, 0) + 1),
+                i -> array_to_string(w[i+1:i+5], ' '))) AS s
+  FROM toks
+)
+""".strip()
+
+
+def _dedup_exact_oracle() -> str:
+    return f"""
+WITH norm AS (SELECT doc_id, md5({_NORM_DUCK}) AS fp FROM documents),
+g AS (
+  SELECT doc_id, fp,
+         count(*) OVER (PARTITION BY fp) AS dup_count,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM norm
+)
+SELECT doc_id, fp, dup_count FROM g WHERE rn = 1
+""".strip()
+
+
+def _minhash_oracle(n_hashes: int = 16, bands: int = 4) -> str:
+    rpb = n_hashes // bands
+    hs = ", ".join(f"min(md5('{i}|' || s)) AS h{i}" for i in range(n_hashes))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
+            b=b,
+            concat=" || '|' || ".join(f"h{i}" for i in range(b * rpb, (b + 1) * rpb)),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(n_hashes))
+    return f"""
+WITH {_SHINGLE_CTES},
+sig AS (SELECT doc_id, {hs} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+ag AS (
+  SELECT p.id_a, p.id_b, ({agree}) AS agree
+  FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
+)
+SELECT id_a, id_b, CAST(agree / {n_hashes}.0 AS DOUBLE) AS sig_sim
+FROM ag WHERE agree / {n_hashes}.0 >= 0.5
+""".strip()
+
+
+def _jaccard_oracle(max_df: int = 100) -> str:
+    return f"""
+WITH {_SHINGLE_CTES},
+shd AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+rare AS (
+  SELECT * FROM shd
+  WHERE s IN (SELECT s FROM shd GROUP BY s HAVING count(*) <= {max_df})
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.inter / (na.n_sh + nb.n_sh - i.inter) AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE i.inter / (na.n_sh + nb.n_sh - i.inter) >= 0.5
+""".strip()
+
+
+def _text_stats_oracle() -> str:
+    from th2_listener_mysql_binlog_go_spark.functions.text import LANG_MARKERS
+
+    langs = list(LANG_MARKERS.keys())
+    score_exprs = []
+    for lang in langs:
+        terms = " + ".join(
+            f"CAST((length(p) - length(replace(p, '{m}', ''))) / {len(m)} AS BIGINT)"
+            for m in LANG_MARKERS[lang]
+        )
+        score_exprs.append(f"({terms}) AS s_{lang}")
+    # earliest-max argmax, mirroring the strict-greater fold in lang_id()
+    conds = []
+    for i, lang in enumerate(langs):
+        ge = " AND ".join(f"s_{lang} >= s_{other}" for other in langs[i + 1:]) or "TRUE"
+        conds.append(f"WHEN {ge} THEN '{lang}'")
+    lang_case = "CASE " + " ".join(conds) + " END"
+    maxs = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    return f"""
+WITH padded AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents
+),
+scores AS (SELECT doc_id, text, p, {", ".join(score_exprs)} FROM padded),
+feats AS (
+  SELECT doc_id, text,
+    CASE WHEN {maxs} > 0 THEN {lang_case} ELSE 'und' END AS lang_guess,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+    length(text) AS n,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+    CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS BIGINT) AS stop_hits
+  FROM scores
+)
+SELECT doc_id, lang_guess, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(((CASE WHEN n >= 100 AND n <= 20000 THEN 1.0 WHEN n > 0 THEN 0.5 ELSE 0.0 END)
+   + (CASE WHEN n > 0 THEN CAST(alpha AS DOUBLE) / n ELSE 0.0 END)
+   + (CASE WHEN stop_hits > 0 THEN 1.0 ELSE 0.3 END)) / 3.0 AS DOUBLE) AS quality,
+  md5({_NORM_DUCK}) AS fp
+FROM feats
+""".strip()
+
+
+def _ann_oracle(k: int = 5, n_queries: int = 10) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings
+  WHERE vec_id < (SELECT min(vec_id) + {n_queries} FROM embeddings)
+),
+c AS (
+  SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM q CROSS JOIN c WHERE neighbor_id <> query_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {k}
+""".strip()
+
 
 def _ddl_oracle_sql() -> str:
     pats = {k: v[0].replace("'", "''") for k, v in SPARK_PATTERNS.items()}
@@ -281,6 +521,14 @@ SELECT event_id, user_id, est_size,
        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - est_size) / 4096) AS BIGINT) AS part_idx
 FROM est
 """.strip(),
+        "doc_dedup_exact": _dedup_exact_oracle(),
+        "doc_minhash_lsh": _minhash_oracle(),
+        "doc_ngram_jaccard": _jaccard_oracle(),
+        "doc_text_stats": _text_stats_oracle(),
+        "ann_cosine_topk": _ann_oracle(),
+        # ann_lsh_topk, emb_neardup, doc_simhash, media_decode: seeded-numpy /
+        # pandas-UDF internals — no portable SQL form; driver records the
+        # weaker rows-only check for these.
     }
 
 

@@ -55,11 +55,14 @@ def minhash_signature(text: Column, n_hashes: int = 16, k: int = 5) -> Column:
     md5(i || shingle) — lexicographic min over hex strings, identical in
     any engine with md5. array<string> of length n_hashes."""
     sh = shingles(text, k)
-    sig = [
-        F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(str(i) + "|"), s))))
-        for i in range(n_hashes)
-    ]
-    return F.array(*sig)
+
+    def slot(i: int):
+        # NB: single-arg lambda — a two-arg lambda would make F.transform
+        # bind the second parameter to the element *index* column.
+        prefix = F.lit(f"{i}|")
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(prefix, s))))
+
+    return F.array(*[slot(i) for i in range(n_hashes)])
 
 
 def minhash_lsh_pairs(
@@ -159,29 +162,34 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------------------ simhash
 
-@pandas_udf("long")
-def simhash64(texts: pd.Series) -> pd.Series:
+def _simhash_udf():
     """64-bit SimHash over word 2-shingles (Arrow-batched pandas UDF; the
-    per-bit majority vote doesn't decompose into portable SQL)."""
-    import hashlib
+    per-bit majority vote doesn't decompose into portable SQL). Built
+    lazily — pandas_udf needs an active session."""
 
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if t is None:
-            continue
-        toks = "".join(c.lower() if c.isalnum() else " " for c in t).split()
-        grams = [" ".join(toks[j:j + 2]) for j in range(max(len(toks) - 1, 1))]
-        acc = np.zeros(64, dtype=np.int64)
-        for g in grams:
-            h = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big", signed=False)
-            bits = (h >> np.arange(64)) & 1
-            acc += np.where(bits == 1, 1, -1)
-        v = 0
-        for bit in range(64):
-            if acc[bit] > 0:
-                v |= 1 << bit
-        out[i] = np.int64(v - (1 << 64) if v >= (1 << 63) else v)
-    return pd.Series(out)
+    @pandas_udf("long")
+    def simhash64(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            toks = "".join(c.lower() if c.isalnum() else " " for c in t).split()
+            grams = [" ".join(toks[j:j + 2]) for j in range(max(len(toks) - 1, 1))]
+            acc = np.zeros(64, dtype=np.int64)
+            for g in grams:
+                h = np.uint64(int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big", signed=False))
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits == 1, 1, -1)
+            v = 0
+            for bit in range(64):
+                if acc[bit] > 0:
+                    v |= 1 << bit
+            out[i] = np.int64(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out)
+
+    return simhash64
 
 
 def simhash_pairs(
@@ -193,6 +201,7 @@ def simhash_pairs(
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit bands
     (a pair within distance d <= 3 shares at least one of 4 bands; wider d
     uses it as a recall-bounded prefilter)."""
+    simhash64 = _simhash_udf()
     sigs = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
     banded = sigs.select(
         "id", "sig",

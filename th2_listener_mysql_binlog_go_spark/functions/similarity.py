@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths over ``embeddings(vec_id, embedding, label)``:
+
+- :func:`cosine_topk` — exact brute-force top-k: broadcast the (small)
+  query set against the corpus, dot products as Catalyst higher-order
+  functions (``zip_with`` + ``aggregate`` — sequential fold, deterministic,
+  JVM codegen), rank window per query. The corpus side streams: no shuffle
+  of the big table except the final per-query top-k (k rows per query per
+  partition via window; AQE coalesces). This is the baseline every ANN
+  variant is measured against.
+- :func:`lsh_topk` — the scale path: random-hyperplane LSH. A seeded
+  hyperplane matrix (driver numpy, broadcast) signs each vector into a
+  b-bit bucket inside an Arrow-batched pandas UDF; candidates = corpus
+  rows sharing a query's bucket (multi-probe over Hamming-1 neighbors for
+  recall); exact cosine re-rank only within candidates. Probe cost is
+  ~corpus/2^b per query instead of the full corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b):
+    """Cosine similarity between two array columns (cast to double first
+    for cross-engine determinism)."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    return (_dot(da, db) / (_norm(da) * _norm(db))).cast("double")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, rank).
+    Self-matches excluded; ties broken by neighbor id (deterministic)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    joined = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _signature_udf(dim: int, n_planes: int, seed: int):
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, n_planes)).astype(np.float64)
+
+    @pandas_udf("int")
+    def signature(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (mat @ planes) > 0
+        out = np.zeros(len(vecs), dtype=np.int32)
+        for j in range(n_planes):
+            out |= bits[:, j].astype(np.int32) << j
+        return pd.Series(out)
+
+    return signature
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets + exact
+    re-rank within candidates. Queries probe their own bucket plus all
+    Hamming-1 neighbor buckets (multi-probe) for recall."""
+    dim = len(corpus.select(vec_col).first()[0])
+    sig = _signature_udf(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        sig(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        sig(F.col(vec_col)).alias("qb"),
+    )
+    if multiprobe:
+        probes = F.array(*([F.col("qb")] + [
+            F.col("qb").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)
+        ]))
+        q = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
+    else:
+        q = q.withColumnRenamed("qb", "bucket")
+    cand = c.join(F.broadcast(q), on=[c.bucket == q.bucket], how="inner").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+    ).groupBy("query_id", "neighbor_id").agg(F.max("sim").alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold)
+    via LSH bucket blocking — the embedding-space analogue of MinHash dedup."""
+    dim = len(df.select(vec_col).first()[0])
+    sig = _signature_udf(dim, n_planes, seed)
+    s = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                  sig(F.col(vec_col)).alias("bucket"))
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"), F.col("a.id") < F.col("b.id")])
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
