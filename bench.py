@@ -37,9 +37,14 @@ def main() -> None:
     from th2_listener_mysql_binlog_go_spark.sources.changestream import synthetic_changestream
     from th2_listener_mysql_binlog_go_spark.streaming.runner import ReplayRunner
 
+    # shuffle on tmpfs: a single box serializes on one disk where a real
+    # cluster has per-executor NVMe; RAM-backed local dirs restore the
+    # per-core I/O parallelism the cluster would have
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     spark = build_session(
         "cdc-bench", master=f"local[{CPUS}]",
         shuffle_partitions=max(CPUS, 32),
+        extra_conf={"spark.local.dir": f"{shm}/spark-local-bench"} if shm else None,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -57,7 +62,7 @@ def main() -> None:
     ).persist()
     stream.count()  # materialize generation outside the timed window
 
-    tmp = tempfile.mkdtemp(prefix="cdc_bench_")
+    tmp = tempfile.mkdtemp(prefix="cdc_bench_", dir=shm)
     table = LakeTable.create(
         spark, os.path.join(tmp, "t"),
         [("repo", "string"), ("path", "string"), ("commit", "string"),

@@ -18,7 +18,7 @@ import subprocess
 import sys
 
 N = int(os.environ.get("SCALING_N", "8"))
-EVENTS = int(os.environ.get("SCALING_EVENTS", "2000000"))
+EVENTS = int(os.environ.get("SCALING_EVENTS", "4000000"))
 
 _CHILD = r"""
 import json, os, sys, tempfile, time
@@ -29,13 +29,22 @@ from th2_listener_mysql_binlog_go_spark.plans.lake import LakeTable
 from th2_listener_mysql_binlog_go_spark.sources.changestream import synthetic_changestream
 from th2_listener_mysql_binlog_go_spark.streaming.runner import ReplayRunner
 
+# shuffle + table on tmpfs: a single box serializes on one disk where a
+# cluster has per-executor NVMe — RAM-backed local dirs restore the
+# per-core I/O parallelism the cluster would have
+local_dir = "/dev/shm/spark-local-%d" % cores
 spark = build_session("scaling-%d" % cores, master="local[%d]" % cores,
-                      shuffle_partitions=max(cores * 2, 16))
+                      shuffle_partitions=max(cores * 2, 16),
+                      extra_conf={
+                          "spark.local.dir": local_dir,
+                          # throughput-batch workload: ParallelGC beats G1 here
+                          "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+                      })
 spark.sparkContext.setLogLevel("ERROR")
 stream = synthetic_changestream(spark, n_events, n_repos=max(200, n_events // 5000),
                                 n_paths=2000, n_partitions=cores * 4).persist()
 stream.count()
-tmp = tempfile.mkdtemp(prefix="scal_")
+tmp = tempfile.mkdtemp(prefix="scal_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
 table = LakeTable.create(spark, os.path.join(tmp, "t"),
     [("repo", "string"), ("path", "string"), ("commit", "string"),
      ("lang", "string"), ("content", "string")],

@@ -53,6 +53,9 @@ class ApplyConfig:
     merge_mode: str = "mor"
     # in mor mode, fold deltas into base once this many delta files exist
     auto_compact_deltas: int | None = 256
+    # collapse intra-batch per-key churn before appending deltas (extra key
+    # shuffle; read-time LWW makes it semantically optional)
+    mor_dedup: bool = False
 
     def observed_pairs(self) -> list[tuple[str, str]]:
         return [(s, t) for s, ts in self.observed.items() for t in ts]
@@ -103,13 +106,15 @@ class BatchApplier:
 
     # ------------------------------------------------------------ DDL
 
-    def _collect_ddl(self, batch: DataFrame) -> list[dict]:
+    def _collect_ddl(self, batch: DataFrame, precollected: list | None = None) -> list[dict]:
         """Classify + collect this batch's DDL rows (tiny by construction).
 
         Accepts pre-classified ops (TRUNCATE/ALTER_TABLE/...) or raw
         op='QUERY' rows classified here via the pattern.go regex families;
-        non-matching statements are dropped (listener.go:254-256)."""
-        rows = (
+        non-matching statements are dropped (listener.go:254-256).
+        ``precollected`` lets the runner scan the stream for DDL once and
+        hand each batch its slice — saving one Spark job per batch."""
+        rows = precollected if precollected is not None else (
             batch.filter(F.col("op").isin(*DDL_OPS) | (F.col("op") == "QUERY"))
             .select("gtid", "op", "ddl", "schema_name", "table_name")
             .collect()
@@ -161,7 +166,8 @@ class BatchApplier:
     # ------------------------------------------------------------ main
 
     def apply(self, batch: DataFrame, batch_id: int,
-              final_extra_props: dict[str, str] | None = None) -> dict:
+              final_extra_props: dict[str, str] | None = None,
+              precollected_ddl: list | None = None) -> dict:
         """Apply one micro-batch. Returns lineage metrics.
 
         Exactly-once: every merge carries a monotonically increasing
@@ -170,7 +176,7 @@ class BatchApplier:
         no-op, so a crash anywhere inside the segment loop is safe to
         replay from the top of the batch.
         """
-        ddls = self._collect_ddl(batch)
+        ddls = self._collect_ddl(batch, precollected=precollected_ddl)
         changes = self.flatten_dml(batch)
 
         metrics = {
@@ -219,6 +225,7 @@ class BatchApplier:
                     mode=self.config.merge_mode,
                     files_per_bucket=self.config.files_per_bucket,
                     auto_compact_deltas=self.config.auto_compact_deltas,
+                    mor_dedup=self.config.mor_dedup,
                     # the last segment's commit carries the truncate marker
                     # and the batch-complete property (resume skip)
                     extra_properties=final_props if i == len(segments) - 1 else None,

@@ -20,9 +20,11 @@ format that supplies them, Iceberg/Hudi-style:
   lookups) touches only its buckets' files.
 - **Two merge strategies** (the Hudi CoW/MOR split):
 
-  * ``mode='mor'`` (default scale path): the batch is LWW-deduped and
-    appended as per-bucket *delta* files — DELETE rows become tombstones.
-    Cost is O(batch) regardless of table size: the target is never read.
+  * ``mode='mor'`` (default scale path): the batch is appended as
+    per-bucket *delta* files — DELETE rows become tombstones. One
+    bucket-hash shuffle + write, no sort: cost is O(batch) regardless of
+    table size and the target is never read (optional ``mor_dedup``
+    collapses intra-batch churn first).
     Readers resolve only *dirty* buckets (those holding deltas) with a
     last-writer-wins window; clean buckets stream straight from base
     files. Compaction folds deltas into fresh base files.
@@ -363,6 +365,16 @@ class LakeTable:
         return out
 
     @staticmethod
+    def _obs_get_safe(obs: Observation) -> dict:
+        """Observation metrics, tolerating the JVM assert that fires when
+        the observed write ran zero tasks (fully-empty batch) — an empty
+        batch still needs its metadata-only commit for exactly-once."""
+        try:
+            return dict(obs.get)
+        except Exception:
+            return {}
+
+    @staticmethod
     def _footer_rows(root: str, files: list[dict]) -> dict[int, int]:
         """Per-bucket row counts from parquet footers (driver-side metadata
         reads of just-written files — no Spark pass; the lineage analogue
@@ -386,6 +398,7 @@ class LakeTable:
         files_per_bucket: int = 1,
         batch_gtid_max: int | None = None,
         auto_compact_deltas: int | None = None,
+        mor_dedup: bool = False,
     ) -> dict:
         """MERGE a change batch (the Iceberg ``MERGE INTO`` analogue).
 
@@ -396,8 +409,8 @@ class LakeTable:
         resolution on the *final* op per key, so DELETE→INSERT
         resurrection within one batch lands as the INSERT.
 
-        ``mode='mor'`` appends LWW-deduped deltas (O(batch), target never
-        read); ``mode='cow'`` rewrites affected buckets (delta-free reads,
+        ``mode='mor'`` appends deltas (O(batch), target never read);
+        ``mode='cow'`` rewrites affected buckets (delta-free reads,
         exact insert/update/delete lineage). ``auto_compact_deltas``: in
         mor mode, compact when delta-file count exceeds it.
 
@@ -424,20 +437,20 @@ class LakeTable:
         new_version = snap.version + 1
         obs = Observation(f"merge-{batch_id}")
 
-        if changes.isEmpty():
-            # metadata-only commit: properties (batch id, watermark,
-            # truncate marker) must still advance for exactly-once resume.
-            # (Also: Observation on a fully-empty write trips a JVM assert.)
-            m = {"max_gtid": None, "min_gtid": None}
-            written: list[dict] = []
-            new_files = snap.files
-            counts = {"rows_inserted": 0, "rows_updated": 0, "rows_deleted": 0}
-        elif mode == "mor":
-            # LWW-dedup the batch itself, append as per-bucket deltas.
-            w = Window.partitionBy(*keys).orderBy(F.col(GTID_COL).desc())
-            winners = changes.withColumn("_rn", F.row_number().over(w)).filter(
-                F.col("_rn") == 1
-            ).drop("_rn")
+        if mode == "mor":
+            # Append the batch as per-bucket deltas. LWW resolution happens
+            # at read/compaction time anyway (keyed on _gtid), so the merge
+            # itself needs NO key shuffle and NO sort — one bucket-hash
+            # exchange + parquet write, the cheapest possible apply.
+            # ``mor_dedup`` optionally collapses intra-batch duplicates
+            # first (an extra key shuffle) to cut delta volume on streams
+            # with heavy per-key churn.
+            winners = changes
+            if mor_dedup:
+                w = Window.partitionBy(*keys).orderBy(F.col(GTID_COL).desc())
+                winners = changes.withColumn("_rn", F.row_number().over(w)).filter(
+                    F.col("_rn") == 1
+                ).drop("_rn")
             winners = winners.observe(
                 obs,
                 F.sum(F.when(F.col(OP_COL) != "DELETE", 1).otherwise(0)).alias("rows_upserted"),
@@ -448,13 +461,13 @@ class LakeTable:
             commit_dir_rel = os.path.join("data", f"d{new_version:012d}-{uuid.uuid4().hex[:8]}")
             self._write_files(winners, commit_dir_rel, with_op=True,
                               files_per_bucket=files_per_bucket)
-            m = obs.get
+            m = self._obs_get_safe(obs)
             written = self._list_commit_files(commit_dir_rel, snap.epoch, "delta")
             new_files = snap.files + written
             counts = {
-                "rows_inserted": int(m["rows_upserted"] or 0),
+                "rows_inserted": int(m.get("rows_upserted") or 0),
                 "rows_updated": 0,
-                "rows_deleted": int(m["rows_deleted"] or 0),
+                "rows_deleted": int(m.get("rows_deleted") or 0),
             }
         elif mode == "cow":
             affected = sorted(r[0] for r in changes.select(BUCKET_COL).distinct().collect())
@@ -488,20 +501,20 @@ class LakeTable:
             commit_dir_rel = os.path.join("data", f"c{new_version:012d}-{uuid.uuid4().hex[:8]}")
             self._write_files(survivors, commit_dir_rel, with_op=False,
                               files_per_bucket=files_per_bucket)
-            m = obs.get
+            m = self._obs_get_safe(obs)
             written = self._list_commit_files(commit_dir_rel, snap.epoch, "base")
             new_files = untouched + written
             counts = {
-                "rows_inserted": int(m["rows_inserted"] or 0),
-                "rows_updated": int(m["rows_updated"] or 0),
-                "rows_deleted": int(m["rows_deleted"] or 0),
+                "rows_inserted": int(m.get("rows_inserted") or 0),
+                "rows_updated": int(m.get("rows_updated") or 0),
+                "rows_deleted": int(m.get("rows_deleted") or 0),
             }
         else:
             raise ValueError(f"unknown merge mode {mode!r}")
 
         per_bucket = self._footer_rows(self.root, written)
         props = dict(snap.properties)
-        batch_max = batch_gtid_max if batch_gtid_max is not None else m["max_gtid"]
+        batch_max = batch_gtid_max if batch_gtid_max is not None else m.get("max_gtid")
         if batch_max is None:
             batch_max = self.watermark_gtid
         props["watermark_gtid"] = str(max(self.watermark_gtid, batch_max))
@@ -521,8 +534,8 @@ class LakeTable:
             "skipped": False,
             "batch_id": batch_id,
             **counts,
-            "gtid_min": m["min_gtid"],
-            "gtid_max": m["max_gtid"],
+            "gtid_min": m.get("min_gtid"),
+            "gtid_max": m.get("max_gtid"),
             "buckets_touched": len(per_bucket),
             "partitions": sorted(per_bucket.items()),
             "version": new_version,

@@ -84,6 +84,24 @@ class ReplayRunner:
         # batch (whose applied prefix replays as guarded no-ops).
         done = int(self.table.snapshot.properties.get("last_complete_batch", "-1"))
         k0 = max(lo // span, (wm // span) if wm >= 0 else 0, done + 1)
+
+        # One DDL pre-scan for the whole run instead of one job per batch:
+        # DDL is ~1e-4 of a change stream, so this collect is tiny. (A
+        # full-history replay at 10^10 events should run() in windows via
+        # max_batches to bound it.)
+        from ..operators.apply import DDL_OPS
+
+        ddl_all = sorted(
+            (
+                stream.filter(
+                    (F.col("op").isin(*DDL_OPS) | (F.col("op") == "QUERY"))
+                    & (F.col("gtid") >= k0 * span)
+                )
+                .select("gtid", "op", "ddl", "schema_name", "table_name")
+                .collect()
+            ),
+            key=lambda r: r["gtid"],
+        )
         k1 = hi // span
         total = {"batches": 0, "events": 0, "rows_inserted": 0, "rows_updated": 0,
                  "rows_deleted": 0, "ddl_applied": 0}
@@ -97,6 +115,9 @@ class ReplayRunner:
             m = self.applier.apply(
                 batch, batch_id=k,
                 final_extra_props={"last_complete_batch": str(k)},
+                precollected_ddl=[
+                    r for r in ddl_all if k * span <= r["gtid"] < (k + 1) * span
+                ],
             )
             wall_ms = int((time.monotonic() - t0) * 1000)
             total["batches"] += 1
