@@ -309,19 +309,25 @@ SELECT doc_id, fp, dup_count FROM g WHERE rn = 1
 
 
 def _minhash_oracle(n_hashes: int = 16, bands: int = 4) -> str:
+    from th2_listener_mysql_binlog_go_spark.functions.dedup import MINHASH_P, minhash_coeffs
+
+    coeffs = minhash_coeffs(n_hashes)
     rpb = n_hashes // bands
-    hs = ", ".join(f"min(md5('{i}|' || s)) AS h{i}" for i in range(n_hashes))
+    hs = ", ".join(
+        f"min(({a} * b + {c}) % {MINHASH_P}) AS h{i}" for i, (a, c) in enumerate(coeffs)
+    )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
             b=b,
-            concat=" || '|' || ".join(f"h{i}" for i in range(b * rpb, (b + 1) * rpb)),
+            concat=" || '|' || ".join(f"CAST(h{i} AS STRING)" for i in range(b * rpb, (b + 1) * rpb)),
         )
         for b in range(bands)
     )
     agree = " + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(n_hashes))
     return f"""
 WITH {_SHINGLE_CTES},
-sig AS (SELECT doc_id, {hs} FROM sh GROUP BY doc_id),
+bs AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT % {MINHASH_P} AS b FROM sh),
+sig AS (SELECT doc_id, {hs} FROM bs GROUP BY doc_id),
 bands AS ({band_selects}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

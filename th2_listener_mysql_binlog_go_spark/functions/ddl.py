@@ -64,6 +64,17 @@ def classify_ddl(query: str, session_schema: str = "") -> tuple[str, str, str, b
     return "", "", "UNKNOWN", False
 
 
+def ddl_matches_any(ddl: Column) -> Column:
+    """True iff ``ddl`` matches one of the four statement families —
+    the distributed pre-filter that keeps non-matching QUERY events
+    (listener.go:254-256) from ever reaching the driver."""
+    cond = None
+    for pat, _gs, _gt in SPARK_PATTERNS.values():
+        c = ddl.rlike(pat)
+        cond = c if cond is None else (cond | c)
+    return cond
+
+
 def classify_ddl_cols(ddl: Column, session_schema: Column | None = None) -> list[Column]:
     """Columns [ddl_schema, ddl_table, ddl_op] classifying ``ddl`` at scale.
 

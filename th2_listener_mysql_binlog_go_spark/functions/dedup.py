@@ -50,19 +50,40 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 # ------------------------------------------------------------------ minhash
 
+# Permutation-trick MinHash: ONE md5 per shingle -> 60-bit int base, then
+# n cheap linear maps h_i(x) = (A_i*x + B_i) mod P folded in a single
+# aggregate pass. Constants are seeded so Spark and the DuckDB oracle
+# share them (the oracle SQL generator imports minhash_coeffs()).
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime); A*x + B stays in int64
+
+
+def minhash_coeffs(n_hashes: int = 16) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(1337)
+    return [(rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P)) for _ in range(n_hashes)]
+
+
+def minhash_base(shingle: Column) -> Column:
+    """Shingle -> bounded int base: first 15 hex chars of md5, mod P.
+    Cross-engine: Spark conv(hex,16,10) == DuckDB ('0x'||hex)::BIGINT."""
+    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("bigint") % F.lit(MINHASH_P)
+
+
 def minhash_signature(text: Column, n_hashes: int = 16, k: int = 5) -> Column:
-    """Deterministic MinHash signature: per seed i, min over shingles of
-    md5(i || shingle) — lexicographic min over hex strings, identical in
-    any engine with md5. array<string> of length n_hashes."""
-    sh = shingles(text, k)
+    """array<bigint> MinHash signature, one md5 per shingle (not per
+    seed x shingle), all slots folded in one aggregate pass."""
+    coeffs = minhash_coeffs(n_hashes)
+    bases = F.transform(shingles(text, k), minhash_base)
+    init = F.array(*[F.lit(MINHASH_P).cast("bigint") for _ in range(n_hashes)])
 
-    def slot(i: int):
-        # NB: single-arg lambda — a two-arg lambda would make F.transform
-        # bind the second parameter to the element *index* column.
-        prefix = F.lit(f"{i}|")
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(prefix, s))))
+    def fold(acc, b):
+        return F.array(*[
+            F.least(F.element_at(acc, i + 1), (F.lit(a) * b + F.lit(c)) % F.lit(MINHASH_P))
+            for i, (a, c) in enumerate(coeffs)
+        ])
 
-    return F.array(*[slot(i) for i in range(n_hashes)])
+    return F.aggregate(bases, init, fold)
 
 
 def minhash_lsh_pairs(
@@ -92,7 +113,11 @@ def minhash_lsh_pairs(
                 F.struct(
                     F.lit(b).alias("band"),
                     F.md5(F.array_join(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|"
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        "|",
                     )).alias("bucket"),
                 )
                 for b in range(bands)

@@ -29,12 +29,20 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.ddl import classify_ddl, parse_alter
+from ..functions.ddl import classify_ddl, ddl_matches_any, parse_alter
 from ..plans.lake import GTID_COL, OP_COL, LakeTable
 
-_ROW_STRUCT = "struct<repo:string,path:string,commit:string,lang:string,content:string>"
 DML_OPS = ("INSERT", "UPDATE", "DELETE")
 DDL_OPS = ("TRUNCATE", "CREATE_TABLE", "DROP_TABLE", "ALTER_TABLE")
+
+
+def ddl_candidates_cond():
+    """Rows worth collecting as DDL: pre-classified ops, or raw QUERY
+    events whose statement matches a known family (JVM-side regex — the
+    ~1% non-matching SET/BEGIN noise never reaches the driver)."""
+    return F.col("op").isin(*DDL_OPS) | (
+        (F.col("op") == "QUERY") & ddl_matches_any(F.coalesce(F.col("ddl"), F.lit("")))
+    )
 
 
 @dataclass
@@ -46,19 +54,30 @@ class ApplyConfig:
         default_factory=lambda: {"repos": ["files"]}
     )
     session_schema: str = "repos"
+    # naming parity with the reference's Configuration{Alias, Group}
+    # (configuration.go:28-33): group defaults to alias when empty
+    # (OrDefaultIfEmpty, component/utils.go:19-24)
+    alias: str = "cdc"
+    group: str = ""
     files_per_bucket: int = 1
     # 'mor' appends LWW-deduped deltas (O(batch) per merge, the scale
     # path); 'cow' rewrites affected buckets (delta-free reads, exact
     # insert/update lineage split). See plans/lake.py.
     merge_mode: str = "mor"
-    # in mor mode, fold deltas into base once this many delta files exist
-    auto_compact_deltas: int | None = 256
+    # in mor mode, fold deltas into base once this many delta files exist.
+    # Default None: inline compaction costs O(dirty buckets) and most MOR
+    # deployments schedule it as maintenance (LakeTable.compact) instead —
+    # set a threshold for self-maintaining streams.
+    auto_compact_deltas: int | None = None
     # collapse intra-batch per-key churn before appending deltas (extra key
     # shuffle; read-time LWW makes it semantically optional)
     mor_dedup: bool = False
 
     def observed_pairs(self) -> list[tuple[str, str]]:
         return [(s, t) for s, ts in self.observed.items() for t in ts]
+
+    def effective_group(self) -> str:
+        return self.group or self.alias
 
 
 class BatchApplier:
@@ -115,7 +134,7 @@ class BatchApplier:
         ``precollected`` lets the runner scan the stream for DDL once and
         hand each batch its slice — saving one Spark job per batch."""
         rows = precollected if precollected is not None else (
-            batch.filter(F.col("op").isin(*DDL_OPS) | (F.col("op") == "QUERY"))
+            batch.filter(ddl_candidates_cond())
             .select("gtid", "op", "ddl", "schema_name", "table_name")
             .collect()
         )

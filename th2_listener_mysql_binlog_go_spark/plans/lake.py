@@ -300,11 +300,25 @@ class LakeTable:
         base = [fi for fi in snap.files if fi.get("kind", "base") == "base"]
         delta = [fi for fi in snap.files if fi.get("kind", "base") == "delta"]
         dirty_buckets = {fi["bucket"] for fi in delta}
-        clean = self._read_mapped(snap, [fi for fi in base if fi["bucket"] not in dirty_buckets], with_op=False)
+
+        def _trunc_filter(df: DataFrame | None) -> DataFrame | None:
+            # GTID-aware TRUNCATE, applied *below* the LWW window: a row at
+            # or before the marker is dead whether or not it would win, so
+            # pre-filtering is equivalent and reaches the parquet scan as a
+            # pushed-down predicate (prunes before the resolve shuffle).
+            if df is None or trunc < 0:
+                return df
+            return df.filter(F.col(GTID_COL) > trunc)
+
+        clean = _trunc_filter(
+            self._read_mapped(snap, [fi for fi in base if fi["bucket"] not in dirty_buckets], with_op=False)
+        )
         out = None
         if delta:
-            dirty_base = self._read_mapped(snap, [fi for fi in base if fi["bucket"] in dirty_buckets], with_op=False)
-            delta_df = self._read_mapped(snap, delta, with_op=True)
+            dirty_base = _trunc_filter(
+                self._read_mapped(snap, [fi for fi in base if fi["bucket"] in dirty_buckets], with_op=False)
+            )
+            delta_df = _trunc_filter(self._read_mapped(snap, delta, with_op=True))
             dirty = delta_df if dirty_base is None else dirty_base.withColumn(OP_COL, F.lit(_KEEP)).unionByName(delta_df)
             out = self._lww_resolve(dirty, keys).drop(OP_COL)
         if clean is not None:
@@ -312,10 +326,6 @@ class LakeTable:
         if out is None:
             st = _struct_of(snap.columns)
             out = self.spark.createDataFrame([], st)
-        if trunc >= 0:
-            # GTID-aware TRUNCATE: rows last written at or before the
-            # marker are logically gone (pushed down to the parquet scans).
-            out = out.filter(F.col(GTID_COL) > trunc)
         if not include_meta:
             out = out.drop(GTID_COL, BUCKET_COL)
         return out
@@ -331,18 +341,34 @@ class LakeTable:
         return [F.col(c.name).alias(phys_names[c.id]) for c in snap.columns]
 
     def _write_files(self, df: DataFrame, commit_dir_rel: str, with_op: bool,
-                     files_per_bucket: int = 1) -> None:
+                     files_per_bucket: int = 1,
+                     obs: Observation | None = None,
+                     metrics: list | None = None,
+                     drop_deletes: bool = False) -> None:
         """Write rows partitioned by bucket. ``files_per_bucket`` > 1 salts
-        the shuffle so a hot bucket is written by several tasks/files."""
+        the shuffle so a hot bucket is written by several tasks/files.
+
+        ``obs``/``metrics`` attach an Observation *above* the range
+        exchange: repartitionByRange runs a sampling pass that executes the
+        upstream plan twice, so an upstream observe() would double-count."""
         snap = self.snapshot
         keys = snap.key_names
         cols = self._physical_out_cols(snap) + [F.col(GTID_COL), F.col(BUCKET_COL)]
         if with_op:
             cols.append(F.col(OP_COL))
         salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.lit(7)), F.lit(files_per_bucket))
+        # Range-partition on (bucket, salt): hash placement of a few
+        # hundred distinct combos into reducers is balls-in-bins (some
+        # tasks draw 3-4x the load and straggle); ranges split evenly.
+        out = df.repartitionByRange(F.col(BUCKET_COL), salt.alias("_salt"))
+        if obs is not None:
+            out = out.observe(obs, *metrics)
+        if drop_deletes:
+            # CoW: DELETE winners ride the exchange so the observation can
+            # count them, then drop before the write.
+            out = out.filter(F.col(OP_COL) != "DELETE")
         (
-            df.repartition(F.col(BUCKET_COL), salt)
-            .select(*cols, F.col(BUCKET_COL).alias("_bucket_p"))
+            out.select(*cols, F.col(BUCKET_COL).alias("_bucket_p"))
             .write.partitionBy("_bucket_p")
             .parquet(os.path.join(self.root, commit_dir_rel))
         )
@@ -451,16 +477,16 @@ class LakeTable:
                 winners = changes.withColumn("_rn", F.row_number().over(w)).filter(
                     F.col("_rn") == 1
                 ).drop("_rn")
-            winners = winners.observe(
-                obs,
+            metrics = [
                 F.sum(F.when(F.col(OP_COL) != "DELETE", 1).otherwise(0)).alias("rows_upserted"),
                 F.sum(F.when(F.col(OP_COL) == "DELETE", 1).otherwise(0)).alias("rows_deleted"),
                 F.max(F.col(GTID_COL)).alias("max_gtid"),
                 F.min(F.col(GTID_COL)).alias("min_gtid"),
-            )
+            ]
             commit_dir_rel = os.path.join("data", f"d{new_version:012d}-{uuid.uuid4().hex[:8]}")
             self._write_files(winners, commit_dir_rel, with_op=True,
-                              files_per_bucket=files_per_bucket)
+                              files_per_bucket=files_per_bucket,
+                              obs=obs, metrics=metrics)
             m = self._obs_get_safe(obs)
             written = self._list_commit_files(commit_dir_rel, snap.epoch, "delta")
             new_files = snap.files + written
@@ -486,8 +512,8 @@ class LakeTable:
                 "_had_target", F.max(F.when(F.col(OP_COL) == _KEEP, 1).otherwise(0)).over(wf)
             )
             is_change = F.col(OP_COL) != _KEEP
-            winners = ranked.filter(F.col("_rn") == 1).observe(
-                obs,
+            winners = ranked.filter(F.col("_rn") == 1)
+            metrics = [
                 F.sum(F.when(is_change & (F.col(OP_COL) != "DELETE") & (F.col("_had_target") == 0), 1)
                       .otherwise(0)).alias("rows_inserted"),
                 F.sum(F.when(is_change & (F.col(OP_COL) != "DELETE") & (F.col("_had_target") == 1), 1)
@@ -496,11 +522,11 @@ class LakeTable:
                       .otherwise(0)).alias("rows_deleted"),
                 F.max(F.when(is_change, F.col(GTID_COL))).alias("max_gtid"),
                 F.min(F.when(is_change, F.col(GTID_COL))).alias("min_gtid"),
-            )
-            survivors = winners.filter(F.col(OP_COL) != "DELETE")
+            ]
             commit_dir_rel = os.path.join("data", f"c{new_version:012d}-{uuid.uuid4().hex[:8]}")
-            self._write_files(survivors, commit_dir_rel, with_op=False,
-                              files_per_bucket=files_per_bucket)
+            self._write_files(winners, commit_dir_rel, with_op=False,
+                              files_per_bucket=files_per_bucket,
+                              obs=obs, metrics=metrics, drop_deletes=True)
             m = self._obs_get_safe(obs)
             written = self._list_commit_files(commit_dir_rel, snap.epoch, "base")
             new_files = untouched + written

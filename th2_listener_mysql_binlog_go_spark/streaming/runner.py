@@ -89,14 +89,11 @@ class ReplayRunner:
         # DDL is ~1e-4 of a change stream, so this collect is tiny. (A
         # full-history replay at 10^10 events should run() in windows via
         # max_batches to bound it.)
-        from ..operators.apply import DDL_OPS
+        from ..operators.apply import ddl_candidates_cond
 
         ddl_all = sorted(
             (
-                stream.filter(
-                    (F.col("op").isin(*DDL_OPS) | (F.col("op") == "QUERY"))
-                    & (F.col("gtid") >= k0 * span)
-                )
+                stream.filter(ddl_candidates_cond() & (F.col("gtid") >= k0 * span))
                 .select("gtid", "op", "ddl", "schema_name", "table_name")
                 .collect()
             ),
