@@ -186,7 +186,8 @@ class BatchApplier:
 
     def apply(self, batch: DataFrame, batch_id: int,
               final_extra_props: dict[str, str] | None = None,
-              precollected_ddl: list | None = None) -> dict:
+              precollected_ddl: list | None = None,
+              resume_within_batch: bool = False) -> dict:
         """Apply one micro-batch. Returns lineage metrics.
 
         Exactly-once: every merge carries a monotonically increasing
@@ -197,6 +198,20 @@ class BatchApplier:
         """
         ddls = self._collect_ddl(batch, precollected=precollected_ddl)
         changes = self.flatten_dml(batch)
+
+        # Within-batch resume (this batch was partially applied before — a
+        # crash, or an append-only source that has since grown): everything
+        # at or below the watermark is already in; apply only what's above
+        # it, and continue the sub-id sequence past the last committed one.
+        # Segments apply in gtid order, so watermark cuts are exact.
+        pos = 0
+        if resume_within_batch:
+            wm = self.table.watermark_gtid
+            if wm >= 0:
+                changes = changes.filter(F.col(GTID_COL) > wm)
+                ddls = [d for d in ddls if d["gtid"] > wm]
+            if self.table.last_batch_id // 1024 == batch_id:
+                pos = self.table.last_batch_id % 1024 + 1
 
         metrics = {
             "batch_id": batch_id, "rows_inserted": 0, "rows_updated": 0,
@@ -229,7 +244,6 @@ class BatchApplier:
             lo = b
         segments.append((lo, None))
 
-        pos = 0
         for i, (lo_g, hi_g) in enumerate(segments):
             seg = changes
             if lo_g is not None:

@@ -109,12 +109,19 @@ class ReplayRunner:
             batch = stream.filter(
                 (F.col("gtid") >= k * span) & (F.col("gtid") < (k + 1) * span)
             )
+            # Only a batch the source provably extends past may be marked
+            # complete; the tail batch of an append-only source can still
+            # grow, and resume must re-enter it (within-batch mode) rather
+            # than skip it.
+            is_tail = k == k1
+            partial_before = self.table.last_batch_id // 1024 == k
             m = self.applier.apply(
                 batch, batch_id=k,
-                final_extra_props={"last_complete_batch": str(k)},
+                final_extra_props=None if is_tail else {"last_complete_batch": str(k)},
                 precollected_ddl=[
                     r for r in ddl_all if k * span <= r["gtid"] < (k + 1) * span
                 ],
+                resume_within_batch=partial_before,
             )
             wall_ms = int((time.monotonic() - t0) * 1000)
             total["batches"] += 1
