@@ -9,13 +9,14 @@ table "needed by our engine"): per micro-batch —
    DELETE→before, UPDATE→after; an UPDATE whose *key* changed explodes
    into DELETE(before-key) + INSERT(after-key) at the same GTID (binlog
    PK-update semantics the reference forwards verbatim).
-3. **DDL interception** (S6 + north rule): TRUNCATE / ALTER events split
-   the batch at their GTID boundaries (SURVEY.md §7 hard part (c)); each
-   DML segment merges under the schema in force at its position, then the
-   DDL applies as a metadata commit (schema evolution / truncate) before
-   the next segment.
-4. **LWW merge** per segment via :meth:`LakeTable.merge` (copy-on-write,
-   bucket-bounded, idempotent — see plans/lake.py).
+3. **DDL interception** (S6 + north rule): ALTER events split the batch at
+   their GTID boundaries (SURVEY.md §7 hard part (c)); each DML segment
+   merges under the schema in force at its position, then the DDL applies
+   as a metadata commit before the next segment. TRUNCATE is a GTID
+   marker committed atomically with the batch's final merge.
+4. **merge** per segment via :meth:`LakeTable.merge` — merge-on-read delta
+   append by default (O(batch)), copy-on-write optional; idempotent
+   (see plans/lake.py).
 
 DDL rows are collected to the driver: they are O(1) per batch by
 construction (~1% of events, and segments exist only where they occur) —
@@ -156,7 +157,7 @@ class BatchApplier:
             out.append({"gtid": r["gtid"], "op": op, "ddl": r["ddl"]})
         return out
 
-    def _apply_ddl(self, d: dict, extra_props: dict[str, str]) -> bool:
+    def _apply_ddl(self, d: dict) -> bool:
         """Execute one schema-evolution DDL event against the lake table.
 
         Returns True if a metadata commit happened. The reference only
@@ -274,6 +275,6 @@ class BatchApplier:
                 ddl_sub = batch_id * 1024 + pos
                 pos += 1
                 if ddl_sub > self.table.last_batch_id:
-                    applied = self._apply_ddl(schema_ddls[i], {"last_batch_id": str(ddl_sub)})
+                    applied = self._apply_ddl(schema_ddls[i])
                     metrics["ddl_applied" if applied else "ddl_dropped"] += 1
         return metrics
