@@ -161,6 +161,29 @@ def q_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: deterministic micro-batch planning over the GTID order — batch
+    id, gtid range, per-op event counts, and the running high-watermark
+    each batch commit would persist (listener.go:136-138,183-189 analogue)."""
+    from pyspark.sql import Window
+
+    df = q_table_filter(spark, sf_dir)
+    span = 1000
+    batched = df.withColumn("batch_id", F.floor(F.col("gtid") / span).cast("bigint"))
+    agg = batched.groupBy("batch_id").agg(
+        F.min("gtid").alias("gtid_min"),
+        F.max("gtid").alias("gtid_max"),
+        F.sum(F.when(F.col("op") == "INSERT", 1).otherwise(0)).alias("n_insert"),
+        F.sum(F.when(F.col("op") == "UPDATE", 1).otherwise(0)).alias("n_update"),
+        F.sum(F.when(F.col("op") == "DELETE", 1).otherwise(0)).alias("n_delete"),
+    )
+    w = Window.orderBy("batch_id").rowsBetween(Window.unboundedPreceding, 0)
+    return agg.select(
+        "batch_id", "gtid_min", "gtid_max", "n_insert", "n_update", "n_delete",
+        F.max("gtid_max").over(w).alias("watermark_gtid"),
+    )
+
+
 def q_size_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8/S9: serialization-free size estimate + size-bounded split plan
     (bean.go:65-87,129-150) as a scalable cumulative-sum window."""
@@ -264,6 +287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_ddl_classify": q_ddl_classify,
         "cdc_json_decode": q_json_decode,
         "cdc_size_split_plan": q_size_split_plan,
+        "cdc_batch_plan": q_batch_plan,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
@@ -526,6 +550,23 @@ SELECT event_id, user_id, est_size,
   CAST(floor((sum(est_size) OVER (PARTITION BY user_id ORDER BY event_id
        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - est_size) / 4096) AS BIGINT) AS part_idx
 FROM est
+""".strip(),
+        "cdc_batch_plan": f"""
+WITH {stream}, {observed},
+batched AS (
+  SELECT *, CAST(floor(gtid / 1000) AS BIGINT) AS batch_id FROM observed
+),
+agg AS (
+  SELECT batch_id, min(gtid) AS gtid_min, max(gtid) AS gtid_max,
+         CAST(sum(CASE WHEN op = 'INSERT' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+         CAST(sum(CASE WHEN op = 'UPDATE' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+         CAST(sum(CASE WHEN op = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete
+  FROM batched GROUP BY batch_id
+)
+SELECT batch_id, gtid_min, gtid_max, n_insert, n_update, n_delete,
+       max(gtid_max) OVER (ORDER BY batch_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS watermark_gtid
+FROM agg
 """.strip(),
         "doc_dedup_exact": _dedup_exact_oracle(),
         "doc_minhash_lsh": _minhash_oracle(),
