@@ -1,0 +1,70 @@
+"""Cross-mode and maintenance coverage: CoW-mode end-to-end replay equals
+the oracle; compaction physically drops truncated/dead rows and preserves
+state; MOR and CoW replays of the same stream converge identically."""
+
+import os
+
+from th2_listener_mysql_binlog_go_spark.operators.apply import ApplyConfig
+from th2_listener_mysql_binlog_go_spark.plans.lake import LakeTable
+from th2_listener_mysql_binlog_go_spark.sources.changestream import synthetic_changestream
+from th2_listener_mysql_binlog_go_spark.streaming.runner import ReplayRunner
+
+from .oracle import df_fingerprint, replay_oracle, state_fingerprint
+
+SCHEMA = [("repo", "string"), ("path", "string"), ("commit", "string"),
+          ("lang", "string"), ("content", "string")]
+
+
+def _events(df):
+    return [
+        {
+            "gtid": r["gtid"], "op": r["op"], "table_name": r["table_name"],
+            "before": r["before"].asDict() if r["before"] else None,
+            "after": r["after"].asDict() if r["after"] else None,
+        }
+        for r in df.collect()
+    ]
+
+
+def test_cow_mode_replay_matches_oracle_and_mor(spark, tmp_path):
+    stream = synthetic_changestream(spark, 2500, n_repos=30, n_paths=60, truncate_per_10k=15)
+    expected = state_fingerprint(replay_oracle(_events(stream)))
+
+    cow = LakeTable.create(spark, str(tmp_path / "cow"), SCHEMA, ["repo", "path"], num_buckets=8)
+    ReplayRunner(spark, cow, batch_span=700,
+                 config=ApplyConfig(merge_mode="cow")).run(stream)
+    assert df_fingerprint([r.asDict() for r in cow.read().collect()]) == expected
+    # CoW leaves no delta files
+    assert all(f.get("kind", "base") == "base" for f in cow.snapshot.files)
+
+    mor = LakeTable.create(spark, str(tmp_path / "mor"), SCHEMA, ["repo", "path"], num_buckets=8)
+    ReplayRunner(spark, mor, batch_span=700,
+                 config=ApplyConfig(merge_mode="mor", mor_dedup=True)).run(stream)
+    assert df_fingerprint([r.asDict() for r in mor.read().collect()]) == expected
+
+
+def test_compaction_drops_dead_rows_and_preserves_state(spark, tmp_path):
+    stream = synthetic_changestream(spark, 2000, n_repos=20, n_paths=40, truncate_per_10k=20)
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], num_buckets=4)
+    ReplayRunner(spark, t, batch_span=500).run(stream)
+    before = df_fingerprint([r.asDict() for r in t.read().collect()])
+    n_live = t.read().count()
+
+    n_delta_files = sum(1 for f in t.snapshot.files if f.get("kind") == "delta")
+    assert n_delta_files > 0  # MOR replay accumulated deltas
+
+    t.compact()
+    assert all(f.get("kind", "base") == "base" for f in t.snapshot.files)
+    # physical rows on disk == live rows (tombstones + superseded versions
+    # + truncated rows are gone)
+    import pyarrow.parquet as pq
+    physical = sum(
+        pq.ParquetFile(os.path.join(t.root, f["path"])).metadata.num_rows
+        for f in t.snapshot.files
+    )
+    assert physical == n_live
+    assert df_fingerprint([r.asDict() for r in t.read().collect()]) == before
+
+    # reload from disk: compacted state survives the metadata round-trip
+    t2 = LakeTable.load(spark, t.root)
+    assert df_fingerprint([r.asDict() for r in t2.read().collect()]) == before
