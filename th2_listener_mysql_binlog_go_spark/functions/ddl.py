@@ -136,6 +136,76 @@ def _map_type(sql_type: str) -> str:
     return _MYSQL_TO_SPARK.get(base, "string")
 
 
+@dataclass
+class CreateCommand:
+    schema: str
+    table: str
+    columns: list[tuple[str, str]]  # (name, spark sql type)
+    key_cols: list[str]
+
+
+_PK_RE = re.compile(r"(?i)PRIMARY\s+KEY\s*\(([^)]*)\)")
+_COLDEF_RE = re.compile(r"^\s*`?(\w+)`?\s+([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)", )
+_CONSTRAINT_WORDS = {"primary", "unique", "key", "index", "constraint", "foreign",
+                     "fulltext", "spatial", "check"}
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a CREATE TABLE column list on commas outside parentheses."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def parse_create(stmt: str, session_schema: str = "") -> CreateCommand | None:
+    """Parse a CREATE TABLE statement into the column specs + primary key
+    the catalog needs to *execute* it (the reference only classifies and
+    forwards CREATE — component/bean/query.go:25; the north rule applies).
+
+    MySQL types map to Spark via the same table ALTER parsing uses;
+    constraint clauses (PRIMARY KEY, KEY, CONSTRAINT, ...) are skipped as
+    column defs but PRIMARY KEY(...) supplies the key columns (first
+    column as fallback). Returns None for non-CREATE statements."""
+    m = re.match(
+        r"(?i)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        + _IDENT + r"\s*\((?P<body>(?s:.*))\)(?P<tail>[^)]*);?\s*$",
+        stmt,
+    )
+    if not m:
+        return None
+    schema = m.group("schema") or session_schema
+    table = m.group("table")
+    cols: list[tuple[str, str]] = []
+    for part in _split_top_level(m.group("body")):
+        head = part.strip().split(None, 1)[0].lower() if part.strip() else ""
+        if not head or head in _CONSTRAINT_WORDS:
+            continue
+        cm = _COLDEF_RE.match(part)
+        if cm:
+            cols.append((cm.group(1), _map_type(cm.group(2))))
+    if not cols:
+        return None
+    pk = _PK_RE.search(m.group("body"))
+    if pk:
+        keys = [k.strip().strip("`") for k in pk.group(1).split(",") if k.strip()]
+        names = {n for n, _ in cols}
+        keys = [k for k in keys if k in names] or [cols[0][0]]
+    else:
+        keys = [cols[0][0]]
+    return CreateCommand(schema, table, cols, keys)
+
+
 def parse_alter(stmt: str) -> AlterCommand:
     """Parse the ALTER sub-command our apply side executes (north rule:
     add/rename/type-widen). Unrecognized forms -> kind='other' (logged,

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.ddl import classify_ddl, ddl_matches_any, parse_alter
-from ..plans.lake import GTID_COL, OP_COL, LakeTable
+from ..plans.lake import GTID_COL, OP_COL, SEQ_COL, LakeTable
 
 DML_OPS = ("INSERT", "UPDATE", "DELETE")
 DDL_OPS = ("TRUNCATE", "CREATE_TABLE", "DROP_TABLE", "ALTER_TABLE")
@@ -55,21 +55,36 @@ class ApplyConfig:
         default_factory=lambda: {"repos": ["files"]}
     )
     session_schema: str = "repos"
+    # Which schema attributes a DDL statement to a (schema, table) pair:
+    # - 'statement' (default): the schema *qualified in the statement* wins;
+    #   the event's session schema (schema_name column, else
+    #   ``session_schema``) is only the fallback for unqualified statements.
+    #   This matches MySQL name resolution ("db.tbl" binds to db regardless
+    #   of the session default) and is a DELIBERATE divergence from the
+    #   reference — documented like the Delete.Split bug we don't replicate.
+    # - 'session': reference parity (listener.go:253-259) — the binlog
+    #   event's session schema wins and the statement-extracted schema is
+    #   only the fallback when the event carries none.
+    schema_precedence: str = "statement"
     # naming parity with the reference's Configuration{Alias, Group}
     # (configuration.go:28-33): group defaults to alias when empty
     # (OrDefaultIfEmpty, component/utils.go:19-24)
     alias: str = "cdc"
     group: str = ""
     files_per_bucket: int = 1
+    # bucket count for tables the applier CREATEs mid-stream (catalog mode)
+    num_buckets: int = 16
     # 'mor' appends LWW-deduped deltas (O(batch) per merge, the scale
     # path); 'cow' rewrites affected buckets (delta-free reads, exact
     # insert/update lineage split). See plans/lake.py.
     merge_mode: str = "mor"
     # in mor mode, fold deltas into base once this many delta files exist.
-    # Default None: inline compaction costs O(dirty buckets) and most MOR
-    # deployments schedule it as maintenance (LakeTable.compact) instead —
-    # set a threshold for self-maintaining streams.
-    auto_compact_deltas: int | None = None
+    # Default 'auto': self-maintaining — compact when deltas exceed
+    # ~8 batches' worth (8 * num_buckets * files_per_bucket), so an untuned
+    # long-running stream never degrades reads or snapshot size (Hudi's
+    # inline-compaction-every-N-commits analogue). None disables (schedule
+    # LakeTable.compact as maintenance); an int is an explicit threshold.
+    auto_compact_deltas: int | str | None = "auto"
     # collapse intra-batch per-key churn before appending deltas (extra key
     # shuffle; read-time LWW makes it semantically optional)
     mor_dedup: bool = False
@@ -82,9 +97,25 @@ class ApplyConfig:
 
 
 class BatchApplier:
-    def __init__(self, table: LakeTable, config: ApplyConfig | None = None):
+    """Applies one observed (schema, table) pair's changes to its LakeTable.
+
+    With ``catalog`` + ``pair`` set (multi-table mode, see
+    :class:`.multi.MultiTableApplier`), CREATE/DROP TABLE are *executed*
+    against the catalog — ``table`` may then be None (pair not created
+    yet, or dropped mid-stream), in which case DML has no target and is
+    skipped, exactly as a binlog could never carry row events for a
+    nonexistent table."""
+
+    def __init__(self, table: LakeTable | None, config: ApplyConfig | None = None,
+                 catalog=None, pair: tuple[str, str] | None = None):
         self.table = table
         self.config = config or ApplyConfig()
+        self.catalog = catalog
+        self.pair = pair
+
+    @property
+    def _last_batch_id(self) -> int:
+        return self.table.last_batch_id if self.table is not None else -1
 
     # ------------------------------------------------------------ projection
 
@@ -120,9 +151,26 @@ class BatchApplier:
             )
             .otherwise(F.array(mk(F.col("after"), "UPDATE")))
         )
+        # Within-gtid sub-order (the reference's (name, pos, seq) total
+        # order, README.md:62-63): several events can share one GTID
+        # (transaction), ordered by log_pos; a multi-row event's rows are
+        # ordered by row_idx (decode.py); a PK-changing UPDATE's
+        # DELETE-then-INSERT pair by explode position. Packed into one
+        # bigint so LWW/merge windows get a strict total order per key.
+        log_pos = (
+            F.coalesce(F.col("log_pos"), F.lit(0)) if "log_pos" in dml.columns else F.lit(0)
+        )
+        row_idx = (
+            F.coalesce(F.col("row_idx"), F.lit(0)) if "row_idx" in dml.columns else F.lit(0)
+        )
+        seq = (log_pos.cast("bigint") * 1024 + row_idx.cast("bigint") * 2 + F.col("c_pos"))
         return dml.select(
-            F.col("gtid").alias(GTID_COL), F.explode(arr).alias("c")
-        ).select("c.row.*", F.col(f"c.{OP_COL}").alias(OP_COL), F.col(GTID_COL))
+            F.col("gtid").alias(GTID_COL), log_pos.alias("log_pos"),
+            row_idx.alias("row_idx"), F.posexplode(arr).alias("c_pos", "c")
+        ).select(
+            "c.row.*", F.col(f"c.{OP_COL}").alias(OP_COL), F.col(GTID_COL),
+            seq.alias(SEQ_COL),
+        )
 
     # ------------------------------------------------------------ DDL
 
@@ -144,17 +192,26 @@ class BatchApplier:
         for r in sorted(rows, key=lambda r: r["gtid"]):
             op, schema, table = r["op"], r["schema_name"], r["table_name"]
             if op == "QUERY" or r["ddl"]:
-                schema, table, op2, ok = classify_ddl(
-                    r["ddl"] or "", session_schema=self.config.session_schema
-                )
+                # The event's session schema (binlog QueryEvent.Schema) with
+                # the configured default as last resort.
+                event_schema = r["schema_name"] or self.config.session_schema
+                stmt_schema, table2, op2, ok = classify_ddl(r["ddl"] or "")
                 if not ok:
                     if r["op"] == "QUERY":
                         continue  # non-matching statement: dropped
-                    op2, schema, table = r["op"], r["schema_name"], r["table_name"]
-                op = op2
+                    op2, stmt_schema, table2 = r["op"], r["schema_name"], r["table_name"]
+                if self.config.schema_precedence == "session":
+                    # reference parity (listener.go:253-259): session wins
+                    schema = event_schema or stmt_schema
+                else:
+                    # default: statement qualification wins (MySQL name
+                    # resolution) — documented divergence from the reference
+                    schema = stmt_schema or event_schema
+                op, table = op2, table2
             if (schema, table) not in observed:
                 continue
-            out.append({"gtid": r["gtid"], "op": op, "ddl": r["ddl"]})
+            out.append({"gtid": r["gtid"], "op": op, "ddl": r["ddl"],
+                        "schema_name": schema, "table_name": table})
         return out
 
     def _apply_ddl(self, d: dict) -> bool:
@@ -210,7 +267,14 @@ class BatchApplier:
             wm = self.table.watermark_gtid
             if wm >= 0:
                 changes = changes.filter(F.col(GTID_COL) > wm)
-                ddls = [d for d in ddls if d["gtid"] > wm]
+                # TRUNCATE entries are kept even at/below the watermark: the
+                # marker is only committed with the batch's FINAL segment, so
+                # a crash after a later segment advanced the watermark past
+                # the TRUNCATE gtid must still persist it on resume (the
+                # marker merge in lake.merge is monotonic-max, so replaying
+                # one is always safe). Schema DDLs below the watermark were
+                # applied before the segment that advanced it, so they drop.
+                ddls = [d for d in ddls if d["gtid"] > wm or d["op"] == "TRUNCATE"]
             if self.table.last_batch_id // 1024 == batch_id:
                 pos = self.table.last_batch_id % 1024 + 1
 
@@ -237,6 +301,18 @@ class BatchApplier:
         # events on each side of an ALTER see different table shapes.
         # Segments and DDLs share one monotonic sub-id sequence; the
         # table's last_batch_id guard makes any crash-replay prefix a no-op.
+        # Sub-ids live in a 1024-slot space per batch (batch_id * 1024 + pos);
+        # overflowing would bleed into batch k+1's range and silently skip its
+        # early segments via the exactly-once guard. Fail loudly instead —
+        # hitting this means the batch span holds >500 schema DDLs, i.e. the
+        # span is misconfigured for the stream's DDL density.
+        if pos + 2 * len(schema_ddls) + 1 > 1024:
+            raise RuntimeError(
+                f"batch {batch_id} needs {pos + 2 * len(schema_ddls) + 1} "
+                "sub-batch slots (> 1024): reduce batch_span so fewer schema "
+                "DDLs land in one batch"
+            )
+
         bounds = [d["gtid"] for d in schema_ddls]
         segments: list[tuple[int | None, int | None]] = []
         lo: int | None = None

@@ -19,13 +19,21 @@ def lww_dedup(
     key_cols: list[str],
     order_col: str = "gtid",
     keep_order_col: bool = True,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Keep the last writer (max ``order_col``) per ``key_cols``.
+    """Keep the last writer (max ``order_col``, then ``tiebreak_cols``)
+    per ``key_cols``.
 
     Resolution is on the *final* op per key: a DELETE→INSERT resurrection
     sequence collapses to the INSERT, never a naive max-per-column blend
-    (SURVEY.md §7 hard part (b)).
+    (SURVEY.md §7 hard part (b)). ``tiebreak_cols`` carries the within-gtid
+    sub-order — (log_pos, row_idx) in the reference's (name, pos, seq)
+    total order (README.md:62-63) — for streams where one transaction
+    (GTID) holds several changes to the same key.
     """
-    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).desc(),
+        *[F.col(c).desc() for c in (tiebreak_cols or [])],
+    )
     out = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     return out if keep_order_col else out.drop(order_col)

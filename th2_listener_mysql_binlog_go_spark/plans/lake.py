@@ -59,6 +59,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 GTID_COL = "_gtid"
+# Within-gtid tiebreaker: real binlogs put several row changes to one key in
+# a single transaction (one GTID) — the reference's total order is
+# (name, pos, seq) (listener.go:325-332, README.md:62-63). _seq carries the
+# (log_pos, row_idx, explode-position) sub-order through merge and LWW so
+# same-gtid changes to one key resolve deterministically to the last one.
+SEQ_COL = "_seq"
 BUCKET_COL = "_bucket"
 OP_COL = "_op"
 _KEEP = "KEEP"
@@ -144,6 +150,7 @@ class Snapshot:
 def _struct_of(columns: list[ColumnSpec], with_op: bool = False) -> T.StructType:
     fields = [T.StructField(c.name, _parse_type(c.type), c.nullable) for c in columns]
     fields.append(T.StructField(GTID_COL, T.LongType(), False))
+    fields.append(T.StructField(SEQ_COL, T.LongType(), False))
     fields.append(T.StructField(BUCKET_COL, T.IntegerType(), False))
     if with_op:
         fields.append(T.StructField(OP_COL, T.StringType(), False))
@@ -265,7 +272,7 @@ class LakeTable:
                     sel.append(F.col(phys_by_id[cid].name).cast(cur_types[cid]).alias(cname))
                 else:
                     sel.append(F.lit(None).cast(cur_types[cid]).alias(cname))
-            sel += [F.col(GTID_COL), F.col(BUCKET_COL)]
+            sel += [F.col(GTID_COL), F.col(SEQ_COL), F.col(BUCKET_COL)]
             if with_op:
                 sel.append(F.col(OP_COL))
             parts.append(df.select(*sel))
@@ -275,11 +282,12 @@ class LakeTable:
         return df
 
     def _lww_resolve(self, df: DataFrame, keys: list[str]) -> DataFrame:
-        """Resolve base+delta rows: last writer (max _gtid) wins per key,
-        DELETE tombstones drop the key. On gtid ties a non-KEEP (delta)
-        row wins for determinism."""
+        """Resolve base+delta rows: last writer (max (_gtid, _seq)) wins per
+        key, DELETE tombstones drop the key. On full-order ties a non-KEEP
+        (delta) row wins for determinism."""
         w = Window.partitionBy(*keys).orderBy(
-            F.col(GTID_COL).desc(), (F.col(OP_COL) == _KEEP).asc()
+            F.col(GTID_COL).desc(), F.col(SEQ_COL).desc(),
+            (F.col(OP_COL) == _KEEP).asc(),
         )
         return (
             df.withColumn("_rn", F.row_number().over(w))
@@ -327,7 +335,7 @@ class LakeTable:
             st = _struct_of(snap.columns)
             out = self.spark.createDataFrame([], st)
         if not include_meta:
-            out = out.drop(GTID_COL, BUCKET_COL)
+            out = out.drop(GTID_COL, SEQ_COL, BUCKET_COL)
         return out
 
     # ---------------------------------------------------------------- write helpers
@@ -353,7 +361,7 @@ class LakeTable:
         upstream plan twice, so an upstream observe() would double-count."""
         snap = self.snapshot
         keys = snap.key_names
-        cols = self._physical_out_cols(snap) + [F.col(GTID_COL), F.col(BUCKET_COL)]
+        cols = self._physical_out_cols(snap) + [F.col(GTID_COL), F.col(SEQ_COL), F.col(BUCKET_COL)]
         if with_op:
             cols.append(F.col(OP_COL))
         salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.lit(7)), F.lit(files_per_bucket))
@@ -423,7 +431,7 @@ class LakeTable:
         extra_properties: dict[str, str] | None = None,
         files_per_bucket: int = 1,
         batch_gtid_max: int | None = None,
-        auto_compact_deltas: int | None = None,
+        auto_compact_deltas: int | str | None = None,
         mor_dedup: bool = False,
     ) -> dict:
         """MERGE a change batch (the Iceberg ``MERGE INTO`` analogue).
@@ -456,7 +464,8 @@ class LakeTable:
             else F.lit(None).cast(c.type).alias(c.name)
             for c in snap.columns
         ]
-        changes = changes.select(*proj, OP_COL, GTID_COL).withColumn(
+        seq = F.col(SEQ_COL).cast("bigint") if SEQ_COL in avail else F.lit(0).cast("bigint")
+        changes = changes.select(*proj, OP_COL, GTID_COL, seq.alias(SEQ_COL)).withColumn(
             BUCKET_COL, self.bucket_expr()
         )
 
@@ -473,7 +482,9 @@ class LakeTable:
             # with heavy per-key churn.
             winners = changes
             if mor_dedup:
-                w = Window.partitionBy(*keys).orderBy(F.col(GTID_COL).desc())
+                w = Window.partitionBy(*keys).orderBy(
+                    F.col(GTID_COL).desc(), F.col(SEQ_COL).desc()
+                )
                 winners = changes.withColumn("_rn", F.row_number().over(w)).filter(
                     F.col("_rn") == 1
                 ).drop("_rn")
@@ -503,7 +514,8 @@ class LakeTable:
             target = self.read(include_meta=True, snapshot=snap.sub(touched))
             unioned = target.withColumn(OP_COL, F.lit(_KEEP)).unionByName(changes)
             w = Window.partitionBy(*keys).orderBy(
-                F.col(GTID_COL).desc(), (F.col(OP_COL) == _KEEP).asc()
+                F.col(GTID_COL).desc(), F.col(SEQ_COL).desc(),
+                (F.col(OP_COL) == _KEEP).asc(),
             )
             wf = Window.partitionBy(*keys).rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing
@@ -567,6 +579,11 @@ class LakeTable:
             "version": new_version,
         }
         if mode == "mor" and auto_compact_deltas is not None:
+            if auto_compact_deltas == "auto":
+                # ~8 batches' worth of delta files: bounds per-bucket read
+                # amplification and snapshot size for untuned streams while
+                # amortizing the rewrite over many commits.
+                auto_compact_deltas = 8 * snap.num_buckets * max(files_per_bucket, 1)
             n_delta = sum(1 for fi in self.snapshot.files if fi.get("kind") == "delta")
             if n_delta > auto_compact_deltas:
                 result["compacted_buckets"] = self.compact()
@@ -598,10 +615,12 @@ class LakeTable:
 
     def rename_column(self, old: str, new: str) -> None:
         """ALTER TABLE RENAME COLUMN — id-stable, metadata only."""
+        if not any(c.name == old for c in self.snapshot.columns):
+            raise ValueError(f"no column {old}")
+        if old != new and any(c.name == new for c in self.snapshot.columns):
+            raise ValueError(f"column {new} already exists")
         cols = [ColumnSpec(c.id, new if c.name == old else c.name, c.type, c.nullable)
                 for c in self.snapshot.columns]
-        if not any(c.name == new for c in cols):
-            raise ValueError(f"no column {old}")
         self._commit_meta(cols)
 
     def widen_column(self, name: str, new_type: str) -> None:
