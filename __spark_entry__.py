@@ -29,11 +29,13 @@ from th2_listener_mysql_binlog_go_spark.operators.lww import lww_dedup
 from th2_listener_mysql_binlog_go_spark.operators.pairing import pair_alternating
 from th2_listener_mysql_binlog_go_spark.plans.lake import LakeTable
 from th2_listener_mysql_binlog_go_spark.sources.changestream import (
+    DERIVED_DDL_STREAM_SQL,
+    DERIVED_MULTI_STREAM_SQL,
     DERIVED_STREAM_SQL,
     derived_changestream,
     to_change_schema,
 )
-from th2_listener_mysql_binlog_go_spark.streaming.runner import ReplayRunner
+from th2_listener_mysql_binlog_go_spark.streaming.runner import CatalogReplayRunner, ReplayRunner
 
 TARGET_SCHEMA = [("repo", "string"), ("path", "string"), ("commit", "string"),
                  ("lang", "string"), ("content", "string")]
@@ -125,6 +127,57 @@ def q_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                              key_cols=["repo", "path"], num_buckets=16)
     ReplayRunner(spark, table, batch_span=span).run(nested)
     return table.read().select("repo", "path", "commit", "lang", "content")
+
+
+def q_replay_with_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine replay of a DDL-bearing stream: GTID-marker TRUNCATEs
+    and a mid-stream ALTER TABLE ADD COLUMN segment the batches and evolve
+    the schema; the converged state (including the evolved column, NULL
+    for rows whose winner predates the ALTER) is hash-checked against the
+    DuckDB oracle — the engine's hardest logic under oracle proof."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    flat = spark.sql(DERIVED_DDL_STREAM_SQL)
+    nested = to_change_schema(
+        flat,
+        row_fields=TARGET_SCHEMA + [("stars", "int")],
+        with_ddl=True,
+    )
+    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
+    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 6)
+    tmp = tempfile.mkdtemp(prefix="cdc_replay_ddl_")
+    table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
+                             key_cols=["repo", "path"], num_buckets=16)
+    ReplayRunner(spark, table, batch_span=span).run(nested)
+    table.compact()  # evolved schema + truncate marker survive compaction
+    return table.read().select("repo", "path", "commit", "lang", "content",
+                               F.col("stars").cast("int").alias("stars"))
+
+
+def q_multitable_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table routing: the same engine replay fanned out to TWO
+    observed tables over a LakeCatalog (listener.go:236-241's schemas map,
+    applied); returns the union of both converged final states."""
+    from th2_listener_mysql_binlog_go_spark.operators.apply import ApplyConfig
+    from th2_listener_mysql_binlog_go_spark.plans.catalog import LakeCatalog
+
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    flat = spark.sql(DERIVED_MULTI_STREAM_SQL)
+    nested = to_change_schema(flat)
+    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
+    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 4)
+    tmp = tempfile.mkdtemp(prefix="cdc_multi_")
+    cat = LakeCatalog.create(spark, os.path.join(tmp, "cat"))
+    for t in ("files", "files2"):
+        cat.create_table("repos", t, TARGET_SCHEMA, ["repo", "path"], num_buckets=8)
+    cfg = ApplyConfig(observed={"repos": ["files", "files2"]}, num_buckets=8)
+    CatalogReplayRunner(spark, cat, batch_span=span, config=cfg).run(nested)
+    parts = [
+        cat.get("repos", t).read().select(
+            F.lit(t).alias("target_table"), "repo", "path", "commit", "lang", "content"
+        )
+        for t in ("files", "files2")
+    ]
+    return parts[0].unionByName(parts[1])
 
 
 def q_update_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,8 +308,20 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH blocking (rows-only)."""
-    return sim.cosine_neardup_pairs(_embs(spark, sf_dir), threshold=0.99)
+    """Embedding-cosine near-dup pairs via banded multi-table hyperplane
+    LSH over the corpus augmented with planted scaled clones (every 20th
+    vector x1.5 — cosine exactly 1, so each clone pair lands in its
+    original's bucket in every table). Oracle: exact all-pairs cosine in
+    DuckDB over the same augmented corpus; the only >=0.99 pairs are the
+    planted ones (max natural pairwise cosine in this corpus is ~0.51),
+    so banded-LSH recall is provably 1.0 here and the hash must match."""
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+    clones = e.filter((F.col("vec_id") % 20) == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 1.5).cast("float")).alias("embedding"),
+    )
+    aug = e.unionByName(clones)
+    return sim.cosine_neardup_pairs(aug, threshold=0.99).select("id_a", "id_b")
 
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,6 +348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_table_filter": q_table_filter,
         "cdc_lww_dedup": q_lww_dedup,
         "cdc_replay_final_state": q_replay_final_state,
+        "cdc_replay_with_ddl": q_replay_with_ddl,
+        "cdc_multitable_replay": q_multitable_replay,
         "cdc_update_pairing": q_update_pairing,
         "cdc_ddl_classify": q_ddl_classify,
         "cdc_json_decode": q_json_decode,
@@ -504,6 +571,43 @@ ranked AS (
 SELECT repo, path, commit, lang, content
 FROM ranked WHERE rn = 1 AND op <> 'DELETE'
 """.strip(),
+        "cdc_replay_with_ddl": f"""
+WITH dstream AS (
+{DERIVED_DDL_STREAM_SQL}
+),
+trunc AS (SELECT coalesce(max(gtid), -1) AS tg FROM dstream WHERE op = 'TRUNCATE'),
+alt AS (SELECT coalesce(min(gtid), 1 << 62) AS ag FROM dstream WHERE op = 'ALTER_TABLE'),
+dml AS (
+  SELECT * FROM dstream
+  WHERE op IN ('INSERT','UPDATE','DELETE')
+    AND schema_name = 'repos' AND table_name = 'files'
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY gtid DESC) AS rn
+  FROM dml
+)
+SELECT repo, path, commit, lang, content,
+       CASE WHEN gtid > (SELECT ag FROM alt) THEN stars
+            ELSE CAST(NULL AS INT) END AS stars
+FROM ranked
+WHERE rn = 1 AND op <> 'DELETE' AND gtid > (SELECT tg FROM trunc)
+""".strip(),
+        "cdc_multitable_replay": f"""
+WITH mstream AS (
+{DERIVED_MULTI_STREAM_SQL}
+),
+mobserved AS (
+  SELECT * FROM mstream
+  WHERE schema_name = 'repos' AND table_name IN ('files', 'files2')
+    AND op IN ('INSERT','UPDATE','DELETE')
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY table_name, repo, path ORDER BY gtid DESC) AS rn
+  FROM mobserved
+)
+SELECT table_name AS target_table, repo, path, commit, lang, content
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+""".strip(),
         "cdc_update_pairing": """
 WITH ordered AS (
   SELECT user_id, value,
@@ -573,7 +677,29 @@ FROM agg
         "doc_ngram_jaccard": _jaccard_oracle(),
         "doc_text_stats": _text_stats_oracle(),
         "ann_cosine_topk": _ann_oracle(),
-        # ann_lsh_topk, emb_neardup, doc_simhash, media_decode: seeded-numpy /
+        "emb_neardup": """
+WITH clones AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id, embedding FROM clones
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM aug
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.dv, b.dv)
+           / (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(b.dv, b.dv))) AS sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b FROM p WHERE sim >= 0.99
+""".strip(),
+        # ann_lsh_topk, doc_simhash, media_decode: seeded-numpy /
         # pandas-UDF internals — no portable SQL form; driver records the
         # weaker rows-only check for these.
     }

@@ -17,7 +17,11 @@ def replay_oracle(events: list[dict], observed_tables: set[str] = frozenset({"fi
     for e in sorted(events, key=lambda e: e["gtid"]):
         op = e["op"]
         if op == "TRUNCATE":
-            state.clear()
+            # truncate clears the target only if its table is observed into
+            # this state (multi-table: a TRUNCATE of repos.files must not
+            # clear shadow_table's state)
+            if e.get("table_name", "files") in observed_tables:
+                state.clear()
             continue
         if op not in ("INSERT", "UPDATE", "DELETE"):
             continue

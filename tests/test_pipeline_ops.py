@@ -118,8 +118,11 @@ def test_lsh_topk_recall_vs_bruteforce(spark, embs):
 
 def test_neardup_embeddings(spark, embs):
     pairs = {(r["id_a"], r["id_b"]) for r in
-             sim.cosine_neardup_pairs(embs, threshold=0.98, n_planes=4).collect()}
+             sim.cosine_neardup_pairs(embs, threshold=0.98, n_tables=4,
+                                      bits_per_table=8, dim=16).collect()}
     assert (0, 1) in pairs
+    # banded blocking must not admit random pairs at this threshold
+    assert pairs == {(0, 1)}
 
 
 def test_multimodal_decode_stub(spark, docs):

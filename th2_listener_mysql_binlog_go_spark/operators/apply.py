@@ -30,7 +30,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.ddl import classify_ddl, ddl_matches_any, parse_alter
+from ..functions.ddl import classify_ddl, ddl_matches_any, parse_alter, parse_create
 from ..plans.lake import GTID_COL, OP_COL, SEQ_COL, LakeTable
 
 DML_OPS = ("INSERT", "UPDATE", "DELETE")
@@ -223,6 +223,8 @@ class BatchApplier:
         inside :meth:`apply` (commit-atomic with the batch merge)."""
         t = self.table
         if d["op"] == "ALTER_TABLE":
+            if t is None:
+                return False  # table dropped / not created yet
             cmd = parse_alter(d["ddl"] or "")
             try:
                 if cmd.kind == "add":
@@ -236,8 +238,24 @@ class BatchApplier:
                 return True
             except ValueError:
                 return False  # non-widening / unknown column: skip, don't fail the stream
+        if self.catalog is not None and self.pair is not None:
+            schema, table = self.pair
+            if d["op"] == "CREATE_TABLE":
+                cmd = parse_create(d["ddl"] or "", session_schema=self.config.session_schema)
+                if cmd is None:
+                    return False
+                # idempotent: a crash-replayed CREATE returns the live table
+                self.table = self.catalog.create_table(
+                    schema, table, cmd.columns, cmd.key_cols,
+                    num_buckets=self.config.num_buckets,
+                )
+                return True
+            if d["op"] == "DROP_TABLE":
+                dropped = self.catalog.drop_table(schema, table)
+                self.table = None
+                return dropped
         # CREATE/DROP of the observed table itself: out of scope for a
-        # single-target apply; recorded in lineage as classified-only.
+        # single-target apply (no catalog); recorded as classified-only.
         return False
 
     # ------------------------------------------------------------ main
@@ -255,7 +273,6 @@ class BatchApplier:
         replay from the top of the batch.
         """
         ddls = self._collect_ddl(batch, precollected=precollected_ddl)
-        changes = self.flatten_dml(batch)
 
         # Within-batch resume (this batch was partially applied before — a
         # crash, or an append-only source that has since grown): everything
@@ -263,10 +280,11 @@ class BatchApplier:
         # it, and continue the sub-id sequence past the last committed one.
         # Segments apply in gtid order, so watermark cuts are exact.
         pos = 0
+        gtid_floor: int | None = None  # DML strictly above this applies
         if resume_within_batch:
-            wm = self.table.watermark_gtid
+            wm = self.table.watermark_gtid if self.table is not None else -1
             if wm >= 0:
-                changes = changes.filter(F.col(GTID_COL) > wm)
+                gtid_floor = wm
                 # TRUNCATE entries are kept even at/below the watermark: the
                 # marker is only committed with the batch's FINAL segment, so
                 # a crash after a later segment advanced the watermark past
@@ -275,8 +293,8 @@ class BatchApplier:
                 # one is always safe). Schema DDLs below the watermark were
                 # applied before the segment that advanced it, so they drop.
                 ddls = [d for d in ddls if d["gtid"] > wm or d["op"] == "TRUNCATE"]
-            if self.table.last_batch_id // 1024 == batch_id:
-                pos = self.table.last_batch_id % 1024 + 1
+            if self._last_batch_id // 1024 == batch_id:
+                pos = self._last_batch_id % 1024 + 1
 
         metrics = {
             "batch_id": batch_id, "rows_inserted": 0, "rows_updated": 0,
@@ -293,7 +311,7 @@ class BatchApplier:
         final_props = dict(final_extra_props or {})
         if trunc_gtids:
             trunc_max = max(trunc_gtids)
-            changes = changes.filter(F.col(GTID_COL) > trunc_max)
+            gtid_floor = trunc_max if gtid_floor is None else max(gtid_floor, trunc_max)
             final_props["truncate_gtid"] = str(trunc_max)
             metrics["ddl_applied"] += len(trunc_gtids)
 
@@ -322,14 +340,22 @@ class BatchApplier:
         segments.append((lo, None))
 
         for i, (lo_g, hi_g) in enumerate(segments):
-            seg = changes
-            if lo_g is not None:
-                seg = seg.filter(F.col(GTID_COL) > lo_g)
-            if hi_g is not None:
-                seg = seg.filter(F.col(GTID_COL) < hi_g)
             sub_id = batch_id * 1024 + pos
             pos += 1
-            if sub_id > self.table.last_batch_id:
+            # Flatten under the table in force *at this segment*: a
+            # CREATE/DROP boundary can rebind self.table (catalog mode),
+            # changing the key set the flatten projects on. A None table
+            # means this segment's DML has no target (pair dropped / not
+            # yet created) — a real binlog can't carry row events for a
+            # nonexistent table, so nothing is lost by skipping.
+            if self.table is not None and sub_id > self._last_batch_id:
+                seg = self.flatten_dml(batch)
+                if gtid_floor is not None:
+                    seg = seg.filter(F.col(GTID_COL) > gtid_floor)
+                if lo_g is not None:
+                    seg = seg.filter(F.col(GTID_COL) > lo_g)
+                if hi_g is not None:
+                    seg = seg.filter(F.col(GTID_COL) < hi_g)
                 m = self.table.merge(
                     seg, sub_id,
                     mode=self.config.merge_mode,
@@ -350,7 +376,7 @@ class BatchApplier:
             if i < len(schema_ddls):
                 ddl_sub = batch_id * 1024 + pos
                 pos += 1
-                if ddl_sub > self.table.last_batch_id:
+                if ddl_sub > self._last_batch_id:
                     applied = self._apply_ddl(schema_ddls[i])
                     metrics["ddl_applied" if applied else "ddl_dropped"] += 1
         return metrics

@@ -139,18 +139,77 @@ FROM events
 """.strip()
 
 
+# Two-observed-table variant (multi-table routing, listener.go:236-241):
+# odd event_ids target a second table 'files2'; same arithmetic-only SQL
+# runs verbatim in Spark and DuckDB.
+_TABLE_CASE = "CASE WHEN (event_id % 53) = 0 THEN 'shadow_table' ELSE 'files' END AS table_name"
+_MULTI_TABLE_CASE = (
+    "CASE WHEN (event_id % 53) = 0 THEN 'shadow_table' "
+    "WHEN (event_id % 2) = 0 THEN 'files' ELSE 'files2' END AS table_name"
+)
+DERIVED_MULTI_STREAM_SQL = DERIVED_STREAM_SQL.replace(_TABLE_CASE, _MULTI_TABLE_CASE)
+assert "files2" in DERIVED_MULTI_STREAM_SQL, "table-case slot moved in DERIVED_STREAM_SQL"
+
+
+# DDL-bearing variant: deterministic TRUNCATE events (every 2500 gtids) and
+# ALTER TABLE ADD COLUMN stars (at gtid 9100 mod 10000) interleaved with the
+# DML — puts the engine's hardest logic (GTID-marker truncate, batch
+# segmentation at ALTER boundaries, schema evolution mid-stream) into the
+# hash-verified oracle path. The last TRUNCATE lands BEFORE the first ALTER
+# so the converged state exercises both stars=NULL (winner wrote pre-ALTER)
+# and stars=value (winner wrote post-ALTER) rows. Arithmetic-only SQL, runs
+# verbatim in Spark and DuckDB.
+DERIVED_DDL_STREAM_SQL = """
+SELECT
+  event_id AS gtid,
+  CASE WHEN (event_id % 2500) = 1250 THEN 'TRUNCATE'
+       WHEN (event_id % 10000) = 9100 THEN 'ALTER_TABLE'
+       WHEN (event_id % 1000) < 600 THEN 'INSERT'
+       WHEN (event_id % 1000) < 900 THEN 'UPDATE'
+       ELSE 'DELETE' END AS op,
+  'repos' AS schema_name,
+  'files' AS table_name,
+  'repo_' || CAST(user_id % 20 AS STRING) AS repo,
+  'src/f' || CAST((event_id * 37) % 97 AS STRING) || '.py' AS path,
+  md5(CAST(event_id AS STRING)) ||
+    substring(md5(CAST(event_id AS STRING)), 1, 8) AS commit,
+  CASE (event_id % 7) WHEN 0 THEN 'py' WHEN 1 THEN 'go' WHEN 2 THEN 'java'
+       WHEN 3 THEN 'ts' WHEN 4 THEN 'rs' WHEN 5 THEN 'sql'
+       ELSE 'md' END AS lang,
+  'c:' || md5('content' || CAST(event_id AS STRING)) AS content,
+  CAST(event_id % 89 AS INT) AS stars,
+  CASE WHEN (event_id % 2500) = 1250 THEN 'TRUNCATE TABLE repos.files'
+       WHEN (event_id % 10000) = 9100
+         THEN 'ALTER TABLE repos.files ADD COLUMN stars INT'
+       ELSE NULL END AS ddl
+FROM events
+""".strip()
+
+
 def derived_changestream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run DERIVED_STREAM_SQL over ``{sf_dir}/events.parquet`` in Spark."""
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
     return spark.sql(DERIVED_STREAM_SQL)
 
 
-def to_change_schema(flat: DataFrame) -> DataFrame:
+def to_change_schema(
+    flat: DataFrame,
+    row_fields: list[tuple[str, str]] | None = None,
+    with_ddl: bool = False,
+) -> DataFrame:
     """Flat derived-stream rows -> the nested CHANGE_SCHEMA envelope
-    (before/after structs per op, FIXTURES.md §2) the apply path consumes."""
-    row = F.struct("repo", "path", "commit", "lang", "content")
+    (before/after structs per op, FIXTURES.md §2) the apply path consumes.
+
+    ``row_fields`` widens the payload struct beyond the default 5-column
+    repo table (e.g. a ``stars int`` column riding a schema-evolution
+    stream); ``with_ddl`` passes the flat stream's ``ddl`` statement
+    through instead of NULL."""
+    fields = row_fields or [("repo", "string"), ("path", "string"),
+                            ("commit", "string"), ("lang", "string"),
+                            ("content", "string")]
+    row = F.struct(*[F.col(n).cast(t).alias(n) for n, t in fields])
     null_row = F.lit(None).cast(
-        "struct<repo:string,path:string,commit:string,lang:string,content:string>"
+        "struct<" + ",".join(f"{n}:{t}" for n, t in fields) + ">"
     )
     return flat.select(
         "gtid",
@@ -163,5 +222,5 @@ def to_change_schema(flat: DataFrame) -> DataFrame:
         "op",
         F.when(F.col("op").isin("UPDATE", "DELETE"), row).otherwise(null_row).alias("before"),
         F.when(F.col("op").isin("INSERT", "UPDATE"), row).otherwise(null_row).alias("after"),
-        F.lit(None).cast("string").alias("ddl"),
+        (F.col("ddl") if with_ddl else F.lit(None)).cast("string").alias("ddl"),
     )

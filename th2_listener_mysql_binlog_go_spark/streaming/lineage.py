@@ -29,6 +29,7 @@ LINEAGE_SCHEMA = pa.schema(
         ("rows_deleted", pa.int64()),
         ("ddl_applied", pa.int32()),
         ("wall_ms", pa.int64()),
+        ("table_name", pa.string()),  # 'schema.table' routing target; NULL in single-table runs
     ]
 )
 

@@ -145,3 +145,117 @@ class ReplayRunner:
                 self.lineage.write(rows)
         total["watermark_gtid"] = self.table.watermark_gtid
         return total
+
+
+class CatalogReplayRunner:
+    """Multi-table replay over a :class:`~..plans.catalog.LakeCatalog`.
+
+    Same deterministic gtid-span batch planning and resume semantics as
+    :class:`ReplayRunner`, but batch progress (``watermark_gtid``,
+    ``last_complete_batch``) persists in *catalog* properties — the
+    per-table exactly-once guards (sub-batch ids, per-table watermarks)
+    make a crash-replayed batch a per-pair no-op, so a crash between the
+    last table's commit and the catalog property update just replays one
+    batch of guarded no-ops."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog,
+        batch_span: int = 100_000,
+        config: ApplyConfig | None = None,
+        lineage_dir: str | None = None,
+    ):
+        from ..operators.multi import MultiTableApplier
+
+        self.spark = spark
+        self.catalog = catalog
+        self.batch_span = batch_span
+        self.applier = MultiTableApplier(catalog, config)
+        self.lineage = LineageWriter(lineage_dir) if lineage_dir else None
+
+    @property
+    def watermark_gtid(self) -> int:
+        return int(self.catalog.properties.get("watermark_gtid", "-1"))
+
+    def run(self, stream: DataFrame, max_batches: int | None = None,
+            allow_gaps: bool = False) -> dict:
+        bounds = stream.agg(
+            F.min("gtid").alias("lo"), F.max("gtid").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return {"batches": 0, "events": 0}
+        lo, hi = bounds["lo"], bounds["hi"]
+        wm = self.watermark_gtid
+        if wm >= hi:
+            return {"batches": 0, "events": 0, "clamped": True}
+        if wm >= 0 and wm < lo - 1 and not allow_gaps:
+            raise RuntimeError(
+                f"source no longer covers watermark {wm} (min gtid {lo}); "
+                "pass allow_gaps=True to restart from earliest available"
+            )
+
+        span = self.batch_span
+        done = int(self.catalog.properties.get("last_complete_batch", "-1"))
+        k0 = max(lo // span, (wm // span) if wm >= 0 else 0, done + 1)
+
+        from ..operators.apply import ddl_candidates_cond
+
+        ddl_all = sorted(
+            (
+                stream.filter(ddl_candidates_cond() & (F.col("gtid") >= k0 * span))
+                .select("gtid", "op", "ddl", "schema_name", "table_name")
+                .collect()
+            ),
+            key=lambda r: r["gtid"],
+        )
+        k1 = hi // span
+        total = {"batches": 0, "events": 0, "rows_inserted": 0, "rows_updated": 0,
+                 "rows_deleted": 0, "ddl_applied": 0}
+        for k in range(k0, k1 + 1):
+            if max_batches is not None and total["batches"] >= max_batches:
+                break
+            t0 = time.monotonic()
+            batch = stream.filter(
+                (F.col("gtid") >= k * span) & (F.col("gtid") < (k + 1) * span)
+            )
+            is_tail = k == k1
+            m = self.applier.apply(
+                batch, batch_id=k,
+                precollected_ddl=[
+                    r for r in ddl_all if k * span <= r["gtid"] < (k + 1) * span
+                ],
+                resume_within_batch=(k == k0),
+            )
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            props = {"watermark_gtid": str(min(hi, (k + 1) * span - 1))}
+            if not is_tail:
+                # only a batch the source provably extends past is complete;
+                # a growing tail batch must be re-entered on resume
+                props["last_complete_batch"] = str(k)
+            self.catalog.set_properties(props)
+            total["batches"] += 1
+            for key in ("rows_inserted", "rows_updated", "rows_deleted", "ddl_applied"):
+                total[key] += m[key]
+            total["events"] += m["rows_inserted"] + m["rows_updated"] + m["rows_deleted"]
+            if self.lineage:
+                rows = []
+                for tname, tm in m["tables"].items():
+                    base = {
+                        "batch_id": k, "gtid_min": k * span,
+                        "gtid_max": min((k + 1) * span - 1, hi),
+                        "rows_inserted": tm["rows_inserted"],
+                        "rows_updated": tm["rows_updated"],
+                        "rows_deleted": tm["rows_deleted"],
+                        "rows_applied": tm["rows_inserted"] + tm["rows_updated"] + tm["rows_deleted"],
+                        "ddl_applied": tm["ddl_applied"], "wall_ms": wall_ms,
+                        "table_name": tname,
+                    }
+                    rows.append(dict(base, partition_id=-1))
+                    rows += [
+                        dict(base, partition_id=int(b), rows_applied=int(n))
+                        for b, n in tm.get("partitions", [])
+                    ]
+                self.lineage.write(rows)
+        total["watermark_gtid"] = self.watermark_gtid
+        return total
