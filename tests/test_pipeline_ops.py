@@ -125,6 +125,35 @@ def test_neardup_embeddings(spark, embs):
     assert pairs == {(0, 1)}
 
 
+def test_size_balanced_repartition_packs_bytes(spark):
+    """Packs carry ~target bytes each (true running cumsum, VERDICT fix):
+    byte-skewed rows (every 10th is 100x) still land in even-byte packs."""
+    import pyspark.sql.functions as F
+
+    rows = [(i, 100_000 if i % 10 == 0 else 1_000) for i in range(200)]
+    df = spark.createDataFrame(rows, "media_id bigint, nbytes bigint")
+    target, max_row = 150_000, 100_000
+    packed, n_packs = mm.size_balanced_pack_ids(
+        df, "nbytes", order_col="media_id", target_bytes=target, chunk_span=50)
+    total = sum(b for _, b in rows)
+    assert n_packs == -(-total // target)
+    per_pack = {r["_pack_id"]: r["s"] for r in
+                packed.groupBy("_pack_id").agg(F.sum("nbytes").alias("s")).collect()}
+    assert set(per_pack) == set(range(n_packs))
+    for p, s in per_pack.items():
+        assert s <= target + max_row, (p, s)
+        if p < n_packs - 1:
+            assert s >= target - max_row, (p, s)
+    # the physical repartition puts one pack per partition
+    out = mm.size_balanced_repartition(df, "nbytes", order_col="media_id",
+                                       target_bytes=target, chunk_span=50)
+    sizes = (out.withColumn("pid", F.spark_partition_id())
+             .groupBy("pid").agg(F.sum("nbytes").alias("s")).collect())
+    # range sampling may merge adjacent packs at a boundary, never worse
+    assert n_packs - 2 <= len(sizes) <= n_packs
+    assert all(r["s"] <= 2 * (target + max_row) for r in sizes)
+
+
 def test_multimodal_decode_stub(spark, docs):
     media = mm.synthesize_media(docs, "doc_id", "text")
     assert dict(media.dtypes)["payload"] == "binary"

@@ -2,9 +2,18 @@
 reference's published format) -> vectorized decode -> full replay must
 converge to the same state as replaying the original stream."""
 
+import pyspark.sql.functions as F
+
 from th2_listener_mysql_binlog_go_spark.plans.lake import LakeTable
-from th2_listener_mysql_binlog_go_spark.sources.changestream import synthetic_changestream
-from th2_listener_mysql_binlog_go_spark.sources.rawjson import decode_stream, encode_stream
+from th2_listener_mysql_binlog_go_spark.sources.changestream import (
+    CHANGE_SCHEMA,
+    synthetic_changestream,
+)
+from th2_listener_mysql_binlog_go_spark.sources.rawjson import (
+    decode_stream,
+    encode_stream,
+    encode_stream_batched,
+)
 from th2_listener_mysql_binlog_go_spark.streaming.runner import ReplayRunner
 
 from .oracle import df_fingerprint
@@ -36,3 +45,62 @@ def test_roundtrip_replay_equivalence(spark, tmp_path):
     fp1 = df_fingerprint([r.asDict() for r in t1.read().collect()])
     fp2 = df_fingerprint([r.asDict() for r in t2.read().collect()])
     assert fp1 == fp2 and t1.read().count() > 0
+
+
+def _mk(gtid, log_pos, op, path, content="x" * 40):
+    row = ("r1", path, "c" * 40, "py", content)
+    return (gtid, "binlog.000001", log_pos, gtid, 0, "repos", "files", op,
+            row if op in ("UPDATE", "DELETE") else None,
+            row if op in ("INSERT", "UPDATE") else None, None)
+
+
+def test_batched_encode_consumes_split_plan(spark):
+    """S9→S10 parity (putToBatch, listener.go:265-294): rows sharing a GTID
+    pack into multi-row bean payloads; an oversized INSERT event splits
+    into parts <= max_size, each its own message; UPDATE never splits."""
+    events = (
+        # one 6-row INSERT transaction, rows ~150 bytes each -> must split
+        [_mk(1, 100 + i, "INSERT", f"a{i}.py") for i in range(6)]
+        # one 4-row UPDATE transaction -> unsplittable, single payload
+        + [_mk(2, 200 + i, "UPDATE", f"b{i}.py") for i in range(4)]
+        # singletons
+        + [_mk(3, 300, "DELETE", "z.py")]
+    )
+    stream = spark.createDataFrame(events, CHANGE_SCHEMA)
+    out = encode_stream_batched(stream, max_size=400).cache()
+
+    msgs = {(r["gtid"], r["part_idx"]): r["payload"] for r in out.collect()}
+    ins_parts = [k for k in msgs if k[0] == 1]
+    assert len(ins_parts) > 1  # the INSERT event split
+    assert [k for k in msgs if k[0] == 2] == [(2, 0)]  # UPDATE unsplit
+    # size guarantee: every *split* payload respects the bound
+    for (g, p), payload in msgs.items():
+        if g == 1:
+            assert len(payload) <= 400, (g, p, len(payload))
+    # part contents are ordered, disjoint, complete
+    import json as _json
+
+    seen = []
+    for _, p in sorted(ins_parts):
+        body = _json.loads(msgs[(1, p)])
+        assert body["Operation"] == "INSERT"
+        seen += [r["path"] for r in body["Inserted"]]
+    assert seen == [f"a{i}.py" for i in range(6)]
+
+    # decode of batched messages yields the original row-changes
+    decoded = decode_stream(out)
+    got = sorted((r["gtid"], r["op"],
+                  (r["after"] or r["before"])["path"]) for r in decoded.collect())
+    exp = sorted((e[0], e[7], (e[9] or e[8])[1]) for e in events)
+    assert got == exp
+
+
+def test_batched_encode_ddl_passthrough(spark):
+    stream = spark.createDataFrame(
+        [(9, "binlog.000001", 900, 9, 0, "repos", "files", "TRUNCATE",
+          None, None, "TRUNCATE TABLE repos.files")], CHANGE_SCHEMA)
+    out = encode_stream_batched(stream, max_size=256)
+    r = out.collect()[0]
+    assert r["part_idx"] == 0 and "TRUNCATE TABLE" in r["payload"]
+    d = decode_stream(out).collect()[0]
+    assert d["op"] == "TRUNCATE" and d["ddl"] == "TRUNCATE TABLE repos.files"

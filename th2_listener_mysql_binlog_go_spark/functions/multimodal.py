@@ -99,8 +99,77 @@ def decode_media(df: DataFrame, fake: bool = False, feature_dim: int = 8) -> Dat
     return df.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
 
 
-def size_balanced_repartition(df: DataFrame, bytes_col, target_bytes: int = 64 << 20) -> DataFrame:
+def size_balanced_pack_ids(
+    df: DataFrame,
+    bytes_col,
+    order_col: str = "media_id",
+    target_bytes: int = 64 << 20,
+    chunk_span: int = 1_000_000,
+) -> tuple[DataFrame, int]:
+    """Assign each row a ``_pack_id`` so every pack carries ~``target_bytes``
+    of payload in ``order_col`` order — a true running byte-cumsum, computed
+    scalably in two levels:
+
+    1. rows chunk by ``floor(order_col / chunk_span)``; the within-chunk
+       cumsum is a parallel window per chunk (no global sort);
+    2. chunk byte totals (one row per chunk — bounded driver traffic:
+       10^10 rows at the default span is ~10^4 chunk rows) turn into
+       exclusive prefix offsets, broadcast-joined back;
+    3. global_offset = chunk_base + within_cumsum − row_bytes;
+       ``_pack_id = floor(global_offset / target_bytes)``.
+
+    Returns (df with _pack_id, number of packs)."""
+    est = (F.col(bytes_col) if isinstance(bytes_col, str) else bytes_col).cast("bigint")
+    d = df.withColumn("_sb_bytes", est).withColumn(
+        "_sb_chunk", F.floor(F.col(order_col) / F.lit(chunk_span)).cast("bigint")
+    )
+    totals = sorted(
+        (r["_sb_chunk"], r["t"])
+        for r in d.groupBy("_sb_chunk").agg(F.sum("_sb_bytes").alias("t")).collect()
+    )
+    bases, running = [], 0
+    for chunk, t in totals:
+        bases.append((chunk, running))
+        running += t
+    n_packs = max(1, -(-running // target_bytes))
+    spark = df.sparkSession
+    base_df = spark.createDataFrame(bases, "_sb_chunk bigint, _sb_base bigint")
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_sb_chunk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        d.join(F.broadcast(base_df), "_sb_chunk")
+        .withColumn(
+            "_pack_id",
+            F.floor(
+                (F.col("_sb_base") + F.sum("_sb_bytes").over(w) - F.col("_sb_bytes"))
+                / F.lit(target_bytes)
+            ).cast("bigint"),
+        )
+        .drop("_sb_bytes", "_sb_chunk", "_sb_base")
+    )
+    return out, int(n_packs)
+
+
+def size_balanced_repartition(
+    df: DataFrame,
+    bytes_col,
+    order_col: str = "media_id",
+    target_bytes: int = 64 << 20,
+    chunk_span: int = 1_000_000,
+) -> DataFrame:
     """Repartition so tasks carry comparable *byte* loads (blob tables skew
-    by size, not rows): partition key = byte-bucket of a running estimate."""
-    est = F.ceil(bytes_col / F.lit(target_bytes))
-    return df.repartition(F.pmod(F.xxhash64(F.col("media_id")), F.lit(1024)), est)
+    by size, not rows): one partition per ~``target_bytes`` pack of the
+    running cumulative byte estimate (see :func:`size_balanced_pack_ids`).
+    Range-partitioned on the dense pack id — exactly one pack per task, no
+    balls-in-bins collisions."""
+    packed, n_packs = size_balanced_pack_ids(
+        df, bytes_col, order_col=order_col,
+        target_bytes=target_bytes, chunk_span=chunk_span,
+    )
+    return packed.repartitionByRange(n_packs, F.col("_pack_id")).drop("_pack_id")

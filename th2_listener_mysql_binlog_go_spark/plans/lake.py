@@ -451,6 +451,9 @@ class LakeTable:
         Returns lineage metrics. Replay of an applied batch (batch_id <=
         last_batch_id) is a no-op returning {"skipped": True}.
         """
+        import time as _time
+
+        t_start = _time.monotonic()
         snap = self.snapshot
         if batch_id <= self.last_batch_id:
             return {"skipped": True, "batch_id": batch_id}
@@ -550,7 +553,9 @@ class LakeTable:
         else:
             raise ValueError(f"unknown merge mode {mode!r}")
 
+        t_write_done = _time.monotonic()
         per_bucket = self._footer_rows(self.root, written)
+        t_footer_done = _time.monotonic()
         props = dict(snap.properties)
         batch_max = batch_gtid_max if batch_gtid_max is not None else m.get("max_gtid")
         if batch_max is None:
@@ -577,6 +582,12 @@ class LakeTable:
             "buckets_touched": len(per_bucket),
             "partitions": sorted(per_bucket.items()),
             "version": new_version,
+            # phase walls: the write job (parallel) vs driver-serial
+            # bookkeeping (footer metadata reads + snapshot commit) — what
+            # the scaling bench attributes Amdahl losses to
+            "t_write_s": round(t_write_done - t_start, 4),
+            "t_footer_s": round(t_footer_done - t_write_done, 4),
+            "t_commit_s": round(_time.monotonic() - t_footer_done, 4),
         }
         if mode == "mor" and auto_compact_deltas is not None:
             if auto_compact_deltas == "auto":

@@ -39,6 +39,81 @@ def encode_stream(changes: DataFrame) -> DataFrame:
     return changes.select("gtid", "log_name", "log_pos", "seq", "ts", payload.alias("payload"))
 
 
+def encode_stream_batched(
+    changes: DataFrame,
+    max_size: int,
+    base_size: int = 96,
+) -> DataFrame:
+    """Size-bounded wire encoding — the full S9→S10 pipeline of the
+    reference's ``putToBatch`` (listener.go:265-294): rows sharing a GTID
+    (one transaction event) combine into multi-row bean payloads; an
+    oversized splittable event (INSERT/DELETE) is greedily packed into
+    parts <= ``max_size`` by the exact split semantics of
+    ``DataSlice.split`` (bean.go:129-150) via :func:`...split.split_plan`,
+    and each part serializes as its own message. UPDATE/Query events are
+    never split (update.go:49-55, query.go:48-54).
+
+    Output: (gtid, part_idx, log_name, log_pos, seq, ts, payload) — one row
+    per published message, ``part_idx`` consumed from the split plan.
+    ``base_size`` must upper-bound the envelope header (Record.sizeBytes,
+    bean.go:47-53) so the size guarantee holds."""
+    from ..functions.split import split_plan
+
+    ddl_ops = ("TRUNCATE", "CREATE_TABLE", "DROP_TABLE", "ALTER_TABLE", "QUERY")
+    dml = changes.filter(~F.col("op").isin(*ddl_ops))
+    row_json = (
+        F.when(F.col("op") == "INSERT", F.to_json(F.col("after")))
+        .when(F.col("op") == "DELETE", F.to_json(F.col("before")))
+        .otherwise(F.to_json(F.struct(
+            F.col("before").alias("Before"), F.col("after").alias("After"))))
+    )
+    sized = dml.withColumn("row_json", row_json).withColumn(
+        "est_size", F.octet_length(F.col("row_json"))
+    )
+    planned = split_plan(sized, event_col="gtid", order_col="log_pos",
+                         size_col="est_size", op_col="op",
+                         max_size=max_size, base_size=base_size)
+    field = (
+        F.when(F.col("op") == "INSERT", F.lit("Inserted"))
+        .when(F.col("op") == "DELETE", F.lit("Deleted"))
+        .otherwise(F.lit("Updated"))
+    )
+    grouped = planned.groupBy("gtid", "part_idx").agg(
+        F.min("log_name").alias("log_name"),
+        F.min("log_pos").alias("log_pos"),
+        F.min("seq").alias("seq"),
+        F.min("ts").alias("ts"),
+        F.first("schema_name").alias("schema_name"),
+        F.first("table_name").alias("table_name"),
+        F.first("op").alias("op"),
+        F.array_sort(F.collect_list(F.struct("log_pos", "row_json"))).alias("rows"),
+    )
+    hdr = F.to_json(F.struct(
+        F.col("schema_name").alias("Schema"),
+        F.col("table_name").alias("Table"),
+        F.col("op").alias("Operation"),
+    ))
+    joined = F.array_join(F.transform(F.col("rows"), lambda x: x["row_json"]), ",")
+    payload = F.concat(
+        F.substring(hdr, F.lit(1), F.length(hdr) - 1),
+        F.lit(',"'), field, F.lit('":['), joined, F.lit("]}"),
+    )
+    dml_out = grouped.select(
+        "gtid", F.col("part_idx").cast("int").alias("part_idx"),
+        "log_name", "log_pos", "seq", "ts", payload.alias("payload"),
+    )
+    ddl_out = changes.filter(F.col("op").isin(*ddl_ops)).select(
+        "gtid", F.lit(0).alias("part_idx"), "log_name", "log_pos", "seq", "ts",
+        F.to_json(F.struct(
+            F.col("schema_name").alias("Schema"),
+            F.col("table_name").alias("Table"),
+            F.col("op").alias("Operation"),
+            F.col("ddl").alias("Query"),
+        )).alias("payload"),
+    )
+    return dml_out.unionByName(ddl_out)
+
+
 def decode_stream(raw: DataFrame, row_ddl: str = _ROW_DDL) -> DataFrame:
     """(position cols + payload) -> CHANGE_SCHEMA via the vectorized decoder.
 
