@@ -20,7 +20,10 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from th2_listener_mysql_binlog_go_spark.functions.ddl import SPARK_PATTERNS, classify_ddl_cols
-from th2_listener_mysql_binlog_go_spark.functions.decode import decode_bean_json
+from th2_listener_mysql_binlog_go_spark.functions.decode import (
+    decode_bean_json,
+    decode_positional,
+)
 from th2_listener_mysql_binlog_go_spark.functions import dedup as dd
 from th2_listener_mysql_binlog_go_spark.functions import multimodal as mm
 from th2_listener_mysql_binlog_go_spark.functions import similarity as sim
@@ -214,6 +217,38 @@ def q_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_positional_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True S4: binlog-native positional [][]any rows zipped with ordinal
+    column names (createValues bean.go:152-162; alternating update pairing
+    createUpdatePairs bean.go:164-181) — pure Catalyst array ops."""
+    ev = _events(spark, sf_dir)
+    sid = F.col("event_id").cast("string")
+    n = F.col("user_id").cast("string")
+    n7 = (F.col("user_id") + 7).cast("string")
+    sid1m = (F.col("event_id") + 1000000).cast("string")
+    op = (
+        F.when(F.col("event_id") % 3 == 0, "INSERT")
+        .when(F.col("event_id") % 3 == 1, "UPDATE")
+        .otherwise("DELETE")
+    )
+    rows = (
+        F.when(op == "INSERT", F.array(
+            F.array(sid, F.lit("py"), n), F.array(sid1m, F.lit("go"), n7)))
+        .when(op == "UPDATE", F.array(  # alternating: Before, After
+            F.array(sid, F.lit("xx"), F.lit("0")), F.array(sid, F.lit("py"), n)))
+        .otherwise(F.array(F.array(sid, F.lit("py"), n)))
+    )
+    events = ev.select("event_id", op.alias("op"), rows.alias("rows"))
+    d = decode_positional(events, ["id", "lang", "n_chars"])
+    return d.select(
+        "event_id", "op", F.col("row_idx").cast("int").alias("row_idx"),
+        F.col("before.id").cast("bigint").alias("before_id"),
+        F.col("after.id").cast("bigint").alias("after_id"),
+        F.col("after.lang").alias("after_lang"),
+        F.col("after.n_chars").cast("bigint").alias("after_n"),
+    )
+
+
 def q_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13: deterministic micro-batch planning over the GTID order — batch
     id, gtid range, per-op event counts, and the running high-watermark
@@ -353,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_update_pairing": q_update_pairing,
         "cdc_ddl_classify": q_ddl_classify,
         "cdc_json_decode": q_json_decode,
+        "cdc_positional_decode": q_positional_decode,
         "cdc_size_split_plan": q_size_split_plan,
         "cdc_batch_plan": q_batch_plan,
         "doc_dedup_exact": q_doc_dedup_exact,
@@ -647,6 +683,25 @@ SELECT doc_id, op,
                 json_extract(payload, '$.Updated[' || row_idx || '].After.n_chars')) AS BIGINT) AS after_n_chars
 FROM expanded
 WHERE row_idx = 0 OR op = 'INSERT'
+""".strip(),
+        "cdc_positional_decode": """
+WITH idx AS (SELECT * FROM (VALUES (0), (1)) AS t(i)),
+base AS (
+  SELECT event_id, user_id,
+    CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'INSERT'
+         WHEN 1 THEN 'UPDATE' ELSE 'DELETE' END AS op
+  FROM events
+)
+SELECT event_id, op, CAST(i AS INT) AS row_idx,
+  CASE WHEN op IN ('UPDATE','DELETE') THEN CAST(event_id AS BIGINT) END AS before_id,
+  CASE WHEN op = 'INSERT' THEN CAST(event_id + 1000000 * i AS BIGINT)
+       WHEN op = 'UPDATE' THEN CAST(event_id AS BIGINT) END AS after_id,
+  CASE WHEN op = 'INSERT' THEN (CASE WHEN i = 0 THEN 'py' ELSE 'go' END)
+       WHEN op = 'UPDATE' THEN 'py' END AS after_lang,
+  CASE WHEN op = 'INSERT' THEN CAST(user_id + 7 * i AS BIGINT)
+       WHEN op = 'UPDATE' THEN CAST(user_id AS BIGINT) END AS after_n
+FROM base CROSS JOIN idx
+WHERE i = 0 OR op = 'INSERT'
 """.strip(),
         "cdc_size_split_plan": f"""
 WITH est AS ({SIZE_SQL})

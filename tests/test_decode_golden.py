@@ -108,3 +108,49 @@ def test_multirow_event_explodes_in_order(spark):
     rows = _decode(spark, [body]).orderBy("row_idx").collect()
     assert [r["after"]["id"] for r in rows] == [10, 11, 12]
     assert [r["row_idx"] for r in rows] == [0, 1, 2]
+
+
+# ---------------------------------------------------------------- true S4
+
+def test_positional_decode_zips_ordinals(spark):
+    """Positional [][]any rows bind i-th value to i-th ordinal column name
+    (createValues, bean.go:152-162); UPDATE rows alternate Before/After
+    (createUpdatePairs, bean.go:164-181)."""
+    from th2_listener_mysql_binlog_go_spark.functions.decode import decode_positional
+
+    events = [
+        (1, "INSERT", [["10", "py", "5"], ["11", "go", "6"]]),
+        (2, "UPDATE", [["10", "xx", "0"], ["10", "py", "9"],
+                       ["11", "go", "1"], ["11", "rs", "2"]]),
+        (3, "DELETE", [["10", "py", "5"]]),
+    ]
+    df = spark.createDataFrame(
+        events, "gtid bigint, op string, rows array<array<string>>")
+    out = decode_positional(df, ["id", "lang", "n"])
+    got = sorted((r["gtid"], r["row_idx"],
+                  r["before"] and r["before"]["lang"],
+                  r["after"] and r["after"]["lang"],
+                  r["after"] and r["after"]["n"]) for r in out.collect())
+    assert got == [
+        (1, 0, None, "py", "5"), (1, 1, None, "go", "6"),
+        (2, 0, "xx", "py", "9"), (2, 1, "go", "rs", "2"),
+        (3, 0, "py", None, None),
+    ]
+
+
+def test_load_table_metadata_ordinal_order(spark):
+    """INFORMATION_SCHEMA loader preserves ORDINAL_POSITION order even when
+    rows arrive shuffled (db_metadata.go:85-118)."""
+    from th2_listener_mysql_binlog_go_spark.functions.decode import load_table_metadata
+
+    rows = [
+        ("repos", "files", "content", 5), ("repos", "files", "repo", 1),
+        ("repos", "files", "lang", 4), ("repos", "files", "path", 2),
+        ("repos", "files", "commit", 3),
+        ("other", "t2", "b", 2), ("other", "t2", "a", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "table_schema string, table_name string, column_name string, ordinal_position int")
+    meta = load_table_metadata(df)
+    assert meta[("repos", "files")] == ["repo", "path", "commit", "lang", "content"]
+    assert meta[("other", "t2")] == ["a", "b"]

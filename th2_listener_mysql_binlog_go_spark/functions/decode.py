@@ -83,6 +83,73 @@ def decode_bean_json(df: DataFrame, payload_col: str, row_ddl: str) -> DataFrame
     )
 
 
+def load_table_metadata(columns_df: DataFrame) -> dict[tuple[str, str], list[str]]:
+    """The DbMetadata loader (true S4 prerequisite): an
+    INFORMATION_SCHEMA.COLUMNS-shaped DataFrame
+    (table_schema, table_name, column_name, ordinal_position) -> the
+    three-level ordinal-name map the reference loads once at startup
+    (/root/reference/component/database/db_metadata.go:85-118, query with
+    ORDER BY ORDINAL_POSITION at :87). Bounded driver traffic: one row per
+    column of each observed table."""
+    out: dict[tuple[str, str], list[tuple[int, str]]] = {}
+    for r in columns_df.select("table_schema", "table_name", "column_name",
+                               "ordinal_position").collect():
+        out.setdefault((r["table_schema"], r["table_name"]), []).append(
+            (r["ordinal_position"], r["column_name"])
+        )
+    return {k: [name for _, name in sorted(v)] for k, v in out.items()}
+
+
+def decode_positional(
+    df: DataFrame,
+    column_names: list[str],
+    rows_col: str = "rows",
+    op_col: str = "op",
+) -> DataFrame:
+    """True S4: positional row decode — binlog-native ``[][]any`` rows
+    zipped with ordinal column names (createValues, bean.go:152-162).
+
+    ``df`` carries one event per row: ``op`` (INSERT/UPDATE/DELETE) and
+    ``rows_col: array<array<string>>`` — the i-th inner value binds to
+    ``column_names[i]``. UPDATE events carry *alternating* before/after
+    rows (even=Before, odd=After — createUpdatePairs, bean.go:164-181).
+    Output: one row per row-change with ``row_idx``, ``before``/``after``
+    structs. Pure Catalyst (element_at/filter/zip_with over arrays inside
+    whole-stage codegen): the plan binds the column list at compile time,
+    exactly as the reference binds DbMetadata once at startup — no Python.
+    """
+    def zip_row(r):
+        return F.struct(*[F.element_at(r, i + 1).alias(c)
+                          for i, c in enumerate(column_names)])
+
+    null_row = F.lit(None).cast(
+        "struct<" + ",".join(f"{c}:string" for c in column_names) + ">"
+    )
+    rows = F.col(rows_col)
+    op = F.col(op_col)
+    mk = lambda b, a: F.struct(b.alias("before"), a.alias("after"))  # noqa: E731
+    # UPDATE: alternating rows -> pairs. The two-arg lambda of F.filter
+    # binds the element index (the same binding that makes two-arg
+    # F.transform a foot-gun elsewhere — here it is the point).
+    befores = F.filter(rows, lambda x, i: i % 2 == 0)
+    afters = F.filter(rows, lambda x, i: i % 2 == 1)
+    items = (
+        F.when(op == "INSERT", F.transform(rows, lambda r: mk(null_row, zip_row(r))))
+        .when(op == "DELETE", F.transform(rows, lambda r: mk(zip_row(r), null_row)))
+        .when(op == "UPDATE",
+              F.zip_with(befores, afters, lambda b, a: mk(zip_row(b), zip_row(a))))
+        .otherwise(F.array())
+    )
+    return df.select(
+        "*", F.posexplode_outer(items).alias("row_idx", "_pair")
+    ).select(
+        *df.columns,
+        "row_idx",
+        F.col("_pair.before").alias("before"),
+        F.col("_pair.after").alias("after"),
+    ).drop(rows_col)
+
+
 def encode_bean_json(schema_name: Column, table_name: Column, op: Column,
                      before: Column, after: Column) -> Column:
     """Inverse surface (S7 serialize analogue) for tests/debug: a single

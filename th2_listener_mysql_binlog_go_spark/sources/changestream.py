@@ -111,6 +111,20 @@ def synthetic_changestream(
     return df
 
 
+def composite_gtid(log_name_col, log_pos_col):
+    """Total order from the reference's (name, pos) checkpoint token
+    (/root/reference/README.md:62; ROTATE handling listener.go:183-189):
+    the numeric binlog-file suffix shifted above any possible byte offset,
+    plus the within-file position. A file rollover (ROTATE) resets pos to
+    ~4 but increments the suffix, so the composite stays strictly
+    monotonic across rotations — use it as the engine's ``gtid`` for
+    binlog-native sources that carry only (name, pos). Pure Catalyst
+    (regexp compiled once by codegen). Max pos per file is bounded by
+    max_binlog_size (<= 1 GiB in MySQL), far under the 2^40 shift."""
+    idx = F.regexp_extract(log_name_col, r"(\d+)\s*$", 1).cast("bigint")
+    return idx * F.lit(1 << 40) + log_pos_col.cast("bigint")
+
+
 # --------------------------------------------------------------------------
 # Oracle-parity derived stream: identical SQL text runs in Spark and DuckDB.
 # Arithmetic/md5/CASE only — no xxhash64, no engine-specific functions.
