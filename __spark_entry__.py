@@ -118,9 +118,9 @@ def q_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: full engine replay (decode -> filter -> segment -> LWW ->
-    copy-on-write MERGE commits) of the derived stream into a lake table;
-    returns the converged final state."""
+    """Flagship: full engine replay (decode -> filter -> segment ->
+    merge-on-read delta commits -> read-time LWW) of the derived stream
+    into a lake table; returns the converged final state."""
     flat = derived_changestream(spark, sf_dir)
     nested = to_change_schema(flat)
     b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]

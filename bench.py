@@ -4,9 +4,10 @@ local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 The headline metric is end-to-end CDC apply throughput: a deterministic
 synthetic change stream (scaled off the sf dir's event count) replayed
-through the full engine (decode -> filter -> segment -> LWW -> bucketed
-copy-on-write MERGE commits) into a fresh lake table. Per-query wall
-times for the oracle-checked operators are reported alongside.
+through the full engine (decode -> filter -> segment -> bucketed
+merge-on-read delta commits -> final compaction, the default MOR path)
+into a fresh lake table. Per-query wall times for the oracle-checked
+operators are reported alongside.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), CDC_BENCH_EVENTS (override stream size),

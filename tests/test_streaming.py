@@ -8,7 +8,10 @@ from th2_listener_mysql_binlog_go_spark.sources.changestream import (
     CHANGE_SCHEMA,
     synthetic_changestream,
 )
-from th2_listener_mysql_binlog_go_spark.streaming.structured import StreamingApplier
+from th2_listener_mysql_binlog_go_spark.streaming.structured import (
+    StreamingApplier,
+    StreamingCatalogApplier,
+)
 
 from .oracle import df_fingerprint, replay_oracle, state_fingerprint
 
@@ -52,3 +55,32 @@ def test_streaming_drain_and_resume(spark, tmp_path):
     got = df_fingerprint([r.asDict() for r in LakeTable.load(spark, table.root).read().collect()])
     assert got == expected
     assert os.path.exists(str(tmp_path / "lin"))
+
+
+def test_streaming_catalog_multitable_drain(spark, tmp_path):
+    """Multi-table streaming shell: one foreachBatch drain routes to both
+    observed tables and converges each to its per-table oracle."""
+    from th2_listener_mysql_binlog_go_spark.operators.apply import ApplyConfig
+    from th2_listener_mysql_binlog_go_spark.plans.catalog import LakeCatalog
+
+    src = str(tmp_path / "events")
+    full = synthetic_changestream(spark, 2000, n_repos=30, n_paths=50, truncate_per_10k=20)
+    full.repartition(4).write.parquet(src)
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"))
+    for t in ("files", "shadow_table"):
+        cat.create_table("repos", t, SCHEMA, ["repo", "path"], num_buckets=4)
+    cfg = ApplyConfig(observed={"repos": ["files", "shadow_table"]}, num_buckets=4)
+    sca = StreamingCatalogApplier(spark, cat, config=cfg, lineage_dir=str(tmp_path / "lin"))
+    q = sca.start(src, str(tmp_path / "ckpt"), CHANGE_SCHEMA, available_now=True,
+                  max_files_per_trigger=2)
+    q.awaitTermination(300)
+
+    evs = _oracle_events(full)
+    for t in ("files", "shadow_table"):
+        expected = state_fingerprint(replay_oracle(evs, observed_tables={t}))
+        got = df_fingerprint([r.asDict() for r in cat.get("repos", t).read().collect()])
+        assert got == expected, t
+    lin = spark.read.parquet(str(tmp_path / "lin"))
+    assert {r["table_name"] for r in lin.select("table_name").distinct().collect()} == \
+        {"repos.files", "repos.shadow_table"}

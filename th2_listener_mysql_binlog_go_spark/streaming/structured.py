@@ -91,3 +91,69 @@ class StreamingApplier:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+class StreamingCatalogApplier:
+    """Multi-table streaming shell: the same foreachBatch loop fanned out
+    over a :class:`~..plans.catalog.LakeCatalog` — every observed
+    (schema, table) pair applies per epoch, CREATE/DROP TABLE execute in
+    GTID order (see :class:`~..operators.multi.MultiTableApplier`)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog,
+        config: ApplyConfig | None = None,
+        lineage_dir: str | None = None,
+    ):
+        from ..operators.multi import MultiTableApplier
+
+        self.spark = spark
+        self.applier = MultiTableApplier(catalog, config)
+        self.lineage = LineageWriter(lineage_dir) if lineage_dir else None
+
+    def start(
+        self,
+        source_dir: str,
+        checkpoint_dir: str,
+        schema_ddl: str,
+        available_now: bool = True,
+        max_files_per_trigger: int | None = None,
+    ) -> StreamingQuery:
+        reader = self.spark.readStream.schema(schema_ddl)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(source_dir)
+
+        def handle(batch_df, epoch_id: int) -> None:
+            import time
+
+            t0 = time.monotonic()
+            m = self.applier.apply(batch_df, batch_id=int(epoch_id))
+            if self.lineage:
+                wall_ms = int((time.monotonic() - t0) * 1000)
+                rows = []
+                for tname, tm in m["tables"].items():
+                    base = {
+                        "batch_id": int(epoch_id), "gtid_min": None, "gtid_max": None,
+                        "rows_inserted": tm["rows_inserted"],
+                        "rows_updated": tm["rows_updated"],
+                        "rows_deleted": tm["rows_deleted"],
+                        "rows_applied": tm["rows_inserted"] + tm["rows_updated"] + tm["rows_deleted"],
+                        "ddl_applied": tm["ddl_applied"], "wall_ms": wall_ms,
+                        "table_name": tname,
+                    }
+                    rows.append(dict(base, partition_id=-1))
+                    rows += [
+                        dict(base, partition_id=int(b), rows_applied=int(n))
+                        for b, n in tm.get("partitions", [])
+                    ]
+                self.lineage.write(rows)
+
+        writer = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
