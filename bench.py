@@ -85,10 +85,11 @@ def main() -> None:
         spark, table, batch_span=max(n_events // 8, 1),
         config=ApplyConfig(files_per_bucket=4),
         lineage_dir=os.path.join(tmp, "lineage"),
+        pipeline_depth=int(os.environ.get("CDC_BENCH_PIPELINE", "3")),
     )
     t0 = time.monotonic()
     runner.run(stream)
-    table.compact()  # converge to delta-free base: part of the measured work
+    table.compact(files_per_bucket=4)  # converge to delta-free base: part of the measured work
     apply_sec = time.monotonic() - t0
     times["cdc_apply_replay"] = round(apply_sec, 3)
     final_rows = table.read().count()

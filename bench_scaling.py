@@ -87,10 +87,15 @@ ReplayRunner(spark, warm_table, batch_span=10_000, config=cfg).run(stream.filter
 warm_table.compact()
 shutil.rmtree(warm_tmp, ignore_errors=True)
 
-runner = ReplayRunner(spark, table, batch_span=max(n_events // int(sys.argv[3]), 1), config=cfg)
+# Pipelined replay: stage (write) jobs of consecutive batches overlap,
+# commits stay ordered — keeps wide hosts busy across the per-batch
+# serial sections (codegen compile, sampling, scheduling).
+depth = int(os.environ.get("SCALING_PIPELINE", "3"))
+runner = ReplayRunner(spark, table, batch_span=max(n_events // int(sys.argv[3]), 1),
+                      config=cfg, pipeline_depth=depth)
 t0 = time.monotonic()
 runner.run(stream)
-table.compact()  # converge to delta-free base: part of the measured work
+table.compact(files_per_bucket=4)  # converge to delta-free base: part of the measured work
 dt = time.monotonic() - t0
 print(json.dumps({"cores": cores, "sec": dt, "events_per_sec": n_events / dt}))
 spark.stop()

@@ -2,7 +2,6 @@
 reference's published format) -> vectorized decode -> full replay must
 converge to the same state as replaying the original stream."""
 
-import pyspark.sql.functions as F
 
 from th2_listener_mysql_binlog_go_spark.plans.lake import LakeTable
 from th2_listener_mysql_binlog_go_spark.sources.changestream import (

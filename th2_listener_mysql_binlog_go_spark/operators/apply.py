@@ -258,6 +258,44 @@ class BatchApplier:
         # single-target apply (no catalog); recorded as classified-only.
         return False
 
+    # ------------------------------------------------------------ pipelined fast path
+
+    def stage_batch(self, batch: DataFrame) -> dict:
+        """The expensive half of a NO-DDL mor batch: flatten + delta-file
+        write, no snapshot commit. Safe to run concurrently with other
+        batches' stage jobs (distinct commit dirs, table never read) —
+        the replay runner pipelines these and serializes only
+        :meth:`commit_batch`. Callers must ensure the batch carries no
+        DDL for observed tables (the runner's prescan knows)."""
+        return self.table.stage_mor_delta(
+            self.flatten_dml(batch),
+            files_per_bucket=self.config.files_per_bucket,
+            mor_dedup=self.config.mor_dedup,
+        )
+
+    def commit_batch(self, staged: dict, batch_id: int,
+                     final_extra_props: dict[str, str] | None = None) -> dict:
+        """Ordered metadata commit of a staged no-DDL batch (sub-id slot 0
+        of the batch's 1024-slot space, same guard as the segment loop)."""
+        m = self.table.commit_staged(
+            staged, batch_id * 1024,
+            extra_properties=final_extra_props,
+            auto_compact_deltas=self.config.auto_compact_deltas,
+            files_per_bucket=self.config.files_per_bucket,
+        )
+        metrics = {
+            "batch_id": batch_id, "rows_inserted": 0, "rows_updated": 0,
+            "rows_deleted": 0, "ddl_applied": 0, "ddl_dropped": 0,
+            "segments": 0, "buckets_touched": 0, "partitions": [],
+        }
+        if not m.get("skipped"):
+            metrics.update(
+                rows_inserted=m["rows_inserted"], rows_updated=m["rows_updated"],
+                rows_deleted=m["rows_deleted"], segments=1,
+                buckets_touched=m["buckets_touched"], partitions=m["partitions"],
+            )
+        return metrics
+
     # ------------------------------------------------------------ main
 
     def apply(self, batch: DataFrame, batch_id: int,

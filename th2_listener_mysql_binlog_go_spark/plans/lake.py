@@ -423,6 +423,130 @@ class LakeTable:
 
     # ---------------------------------------------------------------- merge
 
+    def stage_mor_delta(
+        self,
+        changes: DataFrame,
+        files_per_bucket: int = 1,
+        mor_dedup: bool = False,
+        label: str = "staged",
+    ) -> dict:
+        """Run the expensive half of a MOR merge — the delta-file write job —
+        WITHOUT committing a snapshot. Returns a staged-commit dict for
+        :meth:`commit_staged`.
+
+        This split is what lets the replay runner PIPELINE batches: delta
+        writes of consecutive batches are independent Spark jobs (distinct
+        commit dirs, no table reads), so they may run concurrently; only
+        the snapshot pointer swap must serialize, in batch order. A crash
+        leaves staged files unreachable from any snapshot — the same
+        orphan-cleanup story as a crashed writer (module docstring)."""
+        import time as _time
+
+        t_start = _time.monotonic()
+        snap = self.snapshot
+        keys = snap.key_names
+        avail = set(changes.columns)
+        proj = [
+            F.col(c.name).cast(c.type).alias(c.name) if c.name in avail
+            else F.lit(None).cast(c.type).alias(c.name)
+            for c in snap.columns
+        ]
+        seq = F.col(SEQ_COL).cast("bigint") if SEQ_COL in avail else F.lit(0).cast("bigint")
+        changes = changes.select(*proj, OP_COL, GTID_COL, seq.alias(SEQ_COL)).withColumn(
+            BUCKET_COL, self.bucket_expr()
+        )
+        obs = Observation(f"stage-{label}-{uuid.uuid4().hex[:6]}")
+        winners = changes
+        if mor_dedup:
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(GTID_COL).desc(), F.col(SEQ_COL).desc()
+            )
+            winners = changes.withColumn("_rn", F.row_number().over(w)).filter(
+                F.col("_rn") == 1
+            ).drop("_rn")
+        metrics = [
+            F.sum(F.when(F.col(OP_COL) != "DELETE", 1).otherwise(0)).alias("rows_upserted"),
+            F.sum(F.when(F.col(OP_COL) == "DELETE", 1).otherwise(0)).alias("rows_deleted"),
+            F.max(F.col(GTID_COL)).alias("max_gtid"),
+            F.min(F.col(GTID_COL)).alias("min_gtid"),
+        ]
+        commit_dir_rel = os.path.join("data", f"s{uuid.uuid4().hex[:12]}")
+        self._write_files(winners, commit_dir_rel, with_op=True,
+                          files_per_bucket=files_per_bucket,
+                          obs=obs, metrics=metrics)
+        m = self._obs_get_safe(obs)
+        written = self._list_commit_files(commit_dir_rel, snap.epoch, "delta")
+        return {
+            "written": written,
+            "epoch": snap.epoch,
+            "counts": {
+                "rows_inserted": int(m.get("rows_upserted") or 0),
+                "rows_updated": 0,
+                "rows_deleted": int(m.get("rows_deleted") or 0),
+            },
+            "min_gtid": m.get("min_gtid"),
+            "max_gtid": m.get("max_gtid"),
+            "t_write_s": round(_time.monotonic() - t_start, 4),
+        }
+
+    def commit_staged(
+        self,
+        staged: dict,
+        batch_id: int,
+        extra_properties: dict[str, str] | None = None,
+        auto_compact_deltas: int | str | None = None,
+        files_per_bucket: int = 1,
+    ) -> dict:
+        """Commit a staged delta write as batch ``batch_id`` (ordered,
+        driver-serial, O(metadata)). Same exactly-once guard as merge():
+        an already-applied batch id is a no-op (the staged files stay
+        orphaned — harmless, unreachable)."""
+        import time as _time
+
+        t0 = _time.monotonic()
+        snap = self.snapshot
+        if batch_id <= self.last_batch_id:
+            return {"skipped": True, "batch_id": batch_id}
+        if staged["epoch"] != snap.epoch:
+            raise RuntimeError(
+                f"staged write at epoch {staged['epoch']} cannot commit at "
+                f"epoch {snap.epoch}: schema evolved mid-pipeline (barrier bug)"
+            )
+        written = staged["written"]
+        per_bucket = self._footer_rows(self.root, written)
+        props = dict(snap.properties)
+        batch_max = staged["max_gtid"] if staged["max_gtid"] is not None else self.watermark_gtid
+        props["watermark_gtid"] = str(max(self.watermark_gtid, batch_max))
+        props["last_batch_id"] = str(batch_id)
+        extra = dict(extra_properties or {})
+        if "truncate_gtid" in extra:
+            extra["truncate_gtid"] = str(max(self.truncate_gtid, int(extra["truncate_gtid"])))
+        props.update(extra)
+        new_version = snap.version + 1
+        self._write_snapshot(Snapshot(
+            version=new_version, columns=snap.columns, key_ids=snap.key_ids,
+            num_buckets=snap.num_buckets, epoch=snap.epoch,
+            epoch_schemas=snap.epoch_schemas, files=snap.files + written,
+            properties=props, parent=snap.version,
+        ))
+        result = {
+            "skipped": False, "batch_id": batch_id, **staged["counts"],
+            "gtid_min": staged["min_gtid"], "gtid_max": staged["max_gtid"],
+            "buckets_touched": len(per_bucket),
+            "partitions": sorted(per_bucket.items()),
+            "version": new_version,
+            "t_write_s": staged["t_write_s"],
+            "t_footer_s": 0.0,
+            "t_commit_s": round(_time.monotonic() - t0, 4),
+        }
+        if auto_compact_deltas is not None:
+            if auto_compact_deltas == "auto":
+                auto_compact_deltas = 8 * snap.num_buckets * max(files_per_bucket, 1)
+            n_delta = sum(1 for fi in self.snapshot.files if fi.get("kind") == "delta")
+            if n_delta > auto_compact_deltas:
+                result["compacted_buckets"] = self.compact(files_per_bucket=files_per_bucket)
+        return result
+
     def merge(
         self,
         changes: DataFrame,
@@ -597,7 +721,7 @@ class LakeTable:
                 auto_compact_deltas = 8 * snap.num_buckets * max(files_per_bucket, 1)
             n_delta = sum(1 for fi in self.snapshot.files if fi.get("kind") == "delta")
             if n_delta > auto_compact_deltas:
-                result["compacted_buckets"] = self.compact()
+                result["compacted_buckets"] = self.compact(files_per_bucket=files_per_bucket)
         return result
 
     # ---------------------------------------------------------------- DDL
@@ -668,11 +792,21 @@ class LakeTable:
 
     # ---------------------------------------------------------------- maintenance
 
-    def compact(self, target_buckets: list[int] | None = None) -> int:
+    def compact(self, target_buckets: list[int] | None = None,
+                files_per_bucket: int = 1) -> int:
         """Fold deltas into base and coalesce multi-file buckets: rewrite
         every bucket that has delta files or >1 base file into fresh
         single-epoch base files. The 100 TB analogue of Iceberg's
-        rewrite_data_files / Hudi compaction; bounded to the dirty buckets."""
+        rewrite_data_files / Hudi compaction; bounded to the dirty buckets.
+
+        Plan shape: ONE range exchange on (bucket, salt) — a key maps to
+        exactly one (bucket, salt) cell, so the LWW window runs *within*
+        the write partitioning (Catalyst elides the second exchange) and
+        the winners stream straight into the per-bucket parquet write.
+        ``files_per_bucket`` splits hot buckets across tasks AND bounds the
+        per-task sort to one cell (~table_bytes / (buckets*fpb)) — the
+        two-shuffle variant sorted whole key-hash partitions and thrashed
+        memory at high core counts."""
         snap = self.snapshot
         from collections import Counter
 
@@ -684,12 +818,42 @@ class LakeTable:
         if not todo:
             return 0
         keep = [fi for fi in snap.files if fi["bucket"] not in todo]
-        df = self.read(include_meta=True, snapshot=snap.sub(
-            [fi for fi in snap.files if fi["bucket"] in todo]
-        ))
+        src = [fi for fi in snap.files if fi["bucket"] in todo]
+        keys = snap.key_names
+        trunc = int(snap.properties.get("truncate_gtid", "-1"))
+
+        base = self._read_mapped(snap, [fi for fi in src if fi.get("kind", "base") == "base"],
+                                 with_op=False)
+        delta = self._read_mapped(snap, [fi for fi in src if fi.get("kind") == "delta"],
+                                  with_op=True)
+        if base is not None:
+            base = base.withColumn(OP_COL, F.lit(_KEEP))
+        df = base.unionByName(delta) if base is not None and delta is not None else (base or delta)
+        if trunc >= 0:
+            df = df.filter(F.col(GTID_COL) > trunc)
+
+        fpb = max(files_per_bucket, 1)
+        salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.lit(7)), F.lit(fpb))
+        n_parts = len(todo) * fpb
+        out = df.withColumn("_salt", salt).repartitionByRange(
+            n_parts, F.col(BUCKET_COL), F.col("_salt")
+        )
+        w = Window.partitionBy(BUCKET_COL, "_salt", *keys).orderBy(
+            F.col(GTID_COL).desc(), F.col(SEQ_COL).desc(),
+            (F.col(OP_COL) == _KEEP).asc(),
+        )
+        winners = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col(OP_COL) != "DELETE"))
+        )
+        cols = self._physical_out_cols(snap) + [F.col(GTID_COL), F.col(SEQ_COL), F.col(BUCKET_COL)]
         new_version = snap.version + 1
         commit_dir_rel = os.path.join("data", f"k{new_version:012d}-{uuid.uuid4().hex[:8]}")
-        self._write_files(df, commit_dir_rel, with_op=False)
+        (
+            winners.select(*cols, F.col(BUCKET_COL).alias("_bucket_p"))
+            .write.partitionBy("_bucket_p")
+            .parquet(os.path.join(self.root, commit_dir_rel))
+        )
         files = keep + self._list_commit_files(commit_dir_rel, snap.epoch, "base")
         self._write_snapshot(Snapshot(
             version=new_version, columns=snap.columns, key_ids=snap.key_ids,

@@ -45,12 +45,23 @@ class ReplayRunner:
         batch_span: int = 100_000,
         config: ApplyConfig | None = None,
         lineage_dir: str | None = None,
+        pipeline_depth: int = 1,
     ):
+        """``pipeline_depth`` > 1 overlaps the delta-WRITE jobs of up to
+        that many consecutive no-DDL mor batches (independent Spark jobs,
+        distinct commit dirs) while snapshot commits stay strictly batch-
+        ordered — the Iceberg-style split of parallel data writes from a
+        serial metadata pointer swap. Batches carrying DDL (or a partial
+        resume) drain the pipeline and run through the sequential
+        segment/DDL path unchanged, so evolution ordering is preserved.
+        Exactly-once is untouched: a crash orphans staged (uncommitted,
+        unreachable) files — the same story as any crashed writer."""
         self.spark = spark
         self.table = table
         self.batch_span = batch_span
         self.applier = BatchApplier(table, config)
         self.lineage = LineageWriter(lineage_dir) if lineage_dir else None
+        self.pipeline_depth = max(1, pipeline_depth)
 
     def run(
         self,
@@ -102,28 +113,8 @@ class ReplayRunner:
         k1 = hi // span
         total = {"batches": 0, "events": 0, "rows_inserted": 0, "rows_updated": 0,
                  "rows_deleted": 0, "ddl_applied": 0}
-        for k in range(k0, k1 + 1):
-            if max_batches is not None and total["batches"] >= max_batches:
-                break
-            t0 = time.monotonic()
-            batch = stream.filter(
-                (F.col("gtid") >= k * span) & (F.col("gtid") < (k + 1) * span)
-            )
-            # Only a batch the source provably extends past may be marked
-            # complete; the tail batch of an append-only source can still
-            # grow, and resume must re-enter it (within-batch mode) rather
-            # than skip it.
-            is_tail = k == k1
-            partial_before = self.table.last_batch_id // 1024 == k
-            m = self.applier.apply(
-                batch, batch_id=k,
-                final_extra_props=None if is_tail else {"last_complete_batch": str(k)},
-                precollected_ddl=[
-                    r for r in ddl_all if k * span <= r["gtid"] < (k + 1) * span
-                ],
-                resume_within_batch=partial_before,
-            )
-            wall_ms = int((time.monotonic() - t0) * 1000)
+
+        def record(k: int, m: dict, wall_ms: int) -> None:
             total["batches"] += 1
             for key in ("rows_inserted", "rows_updated", "rows_deleted", "ddl_applied"):
                 total[key] += m[key]
@@ -143,6 +134,74 @@ class ReplayRunner:
                     for b, n in m.get("partitions", [])
                 ]
                 self.lineage.write(rows)
+
+        ks = [k for k in range(k0, k1 + 1)]
+        if max_batches is not None:
+            ks = ks[:max_batches]
+        ddl_by_k = {
+            k: [r for r in ddl_all if k * span <= r["gtid"] < (k + 1) * span]
+            for k in ks
+        }
+
+        def batch_df(k: int) -> DataFrame:
+            return stream.filter(
+                (F.col("gtid") >= k * span) & (F.col("gtid") < (k + 1) * span)
+            )
+
+        def sequential(k: int) -> None:
+            t0 = time.monotonic()
+            # Only a batch the source provably extends past may be marked
+            # complete; the tail batch of an append-only source can still
+            # grow, and resume must re-enter it (within-batch mode) rather
+            # than skip it.
+            m = self.applier.apply(
+                batch_df(k), batch_id=k,
+                final_extra_props=None if k == k1 else {"last_complete_batch": str(k)},
+                precollected_ddl=ddl_by_k[k],
+                resume_within_batch=self.table.last_batch_id // 1024 == k,
+            )
+            record(k, m, int((time.monotonic() - t0) * 1000))
+
+        depth = self.pipeline_depth
+        can_pipeline = depth > 1 and self.applier.config.merge_mode == "mor"
+        if not can_pipeline:
+            for k in ks:
+                sequential(k)
+            total["watermark_gtid"] = self.table.watermark_gtid
+            return total
+
+        # Pipelined mode: stage (write) up to ``depth`` no-DDL batches
+        # concurrently; commit strictly in batch order on this thread. A
+        # DDL-bearing batch — or one needing within-batch resume — drains
+        # the pipeline first and runs through the sequential path, so
+        # schema evolution still segments exactly where it must.
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        inflight: deque = deque()  # (k, t_submit, future)
+
+        def commit_oldest() -> None:
+            k, t0, fut = inflight.popleft()
+            staged = fut.result()
+            m = self.applier.commit_batch(
+                staged, k,
+                final_extra_props=None if k == k1 else {"last_complete_batch": str(k)},
+            )
+            record(k, m, int((time.monotonic() - t0) * 1000))
+
+        with ThreadPoolExecutor(max_workers=depth, thread_name_prefix="cdc-stage") as ex:
+            for k in ks:
+                needs_seq = bool(ddl_by_k[k]) or self.table.last_batch_id // 1024 == k
+                if needs_seq:
+                    while inflight:
+                        commit_oldest()
+                    sequential(k)
+                    continue
+                while len(inflight) >= depth:
+                    commit_oldest()
+                inflight.append((k, time.monotonic(), ex.submit(self.applier.stage_batch, batch_df(k))))
+            while inflight:
+                commit_oldest()
         total["watermark_gtid"] = self.table.watermark_gtid
         return total
 
