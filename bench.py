@@ -50,8 +50,8 @@ def main() -> None:
             "spark.driver.extraJavaOptions": "-XX:+UseParallelGC -XX:NewRatio=1",
             "spark.memory.offHeap.enabled": "true",
             "spark.memory.offHeap.size": "12g",
-            "spark.shuffle.compress": "false",
-            "spark.shuffle.spill.compress": "false",
+            "spark.shuffle.compress": "true",
+            "spark.shuffle.spill.compress": "true",
         } if shm else None,
     )
     spark.sparkContext.setLogLevel("ERROR")
