@@ -156,6 +156,71 @@ def q_replay_with_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("stars").cast("int").alias("stars"))
 
 
+def q_replay_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The copy-on-write merge arm under the same oracle as the MOR
+    flagship: per-bucket rewrite commits, delta-free reads — must converge
+    to the identical final state."""
+    from th2_listener_mysql_binlog_go_spark.operators.apply import ApplyConfig
+
+    flat = derived_changestream(spark, sf_dir)
+    nested = to_change_schema(flat)
+    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
+    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 4)
+    tmp = tempfile.mkdtemp(prefix="cdc_cow_")
+    table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
+                             key_cols=["repo", "path"], num_buckets=8)
+    ReplayRunner(spark, table, batch_span=span,
+                 config=ApplyConfig(merge_mode="cow")).run(nested)
+    return table.read().select("repo", "path", "commit", "lang", "content")
+
+
+def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 serialize + S4 decode as an oracle-checked identity: the derived
+    stream encoded to the reference's published bean-JSON wire format
+    (README.md:109-240) and decoded back must reproduce the stream
+    exactly — DuckDB recomputes the original stream as the oracle."""
+    from th2_listener_mysql_binlog_go_spark.sources.rawjson import (
+        decode_stream,
+        encode_stream,
+    )
+
+    flat = derived_changestream(spark, sf_dir)
+    nested = to_change_schema(flat)
+    back = decode_stream(encode_stream(nested))
+    return back.filter(F.col("op").isin("INSERT", "UPDATE", "DELETE")).select(
+        "gtid", "schema_name", "table_name", "op",
+        F.coalesce(F.col("after.repo"), F.col("before.repo")).alias("repo"),
+        F.coalesce(F.col("after.path"), F.col("before.path")).alias("path"),
+        F.coalesce(F.col("after.commit"), F.col("before.commit")).alias("commit"),
+        F.coalesce(F.col("after.lang"), F.col("before.lang")).alias("lang"),
+        F.coalesce(F.col("after.content"), F.col("before.content")).alias("content"),
+    )
+
+
+def q_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: per-batch commit-time lineage (batch_id, gtid range, applied
+    row counts) written by the runner — checked against SQL recomputing
+    the same metrics from the raw stream (the reference's per-message
+    {name,pos,seq,timestamp} metadata + Prometheus monitors analogue)."""
+    flat = derived_changestream(spark, sf_dir)
+    nested = to_change_schema(flat)
+    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
+    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 5)
+    tmp = tempfile.mkdtemp(prefix="cdc_lin_")
+    table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
+                             key_cols=["repo", "path"], num_buckets=8)
+    runner = ReplayRunner(spark, table, batch_span=span,
+                          lineage_dir=os.path.join(tmp, "lineage"))
+    runner.run(nested)
+    lin = runner.lineage.read(spark)
+    return lin.filter(F.col("partition_id") == -1).select(
+        "batch_id",
+        F.col("rows_inserted").cast("bigint").alias("n_upserts"),
+        F.col("rows_deleted").cast("bigint").alias("n_deletes"),
+        F.col("rows_applied").cast("bigint").alias("n_applied"),
+    )
+
+
 def q_multitable_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table routing: the same engine replay fanned out to TWO
     observed tables over a LakeCatalog (listener.go:236-241's schemas map,
@@ -383,6 +448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_table_filter": q_table_filter,
         "cdc_lww_dedup": q_lww_dedup,
         "cdc_replay_final_state": q_replay_final_state,
+        "cdc_replay_cow": q_replay_cow,
+        "cdc_wire_roundtrip": q_wire_roundtrip,
+        "cdc_lineage_metrics": q_lineage_metrics,
         "cdc_replay_with_ddl": q_replay_with_ddl,
         "cdc_multitable_replay": q_multitable_replay,
         "cdc_update_pairing": q_update_pairing,
@@ -606,6 +674,33 @@ ranked AS (
 )
 SELECT repo, path, commit, lang, content
 FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+""".strip(),
+        "cdc_replay_cow": f"""
+WITH {stream}, {observed},
+dml AS (SELECT * FROM observed WHERE op IN ('INSERT','UPDATE','DELETE')),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY gtid DESC) AS rn FROM dml
+)
+SELECT repo, path, commit, lang, content
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+""".strip(),
+        "cdc_wire_roundtrip": f"""
+WITH {stream}
+SELECT gtid, schema_name, table_name, op, repo, path, commit, lang, content
+FROM stream WHERE op IN ('INSERT','UPDATE','DELETE')
+""".strip(),
+        "cdc_lineage_metrics": f"""
+WITH {stream}, {observed},
+dml AS (SELECT * FROM observed WHERE op IN ('INSERT','UPDATE','DELETE')),
+b AS (SELECT CAST((max(gtid) - min(gtid) + 1) / 5 AS BIGINT) AS span FROM stream),
+batched AS (
+  SELECT CAST(floor(gtid / (SELECT span FROM b)) AS BIGINT) AS batch_id, op FROM dml
+)
+SELECT batch_id,
+  CAST(sum(CASE WHEN op <> 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_upserts,
+  CAST(sum(CASE WHEN op = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+  CAST(count(*) AS BIGINT) AS n_applied
+FROM batched GROUP BY batch_id
 """.strip(),
         "cdc_replay_with_ddl": f"""
 WITH dstream AS (
