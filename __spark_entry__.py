@@ -407,6 +407,16 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(e, e.filter(F.col("vec_id") < lo + 10), k=5)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-k (rows-only: the seeded KMeans quantizer
+    has no portable SQL form) — the FAISS-style scale path next to the
+    LSH variant."""
+    e = _embs(spark, sf_dir)
+    lo = e.agg(F.min("vec_id")).collect()[0][0]
+    return sim.ivf_topk(e, e.filter(F.col("vec_id") < lo + 10), k=5,
+                        n_lists=16, n_probe=4)
+
+
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded multi-table hyperplane
     LSH over the corpus augmented with planted scaled clones (every 20th
@@ -465,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_stats": q_doc_text_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "emb_neardup": q_emb_neardup,
         "doc_simhash": q_doc_simhash,
         "media_decode": q_media_decode,

@@ -116,6 +116,18 @@ def test_lsh_topk_recall_vs_bruteforce(spark, embs):
     assert (0, 1) in approx
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, embs):
+    queries = embs.filter("vec_id < 5")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in sim.cosine_topk(embs, queries, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in sim.ivf_topk(embs, queries, k=3, n_lists=4, n_probe=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5
+    # kmeans puts near-identical vectors in the same list: planted pair survives
+    assert (0, 1) in approx
+
+
 def test_neardup_embeddings(spark, embs):
     pairs = {(r["id_a"], r["id_b"]) for r in
              sim.cosine_neardup_pairs(embs, threshold=0.98, n_tables=4,

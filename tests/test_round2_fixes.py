@@ -187,6 +187,39 @@ def test_auto_compact_bounds_delta_pileup(spark, tmp_path):
     assert _state(table) == expected
 
 
+def test_alter_drop_column_applies_and_no_resurrection(spark, tmp_path):
+    """ALTER TABLE ... DROP COLUMN executes (metadata-only); re-adding a
+    column with the same name gets a fresh column id, so pre-drop values
+    must NOT resurrect (Iceberg field-id semantics)."""
+    from th2_listener_mysql_binlog_go_spark.functions.ddl import parse_alter
+
+    cmd = parse_alter("ALTER TABLE repos.files DROP COLUMN lang;")
+    assert (cmd.kind, cmd.column) == ("drop", "lang")
+    # keyword forms are not column drops
+    assert parse_alter("ALTER TABLE t DROP INDEX idx").kind == "other"
+    assert parse_alter("ALTER TABLE t DROP PRIMARY KEY").kind == "other"
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], num_buckets=4)
+    applier = BatchApplier(table)
+    applier.apply(_batch(spark, [
+        _ev(1, "INSERT", "r1", "a.py", "c1"),
+        _ev(2, "ALTER_TABLE", ddl="ALTER TABLE repos.files DROP COLUMN lang"),
+        _ev(3, "INSERT", "r1", "b.py", "c2"),
+    ]), batch_id=0)
+    cols = [c.name for c in table.snapshot.columns]
+    assert "lang" not in cols
+    assert set(table.read().columns) == {"repo", "path", "commit", "content"}
+
+    applier.apply(_batch(spark, [
+        _ev(10, "ALTER_TABLE", ddl="ALTER TABLE repos.files ADD COLUMN lang VARCHAR(10)"),
+        _ev(11, "INSERT", "r1", "c.py", "c3"),
+    ]), batch_id=1)
+    rows = {r["path"]: r["lang"] for r in table.read().collect()}
+    # a.py was written with the OLD lang column (id retired): stays NULL
+    assert rows["a.py"] is None and rows["b.py"] is None
+    assert rows["c.py"] == "py"  # written post re-add
+
+
 def test_rename_column_validation(spark, tmp_path):
     table = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], num_buckets=4)
     with pytest.raises(ValueError, match="no column"):

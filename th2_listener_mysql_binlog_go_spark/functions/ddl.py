@@ -109,6 +109,11 @@ _ADD_RE = re.compile(
     r"`?(\w+)`?\s+([\w()0-9, ]+?)\s*;?\s*$"
 )
 _RENAME_RE = re.compile(r"(?i)RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?\s*;?\s*$")
+_DROPCOL_RE = re.compile(
+    r"(?i)DROP\s+(?:COLUMN\s+)?"
+    r"(?!(?:INDEX|KEY|CONSTRAINT|PRIMARY|UNIQUE|FOREIGN|PARTITION|CHECK)\b)"
+    r"`?(\w+)`?\s*;?\s*$"
+)
 _MODIFY_RE = re.compile(r"(?i)(?:MODIFY|ALTER)\s+(?:COLUMN\s+)?`?(\w+)`?\s+(?:SET\s+DATA\s+TYPE\s+|TYPE\s+)?([\w()0-9, ]+?)\s*;?\s*$")
 
 _MYSQL_TO_SPARK = {
@@ -122,7 +127,7 @@ _MYSQL_TO_SPARK = {
 
 @dataclass
 class AlterCommand:
-    kind: str  # 'add' | 'rename' | 'modify' | 'other'
+    kind: str  # 'add' | 'rename' | 'modify' | 'drop' | 'other'
     column: str | None = None
     new_name: str | None = None
     type_: str | None = None
@@ -221,6 +226,9 @@ def parse_alter(stmt: str) -> AlterCommand:
     mm = _ADD_RE.match(rest)
     if mm:
         return AlterCommand("add", column=mm.group(1), type_=_map_type(mm.group(2)))
+    mm = _DROPCOL_RE.match(rest)
+    if mm:
+        return AlterCommand("drop", column=mm.group(1))
     mm = _MODIFY_RE.match(rest)
     if mm:
         return AlterCommand("modify", column=mm.group(1), type_=_map_type(mm.group(2)))

@@ -132,6 +132,70 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: a coarse k-means quantizer (seeded
+    Spark MLlib KMeans — the index *build*) assigns each corpus vector to
+    one of ``n_lists`` inverted lists; each query probes its ``n_probe``
+    nearest centroids and exact-cosine re-ranks only those lists'
+    vectors — probe cost ~ corpus * n_probe / n_lists instead of the full
+    corpus.
+
+    Scale shape: the quantizer fits on a sample-sized problem (n_lists
+    centroids), assignment is one MLlib transform pass, the centroid
+    table broadcasts (n_lists rows), and the candidate join is a hash
+    join on list_id — never all-pairs. At 1e9+ vectors raise n_lists so
+    lists stay ~1e5-1e6 vectors (the FAISS IVF sizing rule of thumb)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    feat = c.withColumn("features", array_to_vector(F.transform("cv", lambda x: x.cast("double"))))
+    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter)
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(
+        "neighbor_id", "cv", F.col("prediction").alias("list_id")
+    )
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "list_id int, cvec array<double>",
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # L2 distance to every centroid (n_lists rows — broadcast), keep n_probe
+    qd = q.join(F.broadcast(cents)).select(
+        "query_id", "qv", "list_id",
+        F.aggregate(
+            F.zip_with(F.transform("qv", lambda x: x.cast("double")), F.col("cvec"),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("list_id").asc())
+    probes = qd.withColumn("_pr", F.row_number().over(w)).filter(F.col("_pr") <= n_probe)
+    cand = assigned.join(probes.select("query_id", "qv", "list_id"), "list_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def _multi_signature_udf(dim: int, n_tables: int, bits_per_table: int, seed: int):
     """One Arrow pass computing every hash table's signature: the
     (dim x n_tables*bits) plane matrix is applied once; bits pack into

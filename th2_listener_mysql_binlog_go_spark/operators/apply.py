@@ -233,6 +233,8 @@ class BatchApplier:
                     t.rename_column(cmd.column, cmd.new_name)
                 elif cmd.kind == "modify":
                     t.widen_column(cmd.column, cmd.type_ or "string")
+                elif cmd.kind == "drop":
+                    t.drop_column(cmd.column)
                 else:
                     return False
                 return True
