@@ -35,6 +35,7 @@ from th2_listener_mysql_binlog_go_spark.sources.changestream import (
     DERIVED_DDL_STREAM_SQL,
     DERIVED_MULTI_STREAM_SQL,
     DERIVED_STREAM_SQL,
+    DERIVED_WIRE_STREAM_SQL,
     derived_changestream,
     to_change_schema,
 )
@@ -192,6 +193,54 @@ def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("after.repo"), F.col("before.repo")).alias("repo"),
         F.coalesce(F.col("after.path"), F.col("before.path")).alias("path"),
         F.coalesce(F.col("after.commit"), F.col("before.commit")).alias("commit"),
+        F.coalesce(F.col("after.lang"), F.col("before.lang")).alias("lang"),
+        F.coalesce(F.col("after.content"), F.col("before.content")).alias("content"),
+    )
+
+
+def q_wire_batched_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/S9/S10 under oracle proof on the HARD stream shape: every GTID
+    carries four events with mixed ops and mixed target tables, multi-row
+    events split into size-bounded parts (max_size=300 forces the 2-row
+    INSERT/DELETE events apart), and the decoded rows must reproduce every
+    original row-change exactly — including within-event row ORDER (the
+    rank column), the property the round-2 GTID-grouped encoder corrupted."""
+    from pyspark.sql import Window
+    from th2_listener_mysql_binlog_go_spark.sources.changestream import (
+        DERIVED_WIRE_STREAM_SQL,
+    )
+    from th2_listener_mysql_binlog_go_spark.sources.rawjson import (
+        _ROW_DDL,
+        encode_stream_batched,
+    )
+
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    flat = spark.sql(DERIVED_WIRE_STREAM_SQL)
+    row = F.struct("repo", "path", "commit", "lang", "content")
+    brow = F.struct(
+        "repo", "path", F.col("bcommit").alias("commit"), "lang", "content")
+    null_row = F.lit(None).cast(
+        "struct<repo:string,path:string,commit:string,lang:string,content:string>")
+    nested = flat.select(
+        "gtid", F.lit("binlog.000001").alias("log_name"), "log_pos", "seq",
+        F.lit(0).cast("bigint").alias("ts"), "schema_name", "table_name", "op",
+        F.when(F.col("op") == "DELETE", row)
+         .when(F.col("op") == "UPDATE", brow).otherwise(null_row).alias("before"),
+        F.when(F.col("op").isin("INSERT", "UPDATE"), row)
+         .otherwise(null_row).alias("after"),
+        F.lit(None).cast("string").alias("ddl"),
+    )
+    enc = encode_stream_batched(nested, max_size=300)
+    dec = decode_bean_json(enc, "payload", _ROW_DDL)
+    w = Window.partitionBy("gtid", "log_pos", "table_name", "op").orderBy(
+        "part_idx", "row_idx")
+    return dec.select(
+        "gtid", "log_pos", "op", "table_name",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.coalesce(F.col("after.repo"), F.col("before.repo")).alias("repo"),
+        F.coalesce(F.col("after.path"), F.col("before.path")).alias("path"),
+        F.col("before.commit").alias("before_commit"),
+        F.col("after.commit").alias("after_commit"),
         F.coalesce(F.col("after.lang"), F.col("before.lang")).alias("lang"),
         F.coalesce(F.col("after.content"), F.col("before.content")).alias("content"),
     )
@@ -460,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_final_state": q_replay_final_state,
         "cdc_replay_cow": q_replay_cow,
         "cdc_wire_roundtrip": q_wire_roundtrip,
+        "cdc_wire_batched_roundtrip": q_wire_batched_roundtrip,
         "cdc_lineage_metrics": q_lineage_metrics,
         "cdc_replay_with_ddl": q_replay_with_ddl,
         "cdc_multitable_replay": q_multitable_replay,
@@ -699,6 +749,19 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE'
 WITH {stream}
 SELECT gtid, schema_name, table_name, op, repo, path, commit, lang, content
 FROM stream WHERE op IN ('INSERT','UPDATE','DELETE')
+""".strip(),
+        "cdc_wire_batched_roundtrip": f"""
+WITH wstream AS (
+{DERIVED_WIRE_STREAM_SQL}
+)
+SELECT gtid, log_pos, op, table_name,
+  CAST((seq % 2) + 1 AS BIGINT) AS rn,
+  repo, path,
+  CASE WHEN op = 'DELETE' THEN commit
+       WHEN op = 'UPDATE' THEN bcommit END AS before_commit,
+  CASE WHEN op IN ('INSERT','UPDATE') THEN commit END AS after_commit,
+  lang, content
+FROM wstream
 """.strip(),
         "cdc_lineage_metrics": f"""
 WITH {stream}, {observed},

@@ -46,24 +46,25 @@ def test_roundtrip_replay_equivalence(spark, tmp_path):
     assert fp1 == fp2 and t1.read().count() > 0
 
 
-def _mk(gtid, log_pos, op, path, content="x" * 40):
+def _mk(gtid, log_pos, seq, op, path, content="x" * 40, table="files"):
     row = ("r1", path, "c" * 40, "py", content)
-    return (gtid, "binlog.000001", log_pos, gtid, 0, "repos", "files", op,
+    return (gtid, "binlog.000001", log_pos, seq, 0, "repos", table, op,
             row if op in ("UPDATE", "DELETE") else None,
             row if op in ("INSERT", "UPDATE") else None, None)
 
 
 def test_batched_encode_consumes_split_plan(spark):
-    """S9→S10 parity (putToBatch, listener.go:265-294): rows sharing a GTID
-    pack into multi-row bean payloads; an oversized INSERT event splits
-    into parts <= max_size, each its own message; UPDATE never splits."""
+    """S9→S10 parity (putToBatch, listener.go:265-294): rows of one binlog
+    event (shared gtid+log_pos+op+table) pack into multi-row bean payloads;
+    an oversized INSERT event splits into parts <= max_size, each its own
+    message; UPDATE never splits."""
     events = (
-        # one 6-row INSERT transaction, rows ~150 bytes each -> must split
-        [_mk(1, 100 + i, "INSERT", f"a{i}.py") for i in range(6)]
-        # one 4-row UPDATE transaction -> unsplittable, single payload
-        + [_mk(2, 200 + i, "UPDATE", f"b{i}.py") for i in range(4)]
+        # one 6-row INSERT event, rows ~150 bytes each -> must split
+        [_mk(1, 100, i, "INSERT", f"a{i}.py") for i in range(6)]
+        # one 4-row UPDATE event -> unsplittable, single payload
+        + [_mk(2, 200, i, "UPDATE", f"b{i}.py") for i in range(4)]
         # singletons
-        + [_mk(3, 300, "DELETE", "z.py")]
+        + [_mk(3, 300, 0, "DELETE", "z.py")]
     )
     stream = spark.createDataFrame(events, CHANGE_SCHEMA)
     out = encode_stream_batched(stream, max_size=400).cache()
@@ -92,6 +93,46 @@ def test_batched_encode_consumes_split_plan(spark):
                   (r["after"] or r["before"])["path"]) for r in decoded.collect())
     exp = sorted((e[0], e[7], (e[9] or e[8])[1]) for e in events)
     assert got == exp
+
+
+def test_batched_encode_mixed_op_transaction(spark):
+    """A transaction (one GTID) carrying several events with different ops
+    and tables must yield one payload PER EVENT, never a merged one —
+    the reference publishes one bean per RowsEvent (listener.go:229-244).
+    Regression for the round-2 defect: grouping by gtid alone collapsed an
+    INSERT to A and a DELETE to B into a single corrupted payload."""
+    import json as _json
+
+    events = (
+        # gtid 7: INSERT(files) x2 at log_pos 400, DELETE(files2) x1 at 464,
+        # UPDATE(files) x1 at 528, INSERT(files2) x1 at 592 — 4 events
+        [_mk(7, 400, 0, "INSERT", "i0.py"), _mk(7, 400, 1, "INSERT", "i1.py"),
+         _mk(7, 464, 2, "DELETE", "d0.py", table="files2"),
+         _mk(7, 528, 3, "UPDATE", "u0.py"),
+         _mk(7, 592, 4, "INSERT", "i2.py", table="files2")]
+    )
+    stream = spark.createDataFrame(events, CHANGE_SCHEMA)
+    out = encode_stream_batched(stream, max_size=100_000).cache()
+    rows = out.collect()
+    # one message per event (nothing split at this max_size, nothing merged)
+    assert sorted((r["gtid"], r["log_pos"], r["part_idx"]) for r in rows) == [
+        (7, 400, 0), (7, 464, 0), (7, 528, 0), (7, 592, 0)]
+    by_pos = {r["log_pos"]: _json.loads(r["payload"]) for r in rows}
+    assert by_pos[400]["Operation"] == "INSERT" and by_pos[400]["Table"] == "files"
+    assert [x["path"] for x in by_pos[400]["Inserted"]] == ["i0.py", "i1.py"]
+    assert by_pos[464]["Operation"] == "DELETE" and by_pos[464]["Table"] == "files2"
+    assert [x["path"] for x in by_pos[464]["Deleted"]] == ["d0.py"]
+    assert by_pos[528]["Operation"] == "UPDATE" and by_pos[528]["Table"] == "files"
+    assert by_pos[592]["Operation"] == "INSERT" and by_pos[592]["Table"] == "files2"
+
+    # row order within an event follows seq even when log_pos ties — and
+    # NOT JSON-text order (seq order here is the reverse of text order)
+    ev2 = [_mk(8, 100, 1, "INSERT", "aa_second.py"),
+           _mk(8, 100, 0, "INSERT", "zz_first.py")]
+    out2 = encode_stream_batched(spark.createDataFrame(ev2, CHANGE_SCHEMA),
+                                 max_size=100_000)
+    body = _json.loads(out2.collect()[0]["payload"])
+    assert [x["path"] for x in body["Inserted"]] == ["zz_first.py", "aa_second.py"]
 
 
 def test_batched_encode_ddl_passthrough(spark):

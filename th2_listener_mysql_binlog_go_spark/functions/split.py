@@ -90,7 +90,7 @@ def greedy_split_sizes(row_sizes: list[int], base_size: int, max_size: int) -> l
 
 def split_plan(
     df: DataFrame,
-    event_col: str,
+    event_col: str | list[str],
     order_col: str,
     size_col: str,
     op_col: str,
@@ -99,12 +99,22 @@ def split_plan(
 ) -> DataFrame:
     """Assign each row of each multi-row event to a size-bounded part.
 
+    ``event_col`` is the *event identity* — one binlog RowsEvent, i.e. one
+    bean (the reference packs per event, never per transaction:
+    listener.go:229-244 putToBatch gets one bean per RowsEvent). Pass the
+    full identity tuple, e.g. ``["gtid", "log_pos", "schema_name",
+    "table_name", "op"]`` — grouping on the op/table columns also
+    guarantees part homogeneity by construction (a mixed-op transaction
+    can never pack into one part). Rows within an event order by
+    ``order_col`` (their within-event sequence).
+
     Input: one row per event-row with a precomputed ``size_col`` (use
     :func:`datamap_size` upstream or an expression). Output adds
     ``part_idx``; UPDATE/Query events always get part 0 (not splittable).
     """
     from pyspark.sql import types as T
 
+    event_cols = [event_col] if isinstance(event_col, str) else list(event_col)
     # copy — StructType.add mutates (and df.schema is cached on the df)
     out_schema = T.StructType(list(df.schema.fields) + [T.StructField("part_idx", T.IntegerType())])
 
@@ -119,4 +129,4 @@ def split_plan(
         )
         return pdf
 
-    return df.groupBy(event_col).applyInPandas(pack, schema=out_schema)
+    return df.groupBy(*event_cols).applyInPandas(pack, schema=out_schema)

@@ -200,6 +200,39 @@ FROM events
 """.strip()
 
 
+# Multi-event-per-GTID variant for the batched wire format: each GTID
+# (transaction) carries FOUR events at distinct log_pos with mixed ops and
+# mixed target tables — event e=0 INSERT(files) x2 rows, e=1 DELETE(files2)
+# x2, e=2 INSERT(files) x2, e=3 UPDATE(files) x2. This is exactly the shape
+# that corrupts a GTID-grouped encoder (the round-2 defect): the reference
+# publishes one bean per RowsEvent (listener.go:229-244), so an encoder
+# must keep the four events as four (or more, after splitting) payloads.
+# seq is the within-transaction row counter; bcommit is the UPDATE rows'
+# distinct Before image. Arithmetic-only SQL, runs verbatim in DuckDB.
+DERIVED_WIRE_STREAM_SQL = """
+SELECT
+  CAST((event_id - (event_id % 8)) / 8 AS BIGINT) AS gtid,
+  CAST(4 + (((event_id % 8) - (event_id % 2)) / 2) * 128 AS BIGINT) AS log_pos,
+  CAST(event_id % 8 AS BIGINT) AS seq,
+  CASE CAST(((event_id % 8) - (event_id % 2)) / 2 AS BIGINT)
+       WHEN 0 THEN 'INSERT' WHEN 1 THEN 'DELETE'
+       WHEN 2 THEN 'INSERT' ELSE 'UPDATE' END AS op,
+  'repos' AS schema_name,
+  CASE CAST(((event_id % 8) - (event_id % 2)) / 2 AS BIGINT)
+       WHEN 1 THEN 'files2' ELSE 'files' END AS table_name,
+  'repo_' || CAST(user_id % 40 AS STRING) AS repo,
+  'src/f' || CAST((event_id * 37) % 211 AS STRING) || '.py' AS path,
+  md5(CAST(event_id AS STRING)) ||
+    substring(md5(CAST(event_id AS STRING)), 1, 8) AS commit,
+  md5('b' || CAST(event_id AS STRING)) AS bcommit,
+  CASE (event_id % 7) WHEN 0 THEN 'py' WHEN 1 THEN 'go' WHEN 2 THEN 'java'
+       WHEN 3 THEN 'ts' WHEN 4 THEN 'rs' WHEN 5 THEN 'sql'
+       ELSE 'md' END AS lang,
+  'c:' || md5('content' || CAST(event_id AS STRING)) AS content
+FROM events
+""".strip()
+
+
 def derived_changestream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run DERIVED_STREAM_SQL over ``{sf_dir}/events.parquet`` in Spark."""
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")

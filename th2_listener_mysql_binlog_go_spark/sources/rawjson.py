@@ -45,20 +45,31 @@ def encode_stream_batched(
     base_size: int = 96,
 ) -> DataFrame:
     """Size-bounded wire encoding — the full S9→S10 pipeline of the
-    reference's ``putToBatch`` (listener.go:265-294): rows sharing a GTID
-    (one transaction event) combine into multi-row bean payloads; an
-    oversized splittable event (INSERT/DELETE) is greedily packed into
-    parts <= ``max_size`` by the exact split semantics of
-    ``DataSlice.split`` (bean.go:129-150) via :func:`...split.split_plan`,
-    and each part serializes as its own message. UPDATE/Query events are
-    never split (update.go:49-55, query.go:48-54).
+    reference's ``putToBatch`` (listener.go:265-294): rows of one binlog
+    *event* (one RowsEvent → one bean, listener.go:229-244; in the stream,
+    the rows sharing ``(gtid, log_pos, schema_name, table_name, op)``)
+    combine into one multi-row bean payload; an oversized splittable event
+    (INSERT/DELETE) is greedily packed into parts <= ``max_size`` by the
+    exact split semantics of ``DataSlice.split`` (bean.go:129-150) via
+    :func:`...split.split_plan`, and each part serializes as its own
+    message. UPDATE/Query events are never split (update.go:49-55,
+    query.go:48-54).
 
-    Output: (gtid, part_idx, log_name, log_pos, seq, ts, payload) — one row
-    per published message, ``part_idx`` consumed from the split plan.
-    ``base_size`` must upper-bound the envelope header (Record.sizeBytes,
-    bean.go:47-53) so the size guarantee holds."""
+    Event identity is the full ``(gtid, log_pos, schema, table, op)``
+    tuple, NOT the GTID: a transaction (one GTID) routinely carries
+    several events with different ops/tables, and the reference publishes
+    one bean per event — merging them would corrupt the wire stream (an
+    INSERT to A and a DELETE to B at one GTID must stay two payloads).
+    Within an event, rows keep their source order via the ``seq`` column.
+
+    Output: (gtid, log_pos, part_idx, log_name, seq, ts, payload) — one
+    row per published message; ``(gtid, log_pos, part_idx)`` identifies
+    it, ``part_idx`` consumed from the split plan. ``base_size`` must
+    upper-bound the envelope header (Record.sizeBytes, bean.go:47-53) so
+    the size guarantee holds."""
     from ..functions.split import split_plan
 
+    event_cols = ["gtid", "log_pos", "schema_name", "table_name", "op"]
     ddl_ops = ("TRUNCATE", "CREATE_TABLE", "DROP_TABLE", "ALTER_TABLE", "QUERY")
     dml = changes.filter(~F.col("op").isin(*ddl_ops))
     row_json = (
@@ -70,7 +81,7 @@ def encode_stream_batched(
     sized = dml.withColumn("row_json", row_json).withColumn(
         "est_size", F.octet_length(F.col("row_json"))
     )
-    planned = split_plan(sized, event_col="gtid", order_col="log_pos",
+    planned = split_plan(sized, event_col=event_cols, order_col="seq",
                          size_col="est_size", op_col="op",
                          max_size=max_size, base_size=base_size)
     field = (
@@ -78,15 +89,14 @@ def encode_stream_batched(
         .when(F.col("op") == "DELETE", F.lit("Deleted"))
         .otherwise(F.lit("Updated"))
     )
-    grouped = planned.groupBy("gtid", "part_idx").agg(
+    # group on the full event identity: op/schema/table are grouping keys,
+    # so payload headers are homogeneous by construction; rows keep their
+    # within-event source order (array_sort on the leading seq field).
+    grouped = planned.groupBy(*event_cols, "part_idx").agg(
         F.min("log_name").alias("log_name"),
-        F.min("log_pos").alias("log_pos"),
         F.min("seq").alias("seq"),
         F.min("ts").alias("ts"),
-        F.first("schema_name").alias("schema_name"),
-        F.first("table_name").alias("table_name"),
-        F.first("op").alias("op"),
-        F.array_sort(F.collect_list(F.struct("log_pos", "row_json"))).alias("rows"),
+        F.array_sort(F.collect_list(F.struct("seq", "row_json"))).alias("rows"),
     )
     hdr = F.to_json(F.struct(
         F.col("schema_name").alias("Schema"),
@@ -99,11 +109,11 @@ def encode_stream_batched(
         F.lit(',"'), field, F.lit('":['), joined, F.lit("]}"),
     )
     dml_out = grouped.select(
-        "gtid", F.col("part_idx").cast("int").alias("part_idx"),
-        "log_name", "log_pos", "seq", "ts", payload.alias("payload"),
+        "gtid", "log_pos", F.col("part_idx").cast("int").alias("part_idx"),
+        "log_name", "seq", "ts", payload.alias("payload"),
     )
     ddl_out = changes.filter(F.col("op").isin(*ddl_ops)).select(
-        "gtid", F.lit(0).alias("part_idx"), "log_name", "log_pos", "seq", "ts",
+        "gtid", "log_pos", F.lit(0).cast("int").alias("part_idx"), "log_name", "seq", "ts",
         F.to_json(F.struct(
             F.col("schema_name").alias("Schema"),
             F.col("table_name").alias("Table"),
