@@ -448,22 +448,46 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(e, queries_df, k=5)
 
 
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only check: not SQL-expressible
-    — seeded-numpy hyperplanes inside a pandas UDF)."""
-    e = _embs(spark, sf_dir)
+def _aug_planted(spark: SparkSession, sf_dir: str):
+    """Corpus augmented with 5 EXACT clones of each query vector (high,
+    disjoint ids): an identical vector gets the identical LSH signature /
+    KMeans list, and cosine(query, clone) is exactly the per-engine
+    maximum (ties broken by neighbor_id in both engines), so for every
+    query the approximate top-5 provably equals the exact top-5 — the
+    planted-exactness construction that turns an approximate operator
+    into a full-hash oracle check (same trick as emb_neardup). Max
+    natural pairwise cosine in this corpus is ~0.51, far below 1."""
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
     lo = e.agg(F.min("vec_id")).collect()[0][0]
-    return sim.lsh_topk(e, e.filter(F.col("vec_id") < lo + 10), k=5)
+    q = e.filter(F.col("vec_id") < lo + 10)
+    clones = q.select(
+        "vec_id", "embedding",
+        F.explode(F.array(*[F.lit(j) for j in range(5)])).alias("j"),
+    ).select(
+        (F.lit(1000000) + F.col("vec_id") * 8 + F.col("j")).alias("vec_id"),
+        "embedding",
+    )
+    return e.unionByName(clones), q
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k, made oracle-checkable by planted
+    exact clones: each query's 5 clones share its bucket in every table
+    (identical vector -> identical signature), so LSH recall on the true
+    top-5 is provably 1.0 and the result hash must equal DuckDB's exact
+    brute-force top-5 over the same augmented corpus."""
+    aug, q = _aug_planted(spark, sf_dir)
+    return sim.lsh_topk(aug, q, k=5)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat approximate top-k (rows-only: the seeded KMeans quantizer
-    has no portable SQL form) — the FAISS-style scale path next to the
-    LSH variant."""
-    e = _embs(spark, sf_dir)
-    lo = e.agg(F.min("vec_id")).collect()[0][0]
-    return sim.ivf_topk(e, e.filter(F.col("vec_id") < lo + 10), k=5,
-                        n_lists=16, n_probe=4)
+    """IVF-flat approximate top-k (seeded MLlib KMeans coarse quantizer),
+    oracle-checkable via the same planted-clone construction: a clone is
+    assigned to the query's own nearest list, which the query always
+    probes (n_probe >= 1), so the approximate top-5 provably equals the
+    exact top-5 the DuckDB oracle computes."""
+    aug, q = _aug_planted(spark, sf_dir)
+    return sim.ivf_topk(aug, q, k=5, n_lists=16, n_probe=4)
 
 
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,8 +508,9 @@ def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only: 64-bit majority vote in a pandas
-    UDF has no portable SQL form)."""
+    """SimHash near-dup pairs, fully hash-checked: the md5-derived 64-bit
+    signature, band blocking, and Hamming filter are all recomputed by a
+    pure-SQL DuckDB oracle (_simhash_oracle) — bit-for-bit."""
     return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
 
 
@@ -673,6 +698,106 @@ WITH q AS (
 c AS (
   SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
   FROM embeddings
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM q CROSS JOIN c WHERE neighbor_id <> query_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {k}
+""".strip()
+
+
+def _simhash_oracle(max_hamming: int = 8) -> str:
+    """Full DuckDB recomputation of the 64-bit SimHash: same normalize /
+    bigram / md5-first-8-bytes / per-bit majority vote as
+    functions/dedup.simhash_gram_hashes + _simhash_vote_udf, in pure SQL
+    (bit arithmetic over the hi/lo 32-bit halves; bit 63 lands as the
+    int64 sign via two's complement). Band blocking and Hamming filter
+    mirror simhash_pairs exactly."""
+    min_i64 = "(-9223372036854775807 - 1)"
+    return f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM documents
+),
+toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm WHERE t IS NOT NULL),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 2
+         THEN list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])
+         ELSE [coalesce(w[1], '')] END AS gs
+  FROM toks
+),
+g AS (SELECT doc_id, unnest(gs) AS gr FROM grams),
+h AS (
+  SELECT doc_id,
+    ('0x' || substring(md5(gr), 1, 8))::BIGINT AS hi,
+    ('0x' || substring(md5(gr), 9, 8))::BIGINT AS lo
+  FROM g
+),
+bt AS (SELECT unnest(range(64)) AS bit),
+acc AS (
+  SELECT doc_id, bit,
+    sum((CASE WHEN bit < 32 THEN (lo >> bit) & 1
+              ELSE (hi >> (bit - 32)) & 1 END) * 2 - 1) AS votes
+  FROM h CROSS JOIN bt GROUP BY doc_id, bit
+),
+sig0 AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN votes > 0 THEN
+          CASE WHEN bit = 63 THEN {min_i64}::HUGEINT
+               ELSE ((1::BIGINT << bit))::HUGEINT END
+        ELSE 0::HUGEINT END) AS BIGINT) AS sig
+  FROM acc GROUP BY doc_id
+),
+sig AS (
+  SELECT d.doc_id, coalesce(s.sig, 0) AS sig
+  FROM documents d LEFT JOIN sig0 s USING (doc_id)
+),
+bands AS (SELECT unnest(range(4)) AS band),
+banded AS (
+  SELECT doc_id, sig, band, (sig >> (band * 16)) & 65535 AS key
+  FROM sig CROSS JOIN bands
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+""".strip()
+
+
+def _ann_planted_oracle(k: int = 5, n_queries: int = 10) -> str:
+    """Exact brute-force top-k over the clone-augmented corpus (see
+    _aug_planted): the approximate operators must hash-match this."""
+    return f"""
+WITH j AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4)) AS t(j)),
+qv0 AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id < (SELECT min(vec_id) + {n_queries} FROM embeddings)
+),
+clones AS (
+  SELECT 1000000 + vec_id * 8 + j AS vec_id, embedding FROM qv0 CROSS JOIN j
+),
+aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id, embedding FROM clones
+),
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM qv0
+),
+c AS (
+  SELECT vec_id AS neighbor_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM aug
 ),
 s AS (
   SELECT query_id, neighbor_id,
@@ -901,6 +1026,9 @@ FROM agg
         "doc_ngram_jaccard": _jaccard_oracle(),
         "doc_text_stats": _text_stats_oracle(),
         "ann_cosine_topk": _ann_oracle(),
+        "ann_lsh_topk": _ann_planted_oracle(),
+        "ann_ivf_topk": _ann_planted_oracle(),
+        "doc_simhash": _simhash_oracle(),
         "emb_neardup": """
 WITH clones AS (
   SELECT vec_id + 1000000 AS vec_id,
@@ -923,9 +1051,8 @@ p AS (
 )
 SELECT id_a, id_b FROM p WHERE sim >= 0.99
 """.strip(),
-        # ann_lsh_topk, doc_simhash, media_decode: seeded-numpy /
-        # pandas-UDF internals — no portable SQL form; driver records the
-        # weaker rows-only check for these.
+        # media_decode: pandas-UDF fake-codec internals — no portable SQL
+        # form; driver records the weaker rows-only check for it.
     }
 
 

@@ -187,34 +187,66 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------------------ simhash
 
-def _simhash_udf():
-    """64-bit SimHash over word 2-shingles (Arrow-batched pandas UDF; the
-    per-bit majority vote doesn't decompose into portable SQL). Built
+def simhash_gram_hashes(text: Column) -> tuple[Column, Column]:
+    """Word-2-gram md5 hashes of ``text``, JVM-side: normalize (lowercase,
+    non-alphanumerics to spaces), tokenize, form bigrams via zip_with over
+    shifted slices, and md5 each gram ONCE in Catalyst — returned as two
+    array<bigint> columns (hi/lo 32-bit halves of the md5's first 8 bytes,
+    big-endian), because a full 64-bit unsigned value doesn't fit bigint.
+    A doc with <2 tokens gets one gram: its sole token, or ''. The only
+    Python left downstream is the numpy bit-vote (:func:`_simhash_vote_udf`)
+    — no per-gram Python anywhere (round-2 advice: the old UDF looped
+    hashlib.md5 per 2-gram per document)."""
+    norm = F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    grams = F.when(
+        text.isNull(), F.array().cast("array<string>")  # null text -> sig 0
+    ).when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array(F.element_at(toks, 1)))
+    his = F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"))
+    los = F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 9, 8), 16, 10).cast("bigint"))
+    return his, los
+
+
+def _simhash_vote_udf():
+    """64-bit SimHash majority vote over precomputed gram hashes — fully
+    vectorized numpy (one Arrow batch: flatten all docs' gram hashes,
+    expand to a bit matrix, segment-sum per doc, pack sign bits). Built
     lazily — pandas_udf needs an active session."""
 
     @pandas_udf("long")
-    def simhash64(texts: pd.Series) -> pd.Series:
-        import hashlib
-
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if t is None:
-                continue
-            toks = "".join(c.lower() if c.isalnum() else " " for c in t).split()
-            grams = [" ".join(toks[j:j + 2]) for j in range(max(len(toks) - 1, 1))]
-            acc = np.zeros(64, dtype=np.int64)
-            for g in grams:
-                h = np.uint64(int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big", signed=False))
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            v = 0
-            for bit in range(64):
-                if acc[bit] > 0:
-                    v |= 1 << bit
-            out[i] = np.int64(v - (1 << 64) if v >= (1 << 63) else v)
+    def simhash_vote(his: pd.Series, los: pd.Series) -> pd.Series:
+        out = np.zeros(len(his), dtype=np.int64)
+        lens = np.fromiter(
+            (0 if h is None else len(h) for h in his), dtype=np.int64, count=len(his)
+        )
+        if lens.sum() == 0:
+            return pd.Series(out)
+        flat_hi = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in his if h is not None]
+        ).astype(np.uint64)
+        flat_lo = np.concatenate(
+            [np.asarray(lo, dtype=np.int64) for lo in los if lo is not None]
+        ).astype(np.uint64)
+        h = (flat_hi << np.uint64(32)) | flat_lo  # (G,) uint64
+        shifts = np.arange(64, dtype=np.uint64)
+        votes = (((h[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2 - 1)
+        nonzero = lens > 0
+        offsets = np.zeros(int(nonzero.sum()), dtype=np.int64)
+        np.cumsum(lens[nonzero][:-1], out=offsets[1:])
+        acc = np.add.reduceat(votes, offsets, axis=0)  # (docs_with_grams, 64)
+        sig = ((acc > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+        out[nonzero] = sig.view(np.int64)
         return pd.Series(out)
 
-    return simhash64
+    return simhash_vote
 
 
 def simhash_pairs(
@@ -225,9 +257,14 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit bands
     (a pair within distance d <= 3 shares at least one of 4 bands; wider d
-    uses it as a recall-bounded prefilter)."""
-    simhash64 = _simhash_udf()
-    sigs = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    uses it as a recall-bounded prefilter). Gram hashing runs in Catalyst
+    (one md5 per gram, JVM-side); only the numpy bit-vote crosses into
+    Python, Arrow-batched and loop-free. Deterministic and md5-derived, so
+    the whole signature reproduces in the DuckDB oracle
+    (__spark_entry__._simhash_oracle)."""
+    vote = _simhash_vote_udf()
+    his, los = simhash_gram_hashes(F.col(text_col))
+    sigs = df.select(F.col(id_col).alias("id"), vote(his, los).alias("sig"))
     banded = sigs.select(
         "id", "sig",
         F.explode(F.array(*[
@@ -241,7 +278,8 @@ def simhash_pairs(
     return (
         a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.key") == F.col("b.key"),
                       F.col("a.id") < F.col("b.id")])
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                ham.cast("int").alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
