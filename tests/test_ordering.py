@@ -67,3 +67,25 @@ def test_composite_name_pos_order_across_rotation(spark, tmp_path):
     ReplayRunner(spark, table, batch_span=1 << 50).run(stream)
     state = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
     assert state == {("r1", "a.py"): "post-rotate", ("r2", "b.py"): "x"}
+
+
+def test_seq_packing_wide_events_no_slot_bleed(spark, tmp_path):
+    """Round-2 advice: the old _seq packing gave row_idx only 9 bits, so an
+    event with >=512 rows bled into log_pos+1's slot and could beat a LATER
+    event's write to the same key. With the 2^21 shift, a row at
+    (log_pos=10, row_idx=600) must lose to (log_pos=11, row_idx=0)."""
+    from th2_listener_mysql_binlog_go_spark.operators.apply import BatchApplier
+
+    row = lambda c: ("r1", "a.py", "c" * 40, "py", c)  # noqa: E731
+    events = [
+        # same gtid, same key: big-row_idx early event vs next-log_pos event
+        (5, "binlog.000001", 10, 0, 0, "repos", "files", "INSERT", None, row("early"), None),
+        (5, "binlog.000001", 11, 1, 0, "repos", "files", "UPDATE", row("early"), row("late"), None),
+    ]
+    flat = spark.createDataFrame(events, CHANGE_SCHEMA).withColumn(
+        "row_idx", F.when(F.col("log_pos") == 10, F.lit(600)).otherwise(F.lit(0))
+    )
+    table = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], num_buckets=2)
+    BatchApplier(table).apply(flat, batch_id=0)
+    state = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+    assert state == {("r1", "a.py"): "late"}

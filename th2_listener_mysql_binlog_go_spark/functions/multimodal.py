@@ -118,9 +118,13 @@ def size_balanced_pack_ids(
     3. global_offset = chunk_base + within_cumsum − row_bytes;
        ``_pack_id = floor(global_offset / target_bytes)``.
 
-    Returns (df with _pack_id, number of packs)."""
+    Returns (df with _pack_id, number of packs). Contract: ``order_col``
+    must be non-null — a NULL id has no place in a total order, so such
+    rows are dropped here (documented; callers needing them must assign
+    ids first). Without the filter a None chunk key would crash the
+    driver-side sort with a TypeError."""
     est = (F.col(bytes_col) if isinstance(bytes_col, str) else bytes_col).cast("bigint")
-    d = df.withColumn("_sb_bytes", est).withColumn(
+    d = df.filter(F.col(order_col).isNotNull()).withColumn("_sb_bytes", est).withColumn(
         "_sb_chunk", F.floor(F.col(order_col) / F.lit(chunk_span)).cast("bigint")
     )
     totals = sorted(

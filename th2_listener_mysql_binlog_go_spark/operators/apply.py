@@ -157,13 +157,19 @@ class BatchApplier:
         # ordered by row_idx (decode.py); a PK-changing UPDATE's
         # DELETE-then-INSERT pair by explode position. Packed into one
         # bigint so LWW/merge windows get a strict total order per key.
+        # Shift budget: log_pos < 2^30 (MySQL caps binlog files at 1 GiB)
+        # times 2^21 stays < 2^51; row_idx*2 + c_pos < 2^21 holds for any
+        # event under 2^20 rows, and even past that slots stay disjoint
+        # because the NEXT event's log_pos advances by at least the event's
+        # byte size (>= 1 byte/row >> the 2/2^21 slots a row bleeds).
         log_pos = (
             F.coalesce(F.col("log_pos"), F.lit(0)) if "log_pos" in dml.columns else F.lit(0)
         )
         row_idx = (
             F.coalesce(F.col("row_idx"), F.lit(0)) if "row_idx" in dml.columns else F.lit(0)
         )
-        seq = (log_pos.cast("bigint") * 1024 + row_idx.cast("bigint") * 2 + F.col("c_pos"))
+        seq = (log_pos.cast("bigint") * F.lit(1 << 21)
+               + row_idx.cast("bigint") * 2 + F.col("c_pos"))
         return dml.select(
             F.col("gtid").alias(GTID_COL), log_pos.alias("log_pos"),
             row_idx.alias("row_idx"), F.posexplode(arr).alias("c_pos", "c")
