@@ -287,7 +287,8 @@ def q_multitable_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("files", "files2"):
         cat.create_table("repos", t, TARGET_SCHEMA, ["repo", "path"], num_buckets=8)
     cfg = ApplyConfig(observed={"repos": ["files", "files2"]}, num_buckets=8)
-    CatalogReplayRunner(spark, cat, batch_span=span, config=cfg).run(nested)
+    CatalogReplayRunner(spark, cat, batch_span=span, config=cfg,
+                        pipeline_depth=2).run(nested)
     parts = [
         cat.get("repos", t).read().select(
             F.lit(t).alias("target_table"), "repo", "path", "commit", "lang", "content"

@@ -68,3 +68,37 @@ def test_compaction_drops_dead_rows_and_preserves_state(spark, tmp_path):
     # reload from disk: compacted state survives the metadata round-trip
     t2 = LakeTable.load(spark, t.root)
     assert df_fingerprint([r.asDict() for r in t2.read().collect()]) == before
+
+
+def test_rebucket_mid_replay_preserves_state_and_layout(spark, tmp_path):
+    """Bucket-count evolution: replay half the stream into a 4-bucket
+    table, rebucket to 16 in one maintenance commit, replay the rest —
+    final state must hash-equal an uninterrupted replay, every post-
+    rebucket file must sit in a 16-bucket layout, and merges/compaction
+    must honor the new bucket function."""
+    stream = synthetic_changestream(spark, 4000, n_repos=40, n_paths=80,
+                                    truncate_per_10k=5)
+
+    t_ref = LakeTable.create(spark, str(tmp_path / "ref"), SCHEMA,
+                             ["repo", "path"], num_buckets=4)
+    ReplayRunner(spark, t_ref, batch_span=1000).run(stream)
+    expected = df_fingerprint([r.asDict() for r in t_ref.read().collect()])
+
+    t = LakeTable.create(spark, str(tmp_path / "evo"), SCHEMA,
+                         ["repo", "path"], num_buckets=4)
+    ReplayRunner(spark, t, batch_span=1000).run(stream, max_batches=2)
+    assert t.rebucket(16, files_per_bucket=2) == 16
+    assert t.snapshot.num_buckets == 16
+    # rewrite placed every row in its new-function bucket
+    buckets = {fi["bucket"] for fi in t.snapshot.files}
+    assert buckets <= set(range(16)) and len(buckets) > 4
+
+    ReplayRunner(spark, t, batch_span=1000).run(stream)
+    t.compact(files_per_bucket=2)
+    assert df_fingerprint([r.asDict() for r in t.read().collect()]) == expected
+    # post-rebucket merges wrote under the 16-bucket function too
+    assert {fi["bucket"] for fi in t.snapshot.files} <= set(range(16))
+    # reload from disk: the evolved layout survives the metadata round-trip
+    t2 = LakeTable.load(spark, t.root)
+    assert t2.snapshot.num_buckets == 16
+    assert df_fingerprint([r.asDict() for r in t2.read().collect()]) == expected

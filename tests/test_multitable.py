@@ -162,3 +162,36 @@ def test_catalog_runner_lineage_has_table_names(spark, tmp_path):
     names = {r["table_name"] for r in lin.select("table_name").distinct().collect()}
     assert names == {"repos.files"}
     assert lin.filter(F.col("partition_id") >= 0).count() > 0
+
+
+def test_pipelined_catalog_runner_matches_sequential(spark, tmp_path):
+    """pipeline_depth>1 + parallel pair staging must converge to exactly
+    the sequential runner's state: per-table snapshots and catalog props
+    commit in batch order even though the delta writes overlap across
+    pairs and batches. DDL mid-stream (TRUNCATE of one table) drains the
+    pipeline and still applies at its gtid."""
+    events = []
+    for g in range(200):
+        t = "files" if g % 2 == 0 else "files2"
+        events.append(_ev(g, "INSERT" if g % 3 else "UPDATE", t,
+                          f"r{g % 7}", f"p{g % 13}.py", f"c{g}"))
+    events.append(_ev(120, "TRUNCATE", "files2", ddl="TRUNCATE TABLE repos.files2"))
+    events.sort(key=lambda e: e[0])
+
+    states = {}
+    for mode, depth in (("seq", 1), ("pipe", 3)):
+        cat = LakeCatalog.create(spark, str(tmp_path / f"cat_{mode}"))
+        for t in ("files", "files2"):
+            cat.create_table("repos", t, SCHEMA, ["repo", "path"], num_buckets=4)
+        runner = CatalogReplayRunner(
+            spark, cat, batch_span=25, config=_two_table_cfg(),
+            pipeline_depth=depth)
+        m = runner.run(_batch(spark, events))
+        assert m["batches"] == 8
+        states[mode] = (_state(cat, "repos", "files"),
+                        _state(cat, "repos", "files2"),
+                        runner.watermark_gtid)
+    assert states["seq"] == states["pipe"]
+    # the TRUNCATE landed: no files2 row older than gtid 120 survives
+    files2 = states["pipe"][1]
+    assert all(int(c[1:]) > 120 for c in files2.values())

@@ -74,6 +74,10 @@ class ApplyConfig:
     files_per_bucket: int = 1
     # bucket count for tables the applier CREATEs mid-stream (catalog mode)
     num_buckets: int = 16
+    # multi-table mode: how many pairs' delta-write jobs may run
+    # concurrently within one batch (their tables are disjoint; only the
+    # per-table snapshot commits serialize). 1 = fully sequential.
+    table_parallelism: int = 4
     # 'mor' appends LWW-deduped deltas (O(batch) per merge, the scale
     # path); 'cow' rewrites affected buckets (delta-free reads, exact
     # insert/update lineage split). See plans/lake.py.

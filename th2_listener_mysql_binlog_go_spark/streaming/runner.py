@@ -224,7 +224,16 @@ class CatalogReplayRunner:
         batch_span: int = 100_000,
         config: ApplyConfig | None = None,
         lineage_dir: str | None = None,
+        pipeline_depth: int = 1,
     ):
+        """``pipeline_depth`` > 1 overlaps the per-pair delta-WRITE jobs of
+        up to that many consecutive DDL-free mor batches (on top of the
+        within-batch pair parallelism of
+        :class:`~..operators.multi.MultiTableApplier`); per-table snapshot
+        commits and the catalog property update stay strictly batch-
+        ordered. A batch carrying DDL — or the resume batch — drains the
+        pipeline and runs the sequential path, exactly like the
+        single-table runner."""
         from ..operators.multi import MultiTableApplier
 
         self.spark = spark
@@ -232,6 +241,7 @@ class CatalogReplayRunner:
         self.batch_span = batch_span
         self.applier = MultiTableApplier(catalog, config)
         self.lineage = LineageWriter(lineage_dir) if lineage_dir else None
+        self.pipeline_depth = max(1, pipeline_depth)
 
     @property
     def watermark_gtid(self) -> int:
@@ -271,24 +281,23 @@ class CatalogReplayRunner:
         k1 = hi // span
         total = {"batches": 0, "events": 0, "rows_inserted": 0, "rows_updated": 0,
                  "rows_deleted": 0, "ddl_applied": 0}
-        for k in range(k0, k1 + 1):
-            if max_batches is not None and total["batches"] >= max_batches:
-                break
-            t0 = time.monotonic()
-            batch = stream.filter(
+
+        ks = list(range(k0, k1 + 1))
+        if max_batches is not None:
+            ks = ks[:max_batches]
+        ddl_by_k = {
+            k: [r for r in ddl_all if k * span <= r["gtid"] < (k + 1) * span]
+            for k in ks
+        }
+
+        def batch_df(k: int) -> DataFrame:
+            return stream.filter(
                 (F.col("gtid") >= k * span) & (F.col("gtid") < (k + 1) * span)
             )
-            is_tail = k == k1
-            m = self.applier.apply(
-                batch, batch_id=k,
-                precollected_ddl=[
-                    r for r in ddl_all if k * span <= r["gtid"] < (k + 1) * span
-                ],
-                resume_within_batch=(k == k0),
-            )
-            wall_ms = int((time.monotonic() - t0) * 1000)
+
+        def record(k: int, m: dict, wall_ms: int) -> None:
             props = {"watermark_gtid": str(min(hi, (k + 1) * span - 1))}
-            if not is_tail:
+            if k != k1:
                 # only a batch the source provably extends past is complete;
                 # a growing tail batch must be re-entered on resume
                 props["last_complete_batch"] = str(k)
@@ -316,5 +325,53 @@ class CatalogReplayRunner:
                         for b, n in tm.get("partitions", [])
                     ]
                 self.lineage.write(rows)
+
+        def sequential(k: int) -> None:
+            t0 = time.monotonic()
+            m = self.applier.apply(
+                batch_df(k), batch_id=k,
+                precollected_ddl=ddl_by_k[k],
+                resume_within_batch=(k == k0),
+            )
+            record(k, m, int((time.monotonic() - t0) * 1000))
+
+        depth = self.pipeline_depth
+        cfg = self.applier.config
+        can_pipeline = depth > 1 and cfg.merge_mode == "mor"
+        if not can_pipeline:
+            for k in ks:
+                sequential(k)
+            total["watermark_gtid"] = self.watermark_gtid
+            return total
+
+        # Pipelined mode: stage up to ``depth`` DDL-free batches' per-pair
+        # delta writes concurrently (each stage itself fans out across
+        # pairs); commit (per-table snapshots + catalog props) strictly in
+        # batch order on this thread. DDL batches and the resume batch
+        # drain the pipeline and run sequentially.
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        pairs = cfg.observed_pairs()
+        inflight: deque = deque()  # (k, t_submit, future -> {pair: staged})
+
+        def commit_oldest() -> None:
+            k, t0, fut = inflight.popleft()
+            m = self.applier.commit_pairs(fut.result(), k)
+            record(k, m, int((time.monotonic() - t0) * 1000))
+
+        with ThreadPoolExecutor(max_workers=depth, thread_name_prefix="cdc-cstage") as ex:
+            for k in ks:
+                if ddl_by_k[k] or k == k0:
+                    while inflight:
+                        commit_oldest()
+                    sequential(k)
+                    continue
+                while len(inflight) >= depth:
+                    commit_oldest()
+                inflight.append((k, time.monotonic(),
+                                 ex.submit(self.applier.stage_pairs, batch_df(k), pairs)))
+            while inflight:
+                commit_oldest()
         total["watermark_gtid"] = self.watermark_gtid
         return total
