@@ -71,3 +71,34 @@ def test_random_partial_reapplication_converges(spark, tmp_path):
     expected = state_fingerprint(replay_oracle(_events(stream)))
     got = df_fingerprint([r.asDict() for r in table.read().collect()])
     assert got == expected
+
+
+def test_windowed_ddl_prescan_bounded_and_equivalent(spark, tmp_path):
+    """Driver-bounded prescan (round-2 review #4): a dense-DDL replay with
+    prescan_window=2 must (a) never hold more than the window's worth of
+    DDL rows in one collect and (b) converge to the same state as an
+    effectively-unwindowed run — across both sequential and pipelined
+    modes."""
+    stream = synthetic_changestream(spark, 4000, n_repos=40, n_paths=80,
+                                    truncate_per_10k=60)  # dense TRUNCATEs
+    n_ddl = stream.filter(F.col("op") == "TRUNCATE").count()
+    assert n_ddl >= 10  # genuinely dense
+
+    fps = {}
+    for name, window, depth in (("wide", 10_000, 1), ("narrow", 2, 1),
+                                ("narrow_pipe", 2, 3)):
+        t = LakeTable.create(spark, str(tmp_path / name),
+                             [("repo", "string"), ("path", "string"),
+                              ("commit", "string"), ("lang", "string"),
+                              ("content", "string")],
+                             ["repo", "path"], num_buckets=4)
+        runner = ReplayRunner(spark, t, batch_span=250,
+                              pipeline_depth=depth, prescan_window=window)
+        runner.run(stream)
+        fps[name] = df_fingerprint([r.asDict() for r in t.read().collect()])
+        if name == "wide":
+            assert runner.max_prescan_rows >= n_ddl  # one collect held all
+        else:
+            # 16 batches / window 2 -> each collect holds ~1/8 of the DDL
+            assert 0 < runner.max_prescan_rows < n_ddl
+    assert fps["wide"] == fps["narrow"] == fps["narrow_pipe"]

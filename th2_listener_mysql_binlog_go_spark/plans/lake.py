@@ -408,17 +408,55 @@ class LakeTable:
         except Exception:
             return {}
 
+    # Above this many buckets, per-bucket Observation expressions stop
+    # being codegen-friendly; fall back to (threaded) footer reads.
+    _OBS_BUCKET_LIMIT = 512
+
+    @staticmethod
+    def _bucket_count_metrics(num_buckets: int, exclude_deletes: bool) -> list:
+        """Per-bucket row-count aggregates riding the WRITE job's
+        Observation — the task-side replacement for driver-serial parquet
+        footer reads (round-2 review #8): counts come out of the same job
+        that writes the rows, so commit-time lineage costs zero extra IO
+        (``t_footer_s`` ~ 0), on tmpfs and object storage alike."""
+        one = F.lit(1)
+        if exclude_deletes:  # CoW drops DELETE winners before the write
+            one = F.when(F.col(OP_COL) != "DELETE", 1).otherwise(0)
+        return [
+            F.sum(F.when(F.col(BUCKET_COL) == b, one).otherwise(0)).alias(f"bc{b}")
+            for b in range(num_buckets)
+        ]
+
+    @staticmethod
+    def _obs_bucket_counts(m: dict, num_buckets: int) -> dict[int, int] | None:
+        if num_buckets > LakeTable._OBS_BUCKET_LIMIT:
+            return None
+        out = {}
+        for b in range(num_buckets):
+            n = int(m.get(f"bc{b}") or 0)
+            if n:
+                out[b] = n
+        return out
+
     @staticmethod
     def _footer_rows(root: str, files: list[dict]) -> dict[int, int]:
-        """Per-bucket row counts from parquet footers (driver-side metadata
-        reads of just-written files — no Spark pass; the lineage analogue
-        of Iceberg manifest stats)."""
+        """Per-bucket row counts from parquet footers (fallback for tables
+        beyond _OBS_BUCKET_LIMIT buckets; metadata-only reads, fanned out
+        over threads so object-storage latency doesn't serialize)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
+        def one(fi):
+            return fi["bucket"], pq.ParquetFile(
+                os.path.join(root, fi["path"])).metadata.num_rows
+
         per_bucket: dict[int, int] = {}
-        for fi in files:
-            n = pq.ParquetFile(os.path.join(root, fi["path"])).metadata.num_rows
-            per_bucket[fi["bucket"]] = per_bucket.get(fi["bucket"], 0) + n
+        if not files:
+            return per_bucket
+        with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+            for bucket, n in ex.map(one, files):
+                per_bucket[bucket] = per_bucket.get(bucket, 0) + n
         return per_bucket
 
     # ---------------------------------------------------------------- merge
@@ -470,6 +508,8 @@ class LakeTable:
             F.max(F.col(GTID_COL)).alias("max_gtid"),
             F.min(F.col(GTID_COL)).alias("min_gtid"),
         ]
+        if snap.num_buckets <= self._OBS_BUCKET_LIMIT:
+            metrics += self._bucket_count_metrics(snap.num_buckets, exclude_deletes=False)
         commit_dir_rel = os.path.join("data", f"s{uuid.uuid4().hex[:12]}")
         self._write_files(winners, commit_dir_rel, with_op=True,
                           files_per_bucket=files_per_bucket,
@@ -484,6 +524,7 @@ class LakeTable:
                 "rows_updated": 0,
                 "rows_deleted": int(m.get("rows_deleted") or 0),
             },
+            "bucket_counts": self._obs_bucket_counts(m, snap.num_buckets),
             "min_gtid": m.get("min_gtid"),
             "max_gtid": m.get("max_gtid"),
             "t_write_s": round(_time.monotonic() - t_start, 4),
@@ -513,7 +554,9 @@ class LakeTable:
                 f"epoch {snap.epoch}: schema evolved mid-pipeline (barrier bug)"
             )
         written = staged["written"]
-        per_bucket = self._footer_rows(self.root, written)
+        per_bucket = staged.get("bucket_counts")
+        if per_bucket is None:  # > _OBS_BUCKET_LIMIT buckets: footer fallback
+            per_bucket = self._footer_rows(self.root, written)
         props = dict(snap.properties)
         batch_max = staged["max_gtid"] if staged["max_gtid"] is not None else self.watermark_gtid
         props["watermark_gtid"] = str(max(self.watermark_gtid, batch_max))
@@ -621,6 +664,8 @@ class LakeTable:
                 F.max(F.col(GTID_COL)).alias("max_gtid"),
                 F.min(F.col(GTID_COL)).alias("min_gtid"),
             ]
+            if snap.num_buckets <= self._OBS_BUCKET_LIMIT:
+                metrics += self._bucket_count_metrics(snap.num_buckets, exclude_deletes=False)
             commit_dir_rel = os.path.join("data", f"d{new_version:012d}-{uuid.uuid4().hex[:8]}")
             self._write_files(winners, commit_dir_rel, with_op=True,
                               files_per_bucket=files_per_bucket,
@@ -662,6 +707,9 @@ class LakeTable:
                 F.max(F.when(is_change, F.col(GTID_COL))).alias("max_gtid"),
                 F.min(F.when(is_change, F.col(GTID_COL))).alias("min_gtid"),
             ]
+            if snap.num_buckets <= self._OBS_BUCKET_LIMIT:
+                # written base rows = winners minus DELETE winners
+                metrics += self._bucket_count_metrics(snap.num_buckets, exclude_deletes=True)
             commit_dir_rel = os.path.join("data", f"c{new_version:012d}-{uuid.uuid4().hex[:8]}")
             self._write_files(winners, commit_dir_rel, with_op=False,
                               files_per_bucket=files_per_bucket,
@@ -678,7 +726,9 @@ class LakeTable:
             raise ValueError(f"unknown merge mode {mode!r}")
 
         t_write_done = _time.monotonic()
-        per_bucket = self._footer_rows(self.root, written)
+        per_bucket = self._obs_bucket_counts(m, snap.num_buckets)
+        if per_bucket is None:  # > _OBS_BUCKET_LIMIT buckets: footer fallback
+            per_bucket = self._footer_rows(self.root, written)
         t_footer_done = _time.monotonic()
         props = dict(snap.properties)
         batch_max = batch_gtid_max if batch_gtid_max is not None else m.get("max_gtid")

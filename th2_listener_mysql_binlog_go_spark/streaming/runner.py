@@ -37,6 +37,35 @@ from ..plans.lake import LakeTable
 from .lineage import LineageWriter
 
 
+def _ddl_windows(runner, stream: DataFrame, ks: list[int], span: int):
+    """Yield ``(window_ks, {k: ddl_rows})`` with one driver collect per
+    ``runner.prescan_window`` batches. DDL is ~1e-4 of a change stream and
+    the candidate condition is a JVM-side regex prefilter, so each collect
+    is tiny; windowing bounds driver memory at O(window) for unbounded
+    runs (round-2 review item #4). ``runner.max_prescan_rows`` records the
+    largest single collect for boundedness assertions."""
+    from ..operators.apply import ddl_candidates_cond
+
+    w = runner.prescan_window
+    for i in range(0, len(ks), w):
+        wks = ks[i:i + w]
+        lo_g, hi_g = wks[0] * span, (wks[-1] + 1) * span
+        rows = sorted(
+            (
+                stream.filter(ddl_candidates_cond()
+                              & (F.col("gtid") >= lo_g) & (F.col("gtid") < hi_g))
+                .select("gtid", "op", "ddl", "schema_name", "table_name")
+                .collect()
+            ),
+            key=lambda r: r["gtid"],
+        )
+        runner.max_prescan_rows = max(runner.max_prescan_rows, len(rows))
+        yield wks, {
+            k: [r for r in rows if k * span <= r["gtid"] < (k + 1) * span]
+            for k in wks
+        }
+
+
 class ReplayRunner:
     def __init__(
         self,
@@ -46,6 +75,7 @@ class ReplayRunner:
         config: ApplyConfig | None = None,
         lineage_dir: str | None = None,
         pipeline_depth: int = 1,
+        prescan_window: int = 256,
     ):
         """``pipeline_depth`` > 1 overlaps the delta-WRITE jobs of up to
         that many consecutive no-DDL mor batches (independent Spark jobs,
@@ -55,13 +85,24 @@ class ReplayRunner:
         resume) drain the pipeline and run through the sequential
         segment/DDL path unchanged, so evolution ordering is preserved.
         Exactly-once is untouched: a crash orphans staged (uncommitted,
-        unreachable) files — the same story as any crashed writer."""
+        unreachable) files — the same story as any crashed writer.
+
+        ``prescan_window``: the DDL pre-scan collects at most this many
+        batches' worth of DDL rows at a time, so driver memory stays
+        O(window), never O(run) — an unbounded 10^10-event replay holds
+        ~window * span * ddl_rate rows (~tens) regardless of run length.
+        The pipeline rides across window boundaries (the next collect
+        runs on the driver thread while staged jobs proceed)."""
         self.spark = spark
         self.table = table
         self.batch_span = batch_span
         self.applier = BatchApplier(table, config)
         self.lineage = LineageWriter(lineage_dir) if lineage_dir else None
         self.pipeline_depth = max(1, pipeline_depth)
+        self.prescan_window = max(1, prescan_window)
+        # instrumentation: max DDL rows held by any single window's
+        # pre-scan (tests assert boundedness)
+        self.max_prescan_rows = 0
 
     def run(
         self,
@@ -96,20 +137,6 @@ class ReplayRunner:
         done = int(self.table.snapshot.properties.get("last_complete_batch", "-1"))
         k0 = max(lo // span, (wm // span) if wm >= 0 else 0, done + 1)
 
-        # One DDL pre-scan for the whole run instead of one job per batch:
-        # DDL is ~1e-4 of a change stream, so this collect is tiny. (A
-        # full-history replay at 10^10 events should run() in windows via
-        # max_batches to bound it.)
-        from ..operators.apply import ddl_candidates_cond
-
-        ddl_all = sorted(
-            (
-                stream.filter(ddl_candidates_cond() & (F.col("gtid") >= k0 * span))
-                .select("gtid", "op", "ddl", "schema_name", "table_name")
-                .collect()
-            ),
-            key=lambda r: r["gtid"],
-        )
         k1 = hi // span
         total = {"batches": 0, "events": 0, "rows_inserted": 0, "rows_updated": 0,
                  "rows_deleted": 0, "ddl_applied": 0}
@@ -138,17 +165,13 @@ class ReplayRunner:
         ks = [k for k in range(k0, k1 + 1)]
         if max_batches is not None:
             ks = ks[:max_batches]
-        ddl_by_k = {
-            k: [r for r in ddl_all if k * span <= r["gtid"] < (k + 1) * span]
-            for k in ks
-        }
 
         def batch_df(k: int) -> DataFrame:
             return stream.filter(
                 (F.col("gtid") >= k * span) & (F.col("gtid") < (k + 1) * span)
             )
 
-        def sequential(k: int) -> None:
+        def sequential(k: int, ddls: list) -> None:
             t0 = time.monotonic()
             # Only a batch the source provably extends past may be marked
             # complete; the tail batch of an append-only source can still
@@ -157,16 +180,23 @@ class ReplayRunner:
             m = self.applier.apply(
                 batch_df(k), batch_id=k,
                 final_extra_props=None if k == k1 else {"last_complete_batch": str(k)},
-                precollected_ddl=ddl_by_k[k],
+                precollected_ddl=ddls,
                 resume_within_batch=self.table.last_batch_id // 1024 == k,
             )
             record(k, m, int((time.monotonic() - t0) * 1000))
 
+        # Windowed DDL pre-scan: one collect per ``prescan_window`` batches
+        # (a JVM-side regex prefilter keeps non-DDL rows off the driver),
+        # never one collect for the whole run — driver memory stays
+        # O(window) on an unbounded replay.
+        windows = _ddl_windows(self, stream, ks, span)
+
         depth = self.pipeline_depth
         can_pipeline = depth > 1 and self.applier.config.merge_mode == "mor"
         if not can_pipeline:
-            for k in ks:
-                sequential(k)
+            for wks, ddl_by_k in windows:
+                for k in wks:
+                    sequential(k, ddl_by_k[k])
             total["watermark_gtid"] = self.table.watermark_gtid
             return total
 
@@ -174,7 +204,9 @@ class ReplayRunner:
         # concurrently; commit strictly in batch order on this thread. A
         # DDL-bearing batch — or one needing within-batch resume — drains
         # the pipeline first and runs through the sequential path, so
-        # schema evolution still segments exactly where it must.
+        # schema evolution still segments exactly where it must. The
+        # pipeline rides across window boundaries (the next window's
+        # pre-scan collect runs on this thread while staged jobs proceed).
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
@@ -190,16 +222,17 @@ class ReplayRunner:
             record(k, m, int((time.monotonic() - t0) * 1000))
 
         with ThreadPoolExecutor(max_workers=depth, thread_name_prefix="cdc-stage") as ex:
-            for k in ks:
-                needs_seq = bool(ddl_by_k[k]) or self.table.last_batch_id // 1024 == k
-                if needs_seq:
-                    while inflight:
+            for wks, ddl_by_k in windows:
+                for k in wks:
+                    needs_seq = bool(ddl_by_k[k]) or self.table.last_batch_id // 1024 == k
+                    if needs_seq:
+                        while inflight:
+                            commit_oldest()
+                        sequential(k, ddl_by_k[k])
+                        continue
+                    while len(inflight) >= depth:
                         commit_oldest()
-                    sequential(k)
-                    continue
-                while len(inflight) >= depth:
-                    commit_oldest()
-                inflight.append((k, time.monotonic(), ex.submit(self.applier.stage_batch, batch_df(k))))
+                    inflight.append((k, time.monotonic(), ex.submit(self.applier.stage_batch, batch_df(k))))
             while inflight:
                 commit_oldest()
         total["watermark_gtid"] = self.table.watermark_gtid
@@ -225,6 +258,7 @@ class CatalogReplayRunner:
         config: ApplyConfig | None = None,
         lineage_dir: str | None = None,
         pipeline_depth: int = 1,
+        prescan_window: int = 256,
     ):
         """``pipeline_depth`` > 1 overlaps the per-pair delta-WRITE jobs of
         up to that many consecutive DDL-free mor batches (on top of the
@@ -233,7 +267,9 @@ class CatalogReplayRunner:
         commits and the catalog property update stay strictly batch-
         ordered. A batch carrying DDL — or the resume batch — drains the
         pipeline and runs the sequential path, exactly like the
-        single-table runner."""
+        single-table runner. ``prescan_window`` bounds each DDL pre-scan
+        collect to that many batches (driver memory O(window), see
+        :class:`ReplayRunner`)."""
         from ..operators.multi import MultiTableApplier
 
         self.spark = spark
@@ -242,6 +278,8 @@ class CatalogReplayRunner:
         self.applier = MultiTableApplier(catalog, config)
         self.lineage = LineageWriter(lineage_dir) if lineage_dir else None
         self.pipeline_depth = max(1, pipeline_depth)
+        self.prescan_window = max(1, prescan_window)
+        self.max_prescan_rows = 0
 
     @property
     def watermark_gtid(self) -> int:
@@ -268,16 +306,6 @@ class CatalogReplayRunner:
         done = int(self.catalog.properties.get("last_complete_batch", "-1"))
         k0 = max(lo // span, (wm // span) if wm >= 0 else 0, done + 1)
 
-        from ..operators.apply import ddl_candidates_cond
-
-        ddl_all = sorted(
-            (
-                stream.filter(ddl_candidates_cond() & (F.col("gtid") >= k0 * span))
-                .select("gtid", "op", "ddl", "schema_name", "table_name")
-                .collect()
-            ),
-            key=lambda r: r["gtid"],
-        )
         k1 = hi // span
         total = {"batches": 0, "events": 0, "rows_inserted": 0, "rows_updated": 0,
                  "rows_deleted": 0, "ddl_applied": 0}
@@ -285,10 +313,6 @@ class CatalogReplayRunner:
         ks = list(range(k0, k1 + 1))
         if max_batches is not None:
             ks = ks[:max_batches]
-        ddl_by_k = {
-            k: [r for r in ddl_all if k * span <= r["gtid"] < (k + 1) * span]
-            for k in ks
-        }
 
         def batch_df(k: int) -> DataFrame:
             return stream.filter(
@@ -326,21 +350,24 @@ class CatalogReplayRunner:
                     ]
                 self.lineage.write(rows)
 
-        def sequential(k: int) -> None:
+        def sequential(k: int, ddls: list) -> None:
             t0 = time.monotonic()
             m = self.applier.apply(
                 batch_df(k), batch_id=k,
-                precollected_ddl=ddl_by_k[k],
+                precollected_ddl=ddls,
                 resume_within_batch=(k == k0),
             )
             record(k, m, int((time.monotonic() - t0) * 1000))
+
+        windows = _ddl_windows(self, stream, ks, span)
 
         depth = self.pipeline_depth
         cfg = self.applier.config
         can_pipeline = depth > 1 and cfg.merge_mode == "mor"
         if not can_pipeline:
-            for k in ks:
-                sequential(k)
+            for wks, ddl_by_k in windows:
+                for k in wks:
+                    sequential(k, ddl_by_k[k])
             total["watermark_gtid"] = self.watermark_gtid
             return total
 
@@ -361,16 +388,17 @@ class CatalogReplayRunner:
             record(k, m, int((time.monotonic() - t0) * 1000))
 
         with ThreadPoolExecutor(max_workers=depth, thread_name_prefix="cdc-cstage") as ex:
-            for k in ks:
-                if ddl_by_k[k] or k == k0:
-                    while inflight:
+            for wks, ddl_by_k in windows:
+                for k in wks:
+                    if ddl_by_k[k] or k == k0:
+                        while inflight:
+                            commit_oldest()
+                        sequential(k, ddl_by_k[k])
+                        continue
+                    while len(inflight) >= depth:
                         commit_oldest()
-                    sequential(k)
-                    continue
-                while len(inflight) >= depth:
-                    commit_oldest()
-                inflight.append((k, time.monotonic(),
-                                 ex.submit(self.applier.stage_pairs, batch_df(k), pairs)))
+                    inflight.append((k, time.monotonic(),
+                                     ex.submit(self.applier.stage_pairs, batch_df(k), pairs)))
             while inflight:
                 commit_oldest()
         total["watermark_gtid"] = self.watermark_gtid
