@@ -109,9 +109,11 @@ runner = ReplayRunner(spark, table, batch_span=max(n_events // int(sys.argv[3]),
                       config=cfg, pipeline_depth=depth)
 t0 = time.monotonic()
 runner.run(stream)
+t_replay = time.monotonic() - t0
 table.compact(files_per_bucket=4)  # converge to delta-free base: part of the measured work
 dt = time.monotonic() - t0
-print(json.dumps({"cores": cores, "sec": dt, "events_per_sec": n_events / dt}))
+print(json.dumps({"cores": cores, "sec": dt, "events_per_sec": n_events / dt,
+                  "t_replay": round(t_replay, 2), "t_compact": round(dt - t_replay, 2)}))
 spark.stop()
 import shutil
 shutil.rmtree(src, ignore_errors=True)
@@ -138,6 +140,14 @@ def main() -> None:
     lo = min(runs_lo, key=lambda r: r["sec"])
     hi = min(runs_hi, key=lambda r: r["sec"])
     eff = (hi["events_per_sec"] / lo["events_per_sec"]) / 4.0
+    # per-phase efficiency from the best-of-N phase walls (replay and
+    # compaction are disjoint timed sections of the same run protocol)
+    ph = {
+        "replay": (min(r["t_replay"] for r in runs_lo),
+                   min(r["t_replay"] for r in runs_hi)),
+        "compact": (min(r["t_compact"] for r in runs_lo),
+                    min(r["t_compact"] for r in runs_hi)),
+    }
     print(json.dumps({
         "metric": "cdc_apply_scaling_efficiency",
         "events": EVENTS,
@@ -145,8 +155,12 @@ def main() -> None:
         "n4_cores": 4 * N, "throughput_4n": round(hi["events_per_sec"], 1),
         "sec_n": round(lo["sec"], 2), "sec_4n": round(hi["sec"], 2),
         "scaling_efficiency": round(eff, 3),
+        "phase_efficiency": {k: round((a / b) / 4.0, 3) for k, (a, b) in ph.items()},
+        "phase_sec": {k: {"n": a, "n4": b} for k, (a, b) in ph.items()},
         "all_runs": {"n": [round(r["sec"], 2) for r in runs_lo],
-                     "n4": [round(r["sec"], 2) for r in runs_hi]},
+                     "n4": [round(r["sec"], 2) for r in runs_hi],
+                     "n_phases": [[r["t_replay"], r["t_compact"]] for r in runs_lo],
+                     "n4_phases": [[r["t_replay"], r["t_compact"]] for r in runs_hi]},
     }))
 
 

@@ -1,0 +1,93 @@
+"""The north rule's launch surface: the engine driven via real
+``spark-submit --py-files <pkg.zip>`` child processes — create, partial
+replay (simulated crash), resume in a SECOND process, compact, show —
+with the final state checked against the pure-python oracle.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+from th2_listener_mysql_binlog_go_spark.plans.lake import LakeTable
+from th2_listener_mysql_binlog_go_spark.sources.changestream import synthetic_changestream
+
+from .oracle import df_fingerprint, replay_oracle, state_fingerprint
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "th2_listener_mysql_binlog_go_spark"
+
+RUNNER = """
+import sys
+from th2_listener_mysql_binlog_go_spark.__main__ import main
+sys.exit(main(sys.argv[1:]))
+"""
+
+
+def _zip_pkg(dest: str) -> str:
+    zpath = os.path.join(dest, "cdc_engine.zip")
+    src = os.path.join(REPO, PKG)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _dirs, files in os.walk(src):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def _submit(zpath: str, script: str, *args: str) -> dict:
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    out = subprocess.run(
+        ["spark-submit", "--master", "local[2]",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "--py-files", zpath, script, *args],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_spark_submit_replay_resume_compact(spark, tmp_path):
+    zpath = _zip_pkg(str(tmp_path))
+    script = str(tmp_path / "run_cdc.py")
+    with open(script, "w") as f:
+        f.write(RUNNER)
+
+    src = str(tmp_path / "events")
+    stream = synthetic_changestream(spark, 3000, n_repos=30, n_paths=60,
+                                    truncate_per_10k=10)
+    stream.write.parquet(src)
+    table_dir = str(tmp_path / "t")
+
+    created = _submit(
+        zpath, script, "create", "--table", table_dir,
+        "--schema", "repo string, path string, commit string, lang string, content string",
+        "--keys", "repo,path", "--num-buckets", "8")
+    assert created["num_buckets"] == 8
+
+    # partial replay = simulated crash after 2 of 6 batches
+    m1 = _submit(zpath, script, "replay", "--table", table_dir,
+                 "--source", src, "--batch-span", "500",
+                 "--pipeline-depth", "2", "--max-batches", "2")
+    assert m1["batches"] == 2
+
+    # resume from the table-as-checkpoint in a fresh process
+    m2 = _submit(zpath, script, "replay", "--table", table_dir,
+                 "--source", src, "--batch-span", "500", "--pipeline-depth", "2")
+    assert m2["batches"] == 4 and m2["watermark_gtid"] == 2999
+
+    compacted = _submit(zpath, script, "compact", "--table", table_dir,
+                        "--files-per-bucket", "2")
+    assert compacted["compacted_buckets"] >= 1
+
+    shown = _submit(zpath, script, "show", "--table", table_dir)
+    assert shown["properties"]["watermark_gtid"] == "2999"
+
+    expect = replay_oracle([r.asDict(recursive=True) for r in stream.collect()])
+    got = df_fingerprint([r.asDict()
+                          for r in LakeTable.load(spark, table_dir).read().collect()])
+    assert got == state_fingerprint(expect)
+    shutil.rmtree(str(tmp_path / "events"), ignore_errors=True)

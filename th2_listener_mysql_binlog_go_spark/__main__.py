@@ -1,0 +1,237 @@
+"""spark-submit entry point — the north rule's launch surface:
+
+    spark-submit --py-files cdc_engine.zip -m th2_listener_mysql_binlog_go_spark ...
+
+or equivalently ``python -m th2_listener_mysql_binlog_go_spark``. The
+session comes from ``SparkSession.builder.getOrCreate()`` so whatever
+master/executor topology spark-submit configured applies unchanged; in a
+bare python process it falls back to ``local[*]``.
+
+Subcommands (all resumable — the table/catalog directory IS the
+checkpoint, so re-running the same command after a crash continues from
+the persisted watermark):
+
+  create          create an empty lake table
+  replay          batch-replay a GTID-ordered change-event parquet dir
+  stream          Structured Streaming tail (readStream + foreachBatch)
+  catalog-replay  multi-table replay over a LakeCatalog
+  compact         fold deltas into base files
+  rebucket        bucket-count evolution
+  show            print snapshot properties / schema
+
+Example (single table, create + replay + compact):
+
+  python -m th2_listener_mysql_binlog_go_spark create \
+      --table /data/files --schema "repo string, path string, commit string, lang string, content string" \
+      --keys repo,path --num-buckets 256
+  spark-submit --master ... --py-files cdc_engine.zip run_cdc.py replay \
+      --table /data/files --source /binlog/events --batch-span 1000000 \
+      --pipeline-depth 3 --lineage-dir /data/files_lineage
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(app: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def _parse_schema(s: str) -> list[tuple[str, str]]:
+    out = []
+    for part in s.split(","):
+        name, _, typ = part.strip().partition(" ")
+        out.append((name, typ.strip() or "string"))
+    return out
+
+
+def cmd_create(args) -> dict:
+    from .plans.lake import LakeTable
+
+    spark = _spark("cdc-create")
+    t = LakeTable.create(
+        spark, args.table, _parse_schema(args.schema),
+        key_cols=args.keys.split(","), num_buckets=args.num_buckets,
+    )
+    return {"table": args.table, "version": t.snapshot.version,
+            "num_buckets": t.snapshot.num_buckets}
+
+
+def _apply_config(args):
+    from .operators.apply import ApplyConfig
+
+    kw = {}
+    if getattr(args, "mode", None):
+        kw["merge_mode"] = args.mode
+    if getattr(args, "files_per_bucket", None):
+        kw["files_per_bucket"] = args.files_per_bucket
+    if getattr(args, "observed", None):
+        observed: dict[str, list[str]] = {}
+        for pair in args.observed.split(","):
+            schema, _, table = pair.strip().partition(".")
+            observed.setdefault(schema, []).append(table)
+        kw["observed"] = observed
+    return ApplyConfig(**kw)
+
+
+def cmd_replay(args) -> dict:
+    from .plans.lake import LakeTable
+    from .streaming.runner import ReplayRunner
+
+    spark = _spark("cdc-replay")
+    table = LakeTable.load(spark, args.table)
+    stream = spark.read.parquet(args.source)
+    runner = ReplayRunner(
+        spark, table, batch_span=args.batch_span, config=_apply_config(args),
+        lineage_dir=args.lineage_dir, pipeline_depth=args.pipeline_depth,
+        prescan_window=args.prescan_window,
+    )
+    m = runner.run(stream, max_batches=args.max_batches, allow_gaps=args.allow_gaps)
+    return m
+
+
+def cmd_stream(args) -> dict:
+    from .plans.lake import LakeTable
+    from .streaming.structured import StreamingApplier
+
+    spark = _spark("cdc-stream")
+    table = LakeTable.load(spark, args.table)
+    q = StreamingApplier(spark, table, config=_apply_config(args),
+                         lineage_dir=args.lineage_dir).start(
+        args.source, args.checkpoint, args.schema,
+        available_now=not args.continuous,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    q.awaitTermination()
+    return {"table": args.table, "watermark_gtid": LakeTable.load(spark, args.table).watermark_gtid}
+
+
+def cmd_catalog_replay(args) -> dict:
+    from .plans.catalog import LakeCatalog
+    from .streaming.runner import CatalogReplayRunner
+
+    spark = _spark("cdc-catalog-replay")
+    cat = LakeCatalog.load(spark, args.catalog)
+    stream = spark.read.parquet(args.source)
+    runner = CatalogReplayRunner(
+        spark, cat, batch_span=args.batch_span, config=_apply_config(args),
+        lineage_dir=args.lineage_dir, pipeline_depth=args.pipeline_depth,
+        prescan_window=args.prescan_window,
+    )
+    return runner.run(stream, max_batches=args.max_batches, allow_gaps=args.allow_gaps)
+
+
+def cmd_compact(args) -> dict:
+    from .plans.lake import LakeTable
+
+    spark = _spark("cdc-compact")
+    t = LakeTable.load(spark, args.table)
+    n = t.compact(files_per_bucket=args.files_per_bucket)
+    return {"table": args.table, "compacted_buckets": n, "version": t.snapshot.version}
+
+
+def cmd_rebucket(args) -> dict:
+    from .plans.lake import LakeTable
+
+    spark = _spark("cdc-rebucket")
+    t = LakeTable.load(spark, args.table)
+    n = t.rebucket(args.num_buckets, files_per_bucket=args.files_per_bucket)
+    return {"table": args.table, "num_buckets": n, "version": t.snapshot.version}
+
+
+def cmd_show(args) -> dict:
+    from .plans.lake import LakeTable
+
+    spark = _spark("cdc-show")
+    t = LakeTable.load(spark, args.table)
+    s = t.snapshot
+    return {
+        "table": args.table, "version": s.version, "epoch": s.epoch,
+        "num_buckets": s.num_buckets,
+        "columns": [(c.id, c.name, c.type) for c in s.columns],
+        "keys": s.key_names, "files": len(s.files),
+        "properties": s.properties,
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="th2_listener_mysql_binlog_go_spark",
+                                description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common_replay(sp):
+        sp.add_argument("--source", required=True)
+        sp.add_argument("--batch-span", type=int, default=1_000_000)
+        sp.add_argument("--pipeline-depth", type=int, default=3)
+        sp.add_argument("--prescan-window", type=int, default=256)
+        sp.add_argument("--max-batches", type=int, default=None)
+        sp.add_argument("--allow-gaps", action="store_true")
+        sp.add_argument("--mode", choices=["mor", "cow"], default=None)
+        sp.add_argument("--files-per-bucket", type=int, default=None)
+        sp.add_argument("--lineage-dir", default=None)
+
+    sp = sub.add_parser("create")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--schema", required=True,
+                    help='e.g. "repo string, path string, content string"')
+    sp.add_argument("--keys", required=True, help="comma-separated key columns")
+    sp.add_argument("--num-buckets", type=int, default=64)
+    sp.set_defaults(fn=cmd_create)
+
+    sp = sub.add_parser("replay")
+    sp.add_argument("--table", required=True)
+    common_replay(sp)
+    sp.set_defaults(fn=cmd_replay)
+
+    sp = sub.add_parser("stream")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--source", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--schema", required=True, help="change-event schema DDL")
+    sp.add_argument("--continuous", action="store_true",
+                    help="keep tailing instead of drain-and-stop (availableNow)")
+    sp.add_argument("--max-files-per-trigger", type=int, default=None)
+    sp.add_argument("--mode", choices=["mor", "cow"], default=None)
+    sp.add_argument("--files-per-bucket", type=int, default=None)
+    sp.add_argument("--lineage-dir", default=None)
+    sp.set_defaults(fn=cmd_stream)
+
+    sp = sub.add_parser("catalog-replay")
+    sp.add_argument("--catalog", required=True)
+    common_replay(sp)
+    sp.add_argument("--observed", required=True,
+                    help="comma-separated schema.table pairs to observe")
+    sp.set_defaults(fn=cmd_catalog_replay)
+
+    sp = sub.add_parser("compact")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--files-per-bucket", type=int, default=1)
+    sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("rebucket")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--num-buckets", type=int, required=True)
+    sp.add_argument("--files-per-bucket", type=int, default=1)
+    sp.set_defaults(fn=cmd_rebucket)
+
+    sp = sub.add_parser("show")
+    sp.add_argument("--table", required=True)
+    sp.set_defaults(fn=cmd_show)
+
+    args = p.parse_args(argv)
+    print(json.dumps(args.fn(args)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -903,10 +903,19 @@ class LakeTable:
         exactly one (bucket, salt) cell, so the LWW window runs *within*
         the write partitioning (Catalyst elides the second exchange) and
         the winners stream straight into the per-bucket parquet write.
-        ``files_per_bucket`` splits hot buckets across tasks AND bounds the
-        per-task sort to one cell (~table_bytes / (buckets*fpb)) — the
-        two-shuffle variant sorted whole key-hash partitions and thrashed
-        memory at high core counts."""
+
+        Partition-count policy (round-3, measured): the exchange targets
+        ~4 waves per core — ``min(cells, max(4 * defaultParallelism,
+        input_files / 8))`` — instead of one partition per (bucket, salt)
+        cell. Hundreds of cell-sized tasks paid pure scheduler/setup
+        serial time (256 tasks at 12M rows: 22.0s at 8 cores, 75.0s at 2;
+        the 4-waves cap: 18.4s and 63.5s — faster at BOTH levels, scaling
+        0.86). A range partition holding several cells still keeps every
+        cell intact (the window needs only co-location), the file-count
+        floor bounds any task's external sort to a few input files'
+        bytes, and when few buckets are dirty the salt cardinality is
+        RAISED (``fpb_eff``) so parallelism never caps at the dirty-bucket
+        count."""
         snap = self.snapshot
         from collections import Counter
 
@@ -932,9 +941,15 @@ class LakeTable:
         if trunc >= 0:
             df = df.filter(F.col(GTID_COL) > trunc)
 
+        par = self.spark.sparkContext.defaultParallelism
         fpb = max(files_per_bucket, 1)
+        if len(todo) * fpb < 4 * par:
+            # few dirty buckets: raise salt cardinality so the rewrite
+            # still spreads across the cluster (cells >= 4 * parallelism)
+            fpb = max(fpb, -(-4 * par // max(len(todo), 1)))
         salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.lit(7)), F.lit(fpb))
-        n_parts = len(todo) * fpb
+        n_cells = len(todo) * fpb
+        n_parts = min(n_cells, max(4 * par, -(-len(src) // 8)))
         out = df.withColumn("_salt", salt).repartitionByRange(
             n_parts, F.col(BUCKET_COL), F.col("_salt")
         )
