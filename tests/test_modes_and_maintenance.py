@@ -102,3 +102,21 @@ def test_rebucket_mid_replay_preserves_state_and_layout(spark, tmp_path):
     t2 = LakeTable.load(spark, t.root)
     assert t2.snapshot.num_buckets == 16
     assert df_fingerprint([r.asDict() for r in t2.read().collect()]) == expected
+
+
+def test_compact_is_idempotent(spark, tmp_path):
+    """compact() right after compact() must be a no-op — a prior compact's
+    multi-file buckets (salt fan-out) are a fixed point, not dirt."""
+    stream = synthetic_changestream(spark, 2000, n_repos=20, n_paths=40,
+                                    truncate_per_10k=0)
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], num_buckets=4)
+    cfg = ApplyConfig(files_per_bucket=3, auto_compact_deltas=None)
+    ReplayRunner(spark, t, batch_span=500, config=cfg).run(stream)
+    before = df_fingerprint([r.asDict() for r in t.read().collect()])
+    assert t.compact(files_per_bucket=3) > 0      # real work: folds deltas
+    v = t.snapshot.version
+    assert t.compact(files_per_bucket=3) == 0     # fixed point
+    assert t.compact(files_per_bucket=1) == 0     # even at a smaller target
+    assert t.snapshot.version == v                # no snapshot churn
+    assert df_fingerprint([r.asDict() for r in t.read().collect()]) == before

@@ -104,3 +104,35 @@ def test_split_plan_spark(spark):
     # each part's size within bound: 50 + 3*301 + 2 < 1000 -> 3 rows/part
     from collections import Counter
     assert all(c <= 3 for c in Counter(ins).values())
+
+
+def test_split_plan_matches_reference_recurrence_randomized(spark):
+    """The mapInPandas stream implementation must equal the pure-Python
+    greedy recurrence per event, for random event shapes (multi-row,
+    single-row, unsplittable ops, sizes straddling the bound) — including
+    events that span Arrow batch boundaries (forced tiny batch size)."""
+    import random
+
+    rng = random.Random(7)
+    rows, expected = [], {}
+    for ev in range(120):
+        op = rng.choice(["INSERT", "DELETE", "UPDATE", "INSERT"])
+        n = rng.choice([1, 1, 2, 3, 8, 20])
+        sizes = [rng.randrange(10, 400) for _ in range(n)]
+        if op in ("INSERT", "DELETE"):
+            parts = greedy_split_sizes(sizes, 64, 512)
+        else:
+            parts = [0] * n
+        for i, (s, p) in enumerate(zip(sizes, parts)):
+            rows.append((ev, i, s, op))
+            expected[(ev, i)] = p
+    df = spark.createDataFrame(rows, "event_id int, row_order int, est_size int, op string")
+    small_batch = df.sparkSession.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    df.sparkSession.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        out = split_plan(df, "event_id", "row_order", "est_size", "op",
+                         max_size=512, base_size=64)
+        got = {(r["event_id"], r["row_order"]): r["part_idx"] for r in out.collect()}
+    finally:
+        df.sparkSession.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", small_batch)
+    assert got == expected

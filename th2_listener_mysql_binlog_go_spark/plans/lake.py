@@ -894,10 +894,12 @@ class LakeTable:
 
     def compact(self, target_buckets: list[int] | None = None,
                 files_per_bucket: int = 1) -> int:
-        """Fold deltas into base and coalesce multi-file buckets: rewrite
-        every bucket that has delta files or >1 base file into fresh
-        single-epoch base files. The 100 TB analogue of Iceberg's
-        rewrite_data_files / Hudi compaction; bounded to the dirty buckets.
+        """Fold deltas into base and coalesce fragmented buckets: rewrite
+        every bucket that has delta files, or base files from more than
+        one commit, into fresh single-commit base files (idempotent — a
+        bucket written by one prior compact is a fixed point). The 100 TB
+        analogue of Iceberg's rewrite_data_files / Hudi compaction;
+        bounded to the dirty buckets.
 
         Plan shape: ONE range exchange on (bucket, salt) — a key maps to
         exactly one (bucket, salt) cell, so the LWW window runs *within*
@@ -917,11 +919,19 @@ class LakeTable:
         RAISED (``fpb_eff``) so parallelism never caps at the dirty-bucket
         count."""
         snap = self.snapshot
-        from collections import Counter
 
-        counts = Counter(fi["bucket"] for fi in snap.files)
+        # A bucket needs work when it holds deltas, or base files from MORE
+        # THAN ONE commit (several CoW merges / an interrupted history).
+        # Base files written together by one commit — however many, the
+        # salt fan-out decides that — are a fixed point: calling compact()
+        # twice must not rewrite the table again (idempotence).
         dirty = {fi["bucket"] for fi in snap.files if fi.get("kind") == "delta"}
-        todo = {b for b, n in counts.items() if n > 1} | dirty
+        base_dirs: dict[int, set] = {}
+        for fi in snap.files:
+            if fi.get("kind", "base") == "base":
+                base_dirs.setdefault(fi["bucket"], set()).add(
+                    os.path.dirname(fi["path"]))
+        todo = {b for b, dirs in base_dirs.items() if len(dirs) > 1} | dirty
         if target_buckets is not None:
             todo &= set(target_buckets)
         if not todo:
