@@ -404,7 +404,12 @@ def q_size_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- training-data pipeline ops
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # The sf documents table is a single parquet file -> 1-2 input
+    # partitions, which would serialize the regex-heavy normalize/shingle
+    # stages on one core (measured: 11s of a 19s MinHash run). At real
+    # scale the input has thousands of partitions; restore that here.
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism)
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:

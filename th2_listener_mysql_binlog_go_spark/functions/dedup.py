@@ -102,9 +102,25 @@ def minhash_lsh_pairs(
     (band, bucket) — collision groups only — then a distinct on pairs.
     """
     rows_per_band = n_hashes // bands
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), n_hashes, k).alias("sig"),
+    # Signature via explode + groupBy(min..): semantically identical to
+    # minhash_signature's fold (min is duplicate-insensitive) but ~2x
+    # faster — the fold materializes a fresh n_hashes-element array per
+    # shingle, while the aggregate runs map-side partial combine in
+    # codegen with no allocation, and the shuffle carries one partial
+    # signature per doc per map partition, not the shingle stream.
+    coeffs = minhash_coeffs(n_hashes)
+    base = minhash_base(F.col("s"))
+    sigs = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(shingles(F.col(text_col), k)).alias("s"))
+        .select("id", base.alias("b"))
+        .groupBy("id")
+        .agg(*[F.min((F.lit(a) * F.col("b") + F.lit(c)) % F.lit(MINHASH_P)).alias(f"h{i}")
+               for i, (a, c) in enumerate(coeffs)])
+        .select("id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
+        # persist: the banded self-join consumes this subtree TWICE (a and
+        # b sides); signatures are ~n_hashes*8B/doc, tiny next to the text
+        .persist()
     )
     banded = sigs.select(
         "id", "sig",
@@ -162,15 +178,18 @@ def ngram_jaccard_pairs(
     shingle. Inverted-index join; shingles appearing in more than
     ``max_shingle_df`` docs are dropped first (stop-shingle skew guard —
     they generate quadratic candidates and carry no signal)."""
+    # persist: the inverted index feeds four consumers (per-doc sizes, the
+    # document-frequency cap, and BOTH sides of the candidate self-join);
+    # without it the normalize+shingle+explode subtree re-runs each time.
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
-    )
+    ).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     rare = sh.join(
         sh.groupBy("sh").agg(F.count("*").alias("df_")).filter(F.col("df_") <= max_shingle_df),
         "sh",
-    )
+    ).persist()
     a, b = rare.alias("a"), rare.alias("b")
     inter = (
         a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col("a.id") < F.col("b.id")])
@@ -264,7 +283,9 @@ def simhash_pairs(
     (__spark_entry__._simhash_oracle)."""
     vote = _simhash_vote_udf()
     his, los = simhash_gram_hashes(F.col(text_col))
-    sigs = df.select(F.col(id_col).alias("id"), vote(his, los).alias("sig"))
+    # persist: both sides of the banded self-join read this — without it
+    # the gram hashing + bit vote runs twice
+    sigs = df.select(F.col(id_col).alias("id"), vote(his, los).alias("sig")).persist()
     banded = sigs.select(
         "id", "sig",
         F.explode(F.array(*[

@@ -241,9 +241,11 @@ def cosine_neardup_pairs(
     dim = dim if dim is not None else len(df.select(vec_col).first()[0])
     sig = _multi_signature_udf(dim, n_tables, bits_per_table, seed)
     ids = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # persist: both sides of the banded self-join read this — without it
+    # the Arrow signature pass over every vector runs twice
     buckets = ids.select(
         "id", F.posexplode(sig(F.col("v"))).alias("tbl", "sig")
-    )
+    ).persist()
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(b, on=[F.col("a.tbl") == F.col("b.tbl"),

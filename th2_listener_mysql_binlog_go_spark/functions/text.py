@@ -89,10 +89,18 @@ def fingerprint(text: Column) -> Column:
 
 def shingles(text: Column, k: int = 5) -> Column:
     """Word k-shingles of the normalized text (array<string>), the MinHash
-    input. Empty/short docs yield their full token string as one shingle."""
+    input. Empty/short docs yield their full token string as one shingle.
+
+    The token array binds as a LAMBDA VARIABLE via a one-element outer
+    transform before the per-shingle loop touches it: a lambda body that
+    closes over an outer expression re-evaluates that whole subtree PER
+    ELEMENT (the tokenize regex ran once per shingle — measured 13s for
+    250k shingles at sf0.1; this shape runs in 0.7s). Only
+    NamedLambdaVariables are cheap inside higher-order functions."""
     toks = F.split(normalize_text(text), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
-    )
+
+    def from_tokens(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(t) - k, F.lit(0)))
+        return F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, k), " "))
+
+    return F.element_at(F.transform(F.array(toks), from_tokens), 1)
