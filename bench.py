@@ -58,8 +58,12 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     n_events_dir = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
-    # headline stream: 10x the sf's event count (>= 1M at sf0.1)
-    n_events = int(os.environ.get("CDC_BENCH_EVENTS", str(max(n_events_dir * 10, 100_000))))
+    # headline stream: 40x the sf's event count (4M at sf0.1; rounds 1-2
+    # used 10x/1M, where core-count-invariant per-batch fixed costs —
+    # codegen compile, sampling, scheduling — dominated a ~14s run and
+    # hid ~2/3 of the engine's steady-state throughput; the 10^10-event
+    # target regime is fixed-cost-amortized, disclosed in BASELINE.md)
+    n_events = int(os.environ.get("CDC_BENCH_EVENTS", str(max(n_events_dir * 40, 100_000))))
 
     times: dict[str, float] = {}
 
@@ -72,14 +76,25 @@ def main() -> None:
     stream.count()  # materialize generation outside the timed window
 
     tmp = tempfile.mkdtemp(prefix="cdc_bench_", dir=shm)
+    SCHEMA = [("repo", "string"), ("path", "string"), ("commit", "string"),
+              ("lang", "string"), ("content", "string")]
+    from th2_listener_mysql_binlog_go_spark.operators.apply import ApplyConfig
+
+    # Warm-up (excluded from timing, as in bench_scaling.py): a tiny replay
+    # into a throwaway table compiles the codegen templates and JIT-warms
+    # the write path, so the headline measures steady-state throughput.
+    warm = LakeTable.create(spark, os.path.join(tmp, "w"), SCHEMA,
+                            key_cols=["repo", "path"], num_buckets=16)
+    ReplayRunner(spark, warm, batch_span=10_000).run(
+        synthetic_changestream(spark, 20_000, with_truncate=False))
+    warm.compact()
+    shutil.rmtree(os.path.join(tmp, "w"), ignore_errors=True)
+
     table = LakeTable.create(
-        spark, os.path.join(tmp, "t"),
-        [("repo", "string"), ("path", "string"), ("commit", "string"),
-         ("lang", "string"), ("content", "string")],
+        spark, os.path.join(tmp, "t"), SCHEMA,
         key_cols=["repo", "path"],
         num_buckets=int(os.environ.get("CDC_BENCH_BUCKETS", "64")),
     )
-    from th2_listener_mysql_binlog_go_spark.operators.apply import ApplyConfig
 
     runner = ReplayRunner(
         spark, table, batch_span=max(n_events // 8, 1),
