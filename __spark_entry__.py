@@ -521,14 +521,19 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: synthesize binary payloads from documents,
-    decode via mapInPandas (deterministic fake decoder; real codecs are a
-    clearly-marked stub). Rows-only."""
+    """Multimodal plumbing under a full hash oracle: synthesize binary
+    payloads (repeated sha256 of the text), decode via the Arrow
+    mapInPandas path (deterministic byte-derived fake decoder — real
+    codecs remain a clearly-marked stub), and emit the first stripe's
+    byte SUM (an exact integer — a float32 mean of 16 bytes times 16),
+    which DuckDB recomputes from sha256 hex arithmetic. This checks the
+    whole binary plumbing chain: to_binary(hex) payload bytes, Arrow
+    binary transfer, numpy stripe math, metadata struct pass-through."""
     media = mm.synthesize_media(_docs(spark, sf_dir), "doc_id", "text")
     feats = mm.decode_media(media, fake=True)
     return feats.select(
         "media_id", "kind", "byte_len", "width", "height",
-        F.round(F.element_at("feature", 1), 3).alias("f0"),
+        (F.element_at("feature", 1) * 16).cast("int").alias("f0_sum"),
     )
 
 
@@ -1057,8 +1062,24 @@ p AS (
 )
 SELECT id_a, id_b FROM p WHERE sim >= 0.99
 """.strip(),
-        # media_decode: pandas-UDF fake-codec internals — no portable SQL
-        # form; driver records the weaker rows-only check for it.
+        # The fake decoder's payload is repeated sha256 hex -> bytes, so
+        # every output column is pure hash arithmetic DuckDB can recompute
+        # (the real-codec path stays a declared NotImplementedError stub).
+        "media_decode": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    sha256(text) AS h,
+    CAST(doc_id % 640 + 16 AS INT) AS width,
+    CAST(doc_id % 480 + 16 AS INT) AS height
+  FROM documents
+)
+SELECT media_id, kind, CAST(128 AS INT) AS byte_len, width, height,
+  CAST(list_sum(list_transform(range(16),
+       i -> ('0x' || substring(h, 2*i + 1, 2))::INT)) AS INT) AS f0_sum
+FROM m
+""".strip(),
     }
 
 
