@@ -90,4 +90,20 @@ def test_spark_submit_replay_resume_compact(spark, tmp_path):
     got = df_fingerprint([r.asDict()
                           for r in LakeTable.load(spark, table_dir).read().collect()])
     assert got == state_fingerprint(expect)
+
+    # Structured Streaming surface via the same CLI: drain the source into
+    # a fresh table with availableNow, converge to the identical state
+    from th2_listener_mysql_binlog_go_spark.sources.changestream import CHANGE_SCHEMA
+
+    t2_dir = str(tmp_path / "t2")
+    _submit(zpath, script, "create", "--table", t2_dir,
+            "--schema", "repo string, path string, commit string, lang string, content string",
+            "--keys", "repo,path", "--num-buckets", "8")
+    m3 = _submit(zpath, script, "stream", "--table", t2_dir,
+                 "--source", src, "--checkpoint", str(tmp_path / "ckpt"),
+                 "--schema", CHANGE_SCHEMA)
+    assert m3["watermark_gtid"] == 2999
+    got2 = df_fingerprint([r.asDict()
+                           for r in LakeTable.load(spark, t2_dir).read().collect()])
+    assert got2 == state_fingerprint(expect)
     shutil.rmtree(str(tmp_path / "events"), ignore_errors=True)

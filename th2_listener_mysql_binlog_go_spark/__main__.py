@@ -15,6 +15,7 @@ the persisted watermark):
   replay          batch-replay a GTID-ordered change-event parquet dir
   stream          Structured Streaming tail (readStream + foreachBatch)
   catalog-replay  multi-table replay over a LakeCatalog
+  catalog-stream  multi-table Structured Streaming tail
   compact         fold deltas into base files
   rebucket        bucket-count evolution
   show            print snapshot properties / schema
@@ -115,6 +116,23 @@ def cmd_stream(args) -> dict:
     return {"table": args.table, "watermark_gtid": LakeTable.load(spark, args.table).watermark_gtid}
 
 
+def cmd_catalog_stream(args) -> dict:
+    from .plans.catalog import LakeCatalog
+    from .streaming.structured import StreamingCatalogApplier
+
+    spark = _spark("cdc-catalog-stream")
+    cat = LakeCatalog.load(spark, args.catalog)
+    q = StreamingCatalogApplier(spark, cat, config=_apply_config(args),
+                                lineage_dir=args.lineage_dir).start(
+        args.source, args.checkpoint, args.schema,
+        available_now=not args.continuous,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    q.awaitTermination()
+    return {"catalog": args.catalog,
+            "tables": sorted(LakeCatalog.load(spark, args.catalog).list_tables())}
+
+
 def cmd_catalog_replay(args) -> dict:
     from .plans.catalog import LakeCatalog
     from .streaming.runner import CatalogReplayRunner
@@ -205,6 +223,20 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--files-per-bucket", type=int, default=None)
     sp.add_argument("--lineage-dir", default=None)
     sp.set_defaults(fn=cmd_stream)
+
+    sp = sub.add_parser("catalog-stream")
+    sp.add_argument("--catalog", required=True)
+    sp.add_argument("--source", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--schema", required=True, help="change-event schema DDL")
+    sp.add_argument("--observed", required=True,
+                    help="comma-separated schema.table pairs to observe")
+    sp.add_argument("--continuous", action="store_true")
+    sp.add_argument("--max-files-per-trigger", type=int, default=None)
+    sp.add_argument("--mode", choices=["mor", "cow"], default=None)
+    sp.add_argument("--files-per-bucket", type=int, default=None)
+    sp.add_argument("--lineage-dir", default=None)
+    sp.set_defaults(fn=cmd_catalog_stream)
 
     sp = sub.add_parser("catalog-replay")
     sp.add_argument("--catalog", required=True)
