@@ -4,14 +4,16 @@ Four escalating strategies over a ``documents(doc_id, text, ...)`` table:
 
 - **exact**: hash-groupBy on a canonical fingerprint — one shuffle on the
   md5, keeps the min doc_id per group. O(n), the always-on first pass.
-- **MinHash + LSH**: shingle -> per-seed min-hash signature -> band
+- **MinHash + LSH**: shingle -> md5-derived base int -> n seeded linear
+  min-hashes (explode + groupBy(min..), map-side combine) -> band
   buckets -> candidate pairs via a self-join *on band bucket* (never the
-  O(n^2) cross join) -> verified by signature similarity. Hashes are
-  md5-derived (lexicographic min over hex strings), so the whole pipeline
-  is deterministic and oracle-reproducible in any SQL engine.
-- **SimHash**: 64-bit majority-vote signature per document via a pandas
-  UDF (bit arithmetic is awkward in pure SQL), near-dups = signatures at
-  small Hamming distance within 16-bit band buckets.
+  O(n^2) cross join) -> verified by signature similarity. Deterministic
+  and oracle-reproducible in any SQL engine.
+- **SimHash**: 64-bit majority-vote signature per document — gram md5s
+  in Catalyst, the bit vote in a loop-free numpy pandas UDF; near-dups =
+  signatures at small Hamming distance within 16-bit band buckets. The
+  signature reproduces in pure SQL (the DuckDB oracle recomputes it
+  bit-for-bit).
 - **n-gram Jaccard**: exact pairwise Jaccard, but only over candidate
   pairs that share at least one shingle (inverted-index join), computed
   with two groupBys — the verification stage after LSH, or standalone on
