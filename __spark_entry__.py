@@ -435,14 +435,27 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID + quality score + token count + fingerprint per doc."""
+    """Language-ID + quality score + whitespace AND BPE-ish token counts
+    + fingerprint per doc."""
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         tx.lang_id(F.col("text")).alias("lang_guess"),
         tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
         tx.quality_score(F.col("text")).alias("quality"),
         tx.fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS rolling-hash) document fingerprints: one row per
+    (doc, selected fingerprint); any shared substring >= k+w-1 chars
+    guarantees a shared row. DuckDB recomputes the md5-derived k-gram
+    hashes and window minima exactly."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.explode(tx.winnow_fingerprints(F.col("text"))).alias("fp")
     )
 
 
@@ -559,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_text_stats": q_doc_text_stats,
+        "doc_winnow": q_doc_winnow,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -657,6 +671,35 @@ WHERE i.inter / (na.n_sh + nb.n_sh - i.inter) >= 0.5
 """.strip()
 
 
+# The BPE pre-tokenizer pattern is lookahead-free, so the identical string
+# runs in Java regex (Spark) and RE2 (DuckDB); '' doubling for SQL literal.
+from th2_listener_mysql_binlog_go_spark.functions.text import BPE_TOKEN_PATTERN
+
+# (standard SQL strings keep backslashes literally — only quotes double)
+BPE_PATTERN_SQL = BPE_TOKEN_PATTERN.replace("'", "''")
+
+
+def _winnow_oracle(k: int = 8, w: int = 4) -> str:
+    from th2_listener_mysql_binlog_go_spark.functions.text import WINNOW_P
+
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
+g AS (SELECT doc_id, t FROM norm WHERE length(t) >= {k + w - 1}),
+hs AS (
+  SELECT doc_id,
+    list_transform(range(length(t) - {k - 1}),
+      i -> ('0x' || substring(md5(substring(t, i+1, {k})), 1, 15))::BIGINT % {WINNOW_P}) AS h
+  FROM g
+),
+mins AS (
+  SELECT doc_id,
+    list_transform(range(len(h) - {w - 1}), j -> list_min(h[j+1:j+{w}])) AS m
+  FROM hs
+)
+SELECT doc_id, unnest(list_sort(list_distinct(m))) AS fp FROM mins
+""".strip()
+
+
 def _text_stats_oracle() -> str:
     from th2_listener_mysql_binlog_go_spark.functions.text import LANG_MARKERS
 
@@ -691,6 +734,7 @@ feats AS (
   FROM scores
 )
 SELECT doc_id, lang_guess, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '{BPE_PATTERN_SQL}')) AS BIGINT) AS n_bpe_tokens,
   CAST(((CASE WHEN n >= 100 AND n <= 20000 THEN 1.0 WHEN n > 0 THEN 0.5 ELSE 0.0 END)
    + (CASE WHEN n > 0 THEN CAST(alpha AS DOUBLE) / n ELSE 0.0 END)
    + (CASE WHEN stop_hits > 0 THEN 1.0 ELSE 0.3 END)) / 3.0 AS DOUBLE) AS quality,
@@ -1036,6 +1080,7 @@ FROM agg
         "doc_minhash_lsh": _minhash_oracle(),
         "doc_ngram_jaccard": _jaccard_oracle(),
         "doc_text_stats": _text_stats_oracle(),
+        "doc_winnow": _winnow_oracle(),
         "ann_cosine_topk": _ann_oracle(),
         "ann_lsh_topk": _ann_planted_oracle(),
         "ann_ivf_topk": _ann_planted_oracle(),

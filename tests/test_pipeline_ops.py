@@ -177,3 +177,26 @@ def test_multimodal_decode_stub(spark, docs):
     # the real decoder is a clearly-marked stub
     with pytest.raises(Exception, match="NotImplementedError|real media"):
         mm.decode_media(media, fake=False).collect()
+
+
+def test_winnow_shared_span_guarantee(spark):
+    """Winnowing property (Schleimer et al.): documents sharing a span of
+    >= k+w-1 normalized chars share at least one fingerprint; unrelated
+    docs (distinct md5-derived grams) share none. BPE-ish token count is
+    run-based and lower-bounds nothing weirdly (letters/digits/symbols)."""
+    from th2_listener_mysql_binlog_go_spark.functions import text as tx
+
+    span = "the identical copied paragraph travels between documents"
+    docs = [
+        (0, "Prologue text first. " + span + " Epilogue A."),
+        (1, "Completely different opener -- " + span + " -- and closer B."),
+        (2, "No overlap here at all; independent content about rivers and stones."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = df.select("doc_id", tx.winnow_fingerprints(F.col("text")).alias("fp"),
+                    tx.bpe_token_count(F.col("text")).alias("nb")).collect()
+    fps = {r["doc_id"]: set(r["fp"]) for r in out}
+    assert fps[0] & fps[1], "copied span must share fingerprints"
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+    nb = {r["doc_id"]: r["nb"] for r in out}
+    assert nb[0] > 8 and all(v > 0 for v in nb.values())

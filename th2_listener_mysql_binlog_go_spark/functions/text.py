@@ -59,6 +59,20 @@ def token_count(text: Column) -> Column:
     ).cast("bigint")
 
 
+# BPE-style pre-tokenizer classes, lookahead-free so the same pattern runs
+# in Java regex (Spark) and RE2 (DuckDB): letter runs, digit runs, symbol
+# runs — the GPT-2 pre-tokenizer's shape without its lookahead.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Sub-word-ish token count via the BPE pre-tokenizer regex — the
+    standard 'how many tokens will this cost' estimator next to the plain
+    whitespace count (a BPE merge table only ever splits these runs
+    further, so this lower-bounds real BPE token counts)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0))).cast("bigint")
+
+
 def quality_score(text: Column) -> Column:
     """Heuristic quality in [0,1]: length band + alpha ratio + stopword
     presence — the usual pre-training corpus filter trio (length/punct/
@@ -85,6 +99,49 @@ def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
     Collisions across formatting variants collapse (the dedup prefilter)."""
     return F.md5(normalize_text(text))
+
+
+WINNOW_P = 2147483647  # 2^31 - 1, same bounded-int md5 base as MinHash
+
+
+def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    MOSS local document fingerprinting algorithm): hash every char k-gram
+    of the normalized text (rolling-hash semantics; md5-derived here so
+    Spark and the DuckDB oracle agree bit-for-bit), take the minimum hash
+    of each window of ``w`` consecutive k-grams, and keep the distinct
+    minima, sorted. Guarantee: any shared substring of length >= k+w-1
+    contributes at least one common fingerprint, so matching documents
+    share fingerprints regardless of where the copied span sits.
+
+    Pure Catalyst; both array levels (the gram-hash array and the window
+    minima) bind as LAMBDA VARIABLES via one-element transforms — see
+    :func:`shingles` for why a closed-over expression inside a lambda
+    would otherwise re-evaluate per element. Docs shorter than k+w-1
+    normalized chars yield an empty fingerprint set."""
+    norm = normalize_text(text)
+
+    def bind(expr, fn):
+        return F.element_at(F.transform(F.array(expr), fn), 1)
+
+    def gram_hashes(s: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.length(s) - k)
+        return F.transform(
+            idx,
+            lambda i: F.conv(F.substring(F.md5(F.substring(s, i + 1, k)), 1, 15), 16, 10)
+            .cast("bigint") % F.lit(WINNOW_P),
+        )
+
+    def window_minima(h: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(h) - w)
+        return F.transform(idx, lambda j: F.array_min(F.slice(h, j + 1, w)))
+
+    out = bind(norm, lambda s: bind(
+        gram_hashes(s), lambda h: F.array_sort(F.array_distinct(window_minima(h)))
+    ))
+    return F.when(F.length(norm) >= k + w - 1, out).otherwise(
+        F.array().cast("array<bigint>")
+    )
 
 
 def shingles(text: Column, k: int = 5) -> Column:
