@@ -120,3 +120,46 @@ def test_compact_is_idempotent(spark, tmp_path):
     assert t.compact(files_per_bucket=1) == 0     # even at a smaller target
     assert t.snapshot.version == v                # no snapshot churn
     assert df_fingerprint([r.asDict() for r in t.read().collect()]) == before
+
+
+def test_expire_vacuum_and_concurrent_commit_guard(spark, tmp_path):
+    """Snapshot expiry + orphan vacuum (Iceberg expire_snapshots /
+    remove_orphan_files analogues) and the optimistic-concurrency HEAD
+    guard."""
+    import os
+
+    from th2_listener_mysql_binlog_go_spark.plans.lake import ConcurrentCommitError
+
+    stream = synthetic_changestream(spark, 2000, n_repos=20, n_paths=40,
+                                    truncate_per_10k=0)
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], num_buckets=4)
+    ReplayRunner(spark, t, batch_span=500,
+                 config=ApplyConfig(auto_compact_deltas=None)).run(stream)
+    t.compact()  # supersedes every delta file
+    before = df_fingerprint([r.asDict() for r in t.read().collect()])
+    # plant an orphan (a crashed writer's unreachable file)
+    orphan = os.path.join(t.root, "data", "sdeadbeef", "part-orphan.parquet")
+    os.makedirs(os.path.dirname(orphan))
+    open(orphan, "wb").write(b"not really parquet")
+
+    n_files_live = len(t.snapshot.files)
+    assert t.expire_snapshots(keep_last=1) >= 4    # one snapshot per batch + compact
+    removed = t.vacuum()
+    assert removed >= 1                            # the orphan + expired deltas
+    assert not os.path.exists(orphan)
+    # all live files intact; state unchanged; reload works
+    assert len(t.snapshot.files) == n_files_live
+    t2 = LakeTable.load(spark, t.root)
+    assert df_fingerprint([r.asDict() for r in t2.read().collect()]) == before
+
+    # optimistic concurrency: a second handle commits; the stale handle's
+    # next commit must fail loudly instead of silently losing the update
+    stale = LakeTable.load(spark, t.root)
+    t2.set_properties({"winner": "t2"})
+    try:
+        stale.set_properties({"winner": "stale"})
+        raise AssertionError("expected ConcurrentCommitError")
+    except ConcurrentCommitError:
+        pass
+    assert LakeTable.load(spark, t.root).snapshot.properties["winner"] == "t2"

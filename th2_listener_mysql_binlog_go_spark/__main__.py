@@ -18,6 +18,7 @@ the persisted watermark):
   catalog-stream  multi-table Structured Streaming tail
   compact         fold deltas into base files
   rebucket        bucket-count evolution
+  vacuum          expire old snapshots + delete unreferenced data files
   show            print snapshot properties / schema
 
 Example (single table, create + replay + compact):
@@ -166,6 +167,17 @@ def cmd_rebucket(args) -> dict:
     return {"table": args.table, "num_buckets": n, "version": t.snapshot.version}
 
 
+def cmd_vacuum(args) -> dict:
+    from .plans.lake import LakeTable
+
+    spark = _spark("cdc-vacuum")
+    t = LakeTable.load(spark, args.table)
+    expired = t.expire_snapshots(keep_last=args.keep_last)
+    removed = t.vacuum()
+    return {"table": args.table, "snapshots_expired": expired,
+            "files_removed": removed, "version": t.snapshot.version}
+
+
 def cmd_show(args) -> dict:
     from .plans.lake import LakeTable
 
@@ -255,6 +267,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--num-buckets", type=int, required=True)
     sp.add_argument("--files-per-bucket", type=int, default=1)
     sp.set_defaults(fn=cmd_rebucket)
+
+    sp = sub.add_parser("vacuum")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--keep-last", type=int, default=10,
+                    help="snapshot versions to retain (time-travel window)")
+    sp.set_defaults(fn=cmd_vacuum)
 
     sp = sub.add_parser("show")
     sp.add_argument("--table", required=True)

@@ -79,6 +79,10 @@ _WIDEN_OK = {
 }
 
 
+class ConcurrentCommitError(RuntimeError):
+    """HEAD moved under an optimistic committer — reload and retry."""
+
+
 @dataclass
 class ColumnSpec:
     id: int
@@ -218,8 +222,33 @@ class LakeTable:
         return os.path.exists(os.path.join(root, "_meta", "HEAD"))
 
     def _write_snapshot(self, snap: Snapshot) -> None:
-        """Commit = write immutable snapshot file, atomically swap HEAD."""
+        """Commit = write immutable snapshot file, atomically swap HEAD.
+
+        Optimistic concurrency: before swapping, HEAD must still point at
+        the snapshot this writer based its commit on — a concurrent
+        committer's swap surfaces as :class:`ConcurrentCommitError`
+        instead of a silent lost update (reload + retry is the caller's
+        move, exactly Iceberg's optimistic protocol). Best-effort on a
+        plain filesystem (check-then-replace has a window); an object
+        store deployment would use a conditional PUT / CAS for the same
+        check. The engine's runners are single-writer per table by
+        design — this guard catches misconfiguration, not a sanctioned
+        mode."""
         meta = os.path.join(self.root, "_meta")
+        if snap.version > 0:
+            expected_parent = snap.parent if snap.parent is not None else snap.version - 1
+            expected = f"v{expected_parent:012d}.json"
+            try:
+                with open(os.path.join(meta, "HEAD")) as f:
+                    cur = f.read().strip()
+            except FileNotFoundError:
+                cur = expected
+            if cur != expected:
+                raise ConcurrentCommitError(
+                    f"HEAD moved to {cur} while this writer was based on "
+                    f"{expected}: concurrent commit detected — reload the "
+                    "table and retry"
+                )
         fname = f"v{snap.version:012d}.json"
         with open(os.path.join(meta, fname), "w") as f:
             json.dump(snap.to_json(), f)
@@ -841,6 +870,59 @@ class LakeTable:
         self._commit_meta(self.snapshot.columns, bump_epoch=False, extra_properties=props)
 
     # ---------------------------------------------------------------- maintenance
+
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """Drop snapshot metadata older than the newest ``keep_last``
+        versions (Iceberg's expire_snapshots): bounds time-travel history
+        and lets :meth:`vacuum` reclaim the data files only those old
+        snapshots referenced. Never touches the current snapshot. Returns
+        the number of snapshot files removed."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        meta = os.path.join(self.root, "_meta")
+        cutoff = self.snapshot.version - keep_last + 1
+        removed = 0
+        for fn in os.listdir(meta):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            try:
+                version = int(fn[1:-5])
+            except ValueError:
+                continue
+            if version < cutoff:
+                os.remove(os.path.join(meta, fn))
+                removed += 1
+        return removed
+
+    def vacuum(self) -> int:
+        """Delete data files referenced by NO remaining snapshot — expired
+        versions' exclusive files plus orphans from crashed/uncommitted
+        writers (staged pipeline batches that never committed). Safe by
+        construction: a file referenced by any live snapshot json is kept,
+        so time travel over the retained history still works. Returns the
+        number of files deleted (empty directories are pruned too).
+
+        Run after :meth:`expire_snapshots`, as scheduled maintenance —
+        the Iceberg remove_orphan_files analogue."""
+        meta = os.path.join(self.root, "_meta")
+        referenced: set[str] = set()
+        for fn in os.listdir(meta):
+            if fn.startswith("v") and fn.endswith(".json"):
+                with open(os.path.join(meta, fn)) as f:
+                    snap = json.load(f)
+                referenced.update(fi["path"] for fi in snap["files"])
+        data_root = os.path.join(self.root, "data")
+        removed = 0
+        for dirpath, _dirs, files in os.walk(data_root, topdown=False):
+            for fn in files:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if rel not in referenced:
+                    os.remove(full)
+                    removed += 1
+            if dirpath != data_root and not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        return removed
 
     def rebucket(self, new_num_buckets: int, files_per_bucket: int = 1) -> int:
         """Bucket-count evolution — the Iceberg partition-evolution
