@@ -1,1 +1,2 @@
-from .lake import LakeTable, Snapshot, ColumnSpec  # noqa: F401
+from .lake import ColumnSpec, ConcurrentCommitError, LakeTable, Snapshot  # noqa: F401
+from .catalog import LakeCatalog  # noqa: F401
