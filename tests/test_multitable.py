@@ -195,3 +195,23 @@ def test_pipelined_catalog_runner_matches_sequential(spark, tmp_path):
     # the TRUNCATE landed: no files2 row older than gtid 120 survives
     files2 = states["pipe"][1]
     assert all(int(c[1:]) > 120 for c in files2.values())
+
+
+def test_catalog_concurrent_commit_guard(spark, tmp_path):
+    """Registry commits share the table format's optimistic protocol: a
+    stale catalog handle's commit fails loudly after another handle moved
+    HEAD."""
+    from th2_listener_mysql_binlog_go_spark.plans.lake import ConcurrentCommitError
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"))
+    cat.create_table("repos", "files", SCHEMA, ["repo", "path"], num_buckets=2)
+    stale = LakeCatalog.load(spark, str(tmp_path / "cat"))
+    cat.set_properties({"watermark_gtid": "5"})
+    try:
+        stale.create_table("repos", "files2", SCHEMA, ["repo", "path"], num_buckets=2)
+        raise AssertionError("expected ConcurrentCommitError")
+    except ConcurrentCommitError:
+        pass
+    fresh = LakeCatalog.load(spark, str(tmp_path / "cat"))
+    assert fresh.properties["watermark_gtid"] == "5"
+    assert fresh.list_tables() == ["repos.files"]

@@ -62,7 +62,26 @@ class LakeCatalog:
 
     def _write_registry(self) -> None:
         meta = os.path.join(self.root, "_catalog")
-        fname = f"r{self.registry['version']:012d}.json"
+        version = self.registry["version"]
+        if version > 0:
+            # optimistic concurrency, as in LakeTable._write_snapshot: a
+            # concurrent committer surfaces as an error, never a silent
+            # lost registry update
+            expected = f"r{version - 1:012d}.json"
+            try:
+                with open(os.path.join(meta, "HEAD")) as f:
+                    cur = f.read().strip()
+            except FileNotFoundError:
+                cur = expected
+            if cur != expected:
+                from .lake import ConcurrentCommitError
+
+                raise ConcurrentCommitError(
+                    f"catalog HEAD moved to {cur} while this writer was "
+                    f"based on {expected}: concurrent commit detected — "
+                    "reload the catalog and retry"
+                )
+        fname = f"r{version:012d}.json"
         with open(os.path.join(meta, fname), "w") as f:
             json.dump(self.registry, f)
         tmp = os.path.join(meta, f"HEAD.tmp.{uuid.uuid4().hex}")
