@@ -11,7 +11,9 @@ operators are reported alongside.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), CDC_BENCH_EVENTS (override stream size),
-CDC_BENCH_BUCKETS (default 64).
+CDC_BENCH_BUCKETS (default 64), CDC_BENCH_REPEATS (default 3 — the
+headline apply is best-of-N; this shared host varies up to 3x run-to-run,
+so a single roll measures the neighbor, not the engine).
 """
 
 from __future__ import annotations
@@ -90,24 +92,35 @@ def main() -> None:
     warm.compact()
     shutil.rmtree(os.path.join(tmp, "w"), ignore_errors=True)
 
-    table = LakeTable.create(
-        spark, os.path.join(tmp, "t"), SCHEMA,
-        key_cols=["repo", "path"],
-        num_buckets=int(os.environ.get("CDC_BENCH_BUCKETS", "64")),
-    )
-
-    runner = ReplayRunner(
-        spark, table, batch_span=max(n_events // 8, 1),
-        config=ApplyConfig(files_per_bucket=4),
-        lineage_dir=os.path.join(tmp, "lineage"),
-        pipeline_depth=int(os.environ.get("CDC_BENCH_PIPELINE", "3")),
-    )
-    t0 = time.monotonic()
-    runner.run(stream)
-    table.compact(files_per_bucket=4)  # converge to delta-free base: part of the measured work
-    apply_sec = time.monotonic() - t0
+    # Best-of-N headline (round-3 review #1): this host shows 1-4% CPU
+    # steal and up to 3x run-to-run variance (CLAUDE.md), so a single roll
+    # measures the neighbor's workload, not the engine — same protocol as
+    # bench_scaling.py. Each repeat replays into a FRESH table dir.
+    repeats = int(os.environ.get("CDC_BENCH_REPEATS", "3"))
+    runs: list[float] = []
+    final_rows = 0
+    for i in range(repeats):
+        tdir = os.path.join(tmp, f"t{i}")
+        table = LakeTable.create(
+            spark, tdir, SCHEMA,
+            key_cols=["repo", "path"],
+            num_buckets=int(os.environ.get("CDC_BENCH_BUCKETS", "64")),
+        )
+        runner = ReplayRunner(
+            spark, table, batch_span=max(n_events // 8, 1),
+            config=ApplyConfig(files_per_bucket=4),
+            lineage_dir=os.path.join(tmp, f"lineage{i}"),
+            pipeline_depth=int(os.environ.get("CDC_BENCH_PIPELINE", "3")),
+        )
+        t0 = time.monotonic()
+        runner.run(stream)
+        table.compact(files_per_bucket=4)  # converge to delta-free base: part of the measured work
+        runs.append(time.monotonic() - t0)
+        if i == 0:
+            final_rows = table.read().count()
+        shutil.rmtree(tdir, ignore_errors=True)
+    apply_sec = min(runs)
     times["cdc_apply_replay"] = round(apply_sec, 3)
-    final_rows = table.read().count()
     stream.unpersist()
     shutil.rmtree(tmp, ignore_errors=True)
 
@@ -130,6 +143,7 @@ def main() -> None:
         "detail": {
             "n_events": n_events,
             "apply_sec": round(apply_sec, 3),
+            "apply_runs_sec": [round(r, 3) for r in runs],
             "final_rows": final_rows,
             "cpus": CPUS,
         },

@@ -145,7 +145,13 @@ def test_expire_vacuum_and_concurrent_commit_guard(spark, tmp_path):
 
     n_files_live = len(t.snapshot.files)
     assert t.expire_snapshots(keep_last=1) >= 4    # one snapshot per batch + compact
-    removed = t.vacuum()
+    # default 3-day grace window (Iceberg remove_orphan_files style): the
+    # just-written orphan is YOUNG and must survive — a live pipelined
+    # writer's staged-but-uncommitted dirs look exactly like this orphan
+    assert t.vacuum() == 0
+    assert os.path.exists(orphan)
+    # exclusive-access vacuum (older_than_s=0) reclaims everything
+    removed = t.vacuum(older_than_s=0)
     assert removed >= 1                            # the orphan + expired deltas
     assert not os.path.exists(orphan)
     # all live files intact; state unchanged; reload works

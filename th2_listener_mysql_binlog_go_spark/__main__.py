@@ -19,6 +19,9 @@ the persisted watermark):
   compact         fold deltas into base files
   rebucket        bucket-count evolution
   vacuum          expire old snapshots + delete unreferenced data files
+                  (age-gated: --older-than-hours, default 72 — safe beside
+                  a live pipelined writer; 0 requires exclusive access)
+  catalog-vacuum  expire old registry versions + remove dropped tables' dirs
   show            print snapshot properties / schema
 
 Example (single table, create + replay + compact):
@@ -173,9 +176,20 @@ def cmd_vacuum(args) -> dict:
     spark = _spark("cdc-vacuum")
     t = LakeTable.load(spark, args.table)
     expired = t.expire_snapshots(keep_last=args.keep_last)
-    removed = t.vacuum()
+    removed = t.vacuum(older_than_s=args.older_than_hours * 3600.0)
     return {"table": args.table, "snapshots_expired": expired,
             "files_removed": removed, "version": t.snapshot.version}
+
+
+def cmd_catalog_vacuum(args) -> dict:
+    from .plans.catalog import LakeCatalog
+
+    spark = _spark("cdc-catalog-vacuum")
+    cat = LakeCatalog.load(spark, args.catalog)
+    expired = cat.expire_versions(keep_last=args.keep_last)
+    removed = cat.vacuum(older_than_s=args.older_than_hours * 3600.0)
+    return {"catalog": args.catalog, "versions_expired": expired,
+            "table_dirs_removed": removed}
 
 
 def cmd_show(args) -> dict:
@@ -272,7 +286,22 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", required=True)
     sp.add_argument("--keep-last", type=int, default=10,
                     help="snapshot versions to retain (time-travel window)")
+    sp.add_argument("--older-than-hours", type=float, default=72.0,
+                    help="only delete unreferenced files older than this "
+                         "(mtime); the grace window makes vacuum safe to run "
+                         "while a pipelined writer is live — its staged-but-"
+                         "uncommitted delta dirs are recent by definition. "
+                         "0 requires NO concurrent writer.")
     sp.set_defaults(fn=cmd_vacuum)
+
+    sp = sub.add_parser("catalog-vacuum")
+    sp.add_argument("--catalog", required=True)
+    sp.add_argument("--keep-last", type=int, default=10,
+                    help="registry versions to retain")
+    sp.add_argument("--older-than-hours", type=float, default=72.0,
+                    help="only remove dropped-table dirs older than this; "
+                         "0 requires no concurrent writer")
+    sp.set_defaults(fn=cmd_catalog_vacuum)
 
     sp = sub.add_parser("show")
     sp.add_argument("--table", required=True)

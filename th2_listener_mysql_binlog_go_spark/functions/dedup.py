@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from .caching import tag_cached
 from .text import fingerprint, shingles
 
 
@@ -163,7 +164,9 @@ def minhash_lsh_pairs(
         .distinct()
         .withColumn("sig_sim", (F.col("agree") / F.lit(n_hashes)).cast("double"))
     )
-    return pairs.filter(F.col("sig_sim") >= min_sig_sim).select("id_a", "id_b", "sig_sim")
+    out = pairs.filter(F.col("sig_sim") >= min_sig_sim).select("id_a", "id_b", "sig_sim")
+    # caller releases the pinned signature blocks via caching.release_cache
+    return tag_cached(out, [sigs])
 
 
 # ------------------------------------------------------------------ ngram jaccard
@@ -203,7 +206,9 @@ def ngram_jaccard_pairs(
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
         .withColumn("jaccard", (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).cast("double"))
     )
-    return out.filter(F.col("jaccard") >= min_jaccard).select("id_a", "id_b", "jaccard")
+    res = out.filter(F.col("jaccard") >= min_jaccard).select("id_a", "id_b", "jaccard")
+    # caller releases the pinned index blocks via caching.release_cache
+    return tag_cached(res, [sh, rare])
 
 
 # ------------------------------------------------------------------ simhash
@@ -298,7 +303,7 @@ def simhash_pairs(
     ).select("id", "sig", "bb.band", "bb.key")
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
-    return (
+    out = (
         a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.key") == F.col("b.key"),
                       F.col("a.id") < F.col("b.id")])
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
@@ -306,3 +311,5 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    # caller releases the pinned signature blocks via caching.release_cache
+    return tag_cached(out, [sigs])

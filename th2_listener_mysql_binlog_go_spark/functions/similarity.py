@@ -256,9 +256,13 @@ def cosine_neardup_pairs(
     )
     va = ids.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = ids.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    return (
+    out = (
         cand.join(va, "id_a").join(vb, "id_b")
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+    # caller releases the pinned bucket blocks via caching.release_cache
+    from .caching import tag_cached
+
+    return tag_cached(out, [buckets])

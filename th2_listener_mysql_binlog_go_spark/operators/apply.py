@@ -116,6 +116,31 @@ class BatchApplier:
         self.config = config or ApplyConfig()
         self.catalog = catalog
         self.pair = pair
+        self._check_seq_encoding(table)
+
+    @staticmethod
+    def _check_seq_encoding(table: LakeTable | None) -> None:
+        """_seq is a PERSISTED ordering key (flatten_dml packs
+        log_pos * 2^21 + sub-order into it; LWW windows compare it across
+        rows from different commits), so applying with a different packing
+        than the table's files carry would order same-gtid changes wrongly.
+        Tables stamp ``seq_encoding`` at create; a mismatch fails loudly
+        here instead of silently mis-merging (round-3 advice). Tables from
+        before the stamp carry no property and pass — they were written by
+        this same encoding or its *1024 precursor, whose within-gtid mixing
+        is unreachable after any commit (docs/PLANS.md §seq-encoding)."""
+        from ..plans.lake import SEQ_ENCODING
+
+        if table is None:
+            return
+        stamped = table.snapshot.properties.get("seq_encoding")
+        if stamped is not None and stamped != SEQ_ENCODING:
+            raise RuntimeError(
+                f"table {table.root} was written with seq_encoding="
+                f"{stamped!r} but this engine packs {SEQ_ENCODING!r}: "
+                "rebuild the table (rebucket() rewrites all files) before "
+                "applying with this version"
+            )
 
     @property
     def _last_batch_id(self) -> int:

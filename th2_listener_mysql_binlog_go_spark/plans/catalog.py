@@ -13,8 +13,29 @@ CREATE/DROP TABLE become catalog commits.
 Commit protocol mirrors the table format (Iceberg-catalog-style): the
 registry is an immutable JSON version file plus an atomically swapped
 ``HEAD`` pointer. A dropped table's data directory is abandoned in place
-(reachable for time travel / undrop, cleanable by maintenance) — the
-registry entry just stops pointing at it, so DROP is O(1) and crash-safe.
+(reachable for time travel / undrop, cleanable by :meth:`LakeCatalog.vacuum`)
+— the registry entry just stops pointing at it, so DROP is O(1) and
+crash-safe.
+
+Two property channels with different cost profiles (round-3 review #3):
+
+- **Registry properties** (:meth:`set_properties`) — durable, versioned,
+  one full registry JSON per update. For rare changes (config, ownership).
+- **Progress properties** (:meth:`set_progress`) — per-batch watermarks.
+  A single small ``PROGRESS`` file, atomically swapped in place, O(1)
+  files and O(progress) bytes regardless of batch count — the catalog
+  analogue of the reference's O(1) checkpoint file
+  (/root/reference/component/listener/listener.go:198-227). Readers see
+  registry properties overlaid by progress. Crash between a table commit
+  and the progress swap replays one batch of per-table guarded no-ops.
+
+Concurrency: registry commits use the same optimistic HEAD check +
+exclusive-create (O_EXCL) version files as ``LakeTable._write_snapshot`` —
+a lost race is a hard :class:`~.lake.ConcurrentCommitError`, never a
+silently truncated committed file. Best-effort on a plain filesystem (the
+check-then-swap window narrows to the orphan-reclaim path); an object
+store deployment would use a conditional PUT. Runners are single-writer
+per catalog by design — the guard catches misconfiguration.
 
 CREATE is create-if-absent and DROP is drop-if-present: both idempotent,
 so a crash-replayed batch containing them converges without extra
@@ -54,13 +75,16 @@ class LakeCatalog:
         with open(os.path.join(root, "_catalog", "HEAD")) as f:
             fname = f.read().strip()
         with open(os.path.join(root, "_catalog", fname)) as f:
-            return LakeCatalog(spark, root, json.load(f))
+            cat = LakeCatalog(spark, root, json.load(f))
+        return cat
 
     @staticmethod
     def exists(root: str) -> bool:
         return os.path.exists(os.path.join(root, "_catalog", "HEAD"))
 
     def _write_registry(self) -> None:
+        from .lake import ConcurrentCommitError, _excl_write_json, _version_of
+
         meta = os.path.join(self.root, "_catalog")
         version = self.registry["version"]
         if version > 0:
@@ -74,16 +98,17 @@ class LakeCatalog:
             except FileNotFoundError:
                 cur = expected
             if cur != expected:
-                from .lake import ConcurrentCommitError
-
                 raise ConcurrentCommitError(
                     f"catalog HEAD moved to {cur} while this writer was "
                     f"based on {expected}: concurrent commit detected — "
                     "reload the catalog and retry"
                 )
         fname = f"r{version:012d}.json"
-        with open(os.path.join(meta, fname), "w") as f:
-            json.dump(self.registry, f)
+        # O_EXCL exclusive create: the per-commit filename is a CAS, so two
+        # writers that both passed the HEAD check cannot both commit (see
+        # lake._excl_write_json; same crashed-writer reclaim rule).
+        _excl_write_json(meta, fname, self.registry,
+                         head_is_behind=lambda cur: _version_of(cur, "r") < version)
         tmp = os.path.join(meta, f"HEAD.tmp.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(fname)
@@ -153,8 +178,100 @@ class LakeCatalog:
 
     @property
     def properties(self) -> dict:
-        return self.registry.setdefault("properties", {})
+        """Registry properties overlaid by the O(1) progress file — the
+        merged read view. Mutations go through :meth:`set_properties`
+        (durable, versioned) or :meth:`set_progress` (per-batch, O(1))."""
+        merged = dict(self.registry.setdefault("properties", {}))
+        merged.update(self._read_progress())
+        return merged
 
     def set_properties(self, props: dict[str, str]) -> None:
-        self.properties.update(props)
+        """Durable registry-property update: one full registry version per
+        call. For rare changes; per-batch watermarks belong in
+        :meth:`set_progress`."""
+        self.registry.setdefault("properties", {}).update(props)
         self._bump()
+
+    # ------------------------------------------------------- progress (O(1))
+
+    def _progress_path(self) -> str:
+        return os.path.join(self.root, "_catalog", "PROGRESS")
+
+    def _read_progress(self) -> dict:
+        try:
+            with open(self._progress_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {}
+
+    def set_progress(self, props: dict[str, str]) -> None:
+        """Per-batch progress (watermark_gtid, last_complete_batch): one
+        small JSON file, atomically swapped in place — O(1) catalog files
+        for any number of batches, vs one full registry version per batch
+        (round-3 review #3). Readers see it overlaid on registry
+        properties; a crash mid-swap leaves the previous complete file."""
+        merged = {**self._read_progress(), **props}
+        tmp = f"{self._progress_path()}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, self._progress_path())
+
+    # ------------------------------------------------------------- maintenance
+
+    def expire_versions(self, keep_last: int = 10) -> int:
+        """Drop registry version files older than the newest ``keep_last``
+        (the catalog analogue of LakeTable.expire_snapshots). Never touches
+        HEAD's target. Returns the number of files removed."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        meta = os.path.join(self.root, "_catalog")
+        cutoff = self.registry["version"] - keep_last + 1
+        removed = 0
+        for fn in os.listdir(meta):
+            if not (fn.startswith("r") and fn.endswith(".json")):
+                continue
+            try:
+                version = int(fn[1:-5])
+            except ValueError:
+                continue
+            if version < cutoff:
+                os.remove(os.path.join(meta, fn))
+                removed += 1
+        return removed
+
+    def vacuum(self, older_than_s: float = 3 * 86400) -> int:
+        """Delete table directories under ``{root}/tables/`` that no
+        retained registry version lists as LIVE (i.e. dropped — or never
+        committed — across the whole retained history), age-gated by mtime
+        like :meth:`~.lake.LakeTable.vacuum`. Reclaims dropped tables'
+        data once their drop predates the retained registry history plus
+        the grace window. Returns directories removed. Run after
+        :meth:`expire_versions`; ``older_than_s=0`` requires no concurrent
+        writer (a table mid-CREATE looks like an orphan)."""
+        import shutil
+        import time as _time
+
+        meta = os.path.join(self.root, "_catalog")
+        live_dirs: set[str] = set()
+        for fn in os.listdir(meta):
+            if fn.startswith("r") and fn.endswith(".json"):
+                with open(os.path.join(meta, fn)) as f:
+                    reg = json.load(f)
+                live_dirs.update(
+                    e["dir"] for e in reg.get("tables", {}).values()
+                    if not e.get("dropped")
+                )
+        tables_root = os.path.join(self.root, "tables")
+        if not os.path.isdir(tables_root):
+            return 0
+        cutoff = _time.time() - max(older_than_s, 0)
+        removed = 0
+        for name in os.listdir(tables_root):
+            rel = os.path.join("tables", name)
+            full = os.path.join(tables_root, name)
+            if rel in live_dirs or not os.path.isdir(full):
+                continue
+            if os.path.getmtime(full) <= cutoff:
+                shutil.rmtree(full)
+                removed += 1
+        return removed

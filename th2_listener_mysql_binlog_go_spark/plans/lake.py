@@ -83,6 +83,62 @@ class ConcurrentCommitError(RuntimeError):
     """HEAD moved under an optimistic committer — reload and retry."""
 
 
+# Identifier of the _seq packing scheme used by the apply path (round-3:
+# log_pos * 2^21 + row-sub-order; see operators/apply.py). _seq is PERSISTED
+# in data files and compared across rows in LWW windows, so mixing encodings
+# within one table would order wrongly — the stamp below gives any future
+# encoding change a detection hook (tables created before round 4 carry no
+# stamp and are treated as current-encoding; see docs/PLANS.md).
+SEQ_ENCODING = "logpos-2p21"
+
+
+def _version_of(head_fname: str, prefix: str) -> int:
+    """Version number encoded in a HEAD target like 'v000000000042.json'."""
+    try:
+        return int(head_fname[len(prefix):-5])
+    except (ValueError, IndexError):
+        return -1
+
+
+def _excl_write_json(meta_dir: str, fname: str, payload: dict, head_is_behind) -> None:
+    """Create the immutable version file with O_EXCL: the unique per-commit
+    filename makes exclusive-create an atomic CAS on POSIX, so two writers
+    that both passed the HEAD check cannot both commit — the loser gets a
+    hard :class:`ConcurrentCommitError` instead of silently truncating the
+    winner's committed file (round-3 advice).
+
+    One legitimate collision exists: a writer that crashed AFTER creating
+    the version file but BEFORE swapping HEAD leaves an orphaned version
+    file that the recovering writer (same version, fresh process) must
+    reclaim. That case is detectable — HEAD still points BEFORE the
+    orphan — so we unlink-and-retry exactly once; any other collision (or
+    a second loss of the race) raises."""
+    path = os.path.join(meta_dir, fname)
+    for attempt in (0, 1):
+        try:
+            with open(path, "x") as f:
+                json.dump(payload, f)
+            return
+        except FileExistsError:
+            try:
+                with open(os.path.join(meta_dir, "HEAD")) as f:
+                    cur = f.read().strip()
+            except FileNotFoundError:
+                cur = ""
+            if attempt == 0 and head_is_behind(cur):
+                # crashed writer's orphan (unreachable from HEAD): reclaim
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
+                continue
+            raise ConcurrentCommitError(
+                f"version file {fname} already exists and HEAD is at "
+                f"{cur or '<missing>'}: concurrent commit detected — reload "
+                "and retry"
+            )
+
+
 @dataclass
 class ColumnSpec:
     id: int
@@ -200,7 +256,8 @@ class LakeTable:
             epoch=0,
             epoch_schemas={"0": [ColumnSpec(c.id, c.name, c.type, c.nullable) for c in columns]},
             files=[],
-            properties={"watermark_gtid": "-1", "last_batch_id": "-1", **(properties or {})},
+            properties={"watermark_gtid": "-1", "last_batch_id": "-1",
+                        "seq_encoding": SEQ_ENCODING, **(properties or {})},
         )
         os.makedirs(os.path.join(root, "_meta"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
@@ -250,8 +307,8 @@ class LakeTable:
                     "table and retry"
                 )
         fname = f"v{snap.version:012d}.json"
-        with open(os.path.join(meta, fname), "w") as f:
-            json.dump(snap.to_json(), f)
+        _excl_write_json(meta, fname, snap.to_json(),
+                         head_is_behind=lambda cur: _version_of(cur, "v") < snap.version)
         tmp = os.path.join(meta, f"HEAD.tmp.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(fname)
@@ -894,16 +951,32 @@ class LakeTable:
                 removed += 1
         return removed
 
-    def vacuum(self) -> int:
+    # Iceberg remove_orphan_files defaults to a 3-day grace window; same here.
+    VACUUM_DEFAULT_GRACE_S = 3 * 86400
+
+    def vacuum(self, older_than_s: float = VACUUM_DEFAULT_GRACE_S) -> int:
         """Delete data files referenced by NO remaining snapshot — expired
         versions' exclusive files plus orphans from crashed/uncommitted
-        writers (staged pipeline batches that never committed). Safe by
-        construction: a file referenced by any live snapshot json is kept,
-        so time travel over the retained history still works. Returns the
-        number of files deleted (empty directories are pruned too).
+        writers. Safe by construction for committed state: a file
+        referenced by any live snapshot json is kept, so time travel over
+        the retained history still works. Returns the number of files
+        deleted (empty directories are pruned too).
+
+        ``older_than_s``: unreferenced files YOUNGER than this (by mtime)
+        are skipped. Staged-but-not-yet-committed delta dirs are the
+        normal operating state of a live pipelined writer (the replay CLI
+        defaults ``--pipeline-depth 3``; ``stage_mor_delta``/``stage_pairs``
+        hold staged dirs across batches) and are indistinguishable from
+        crash orphans by path alone — deleting them mid-run would leave
+        the imminent commit pointing at missing files. The age threshold
+        (Iceberg remove_orphan_files' 3-day default) makes concurrent
+        vacuum safe: anything a live pipeline staged is recent. Pass
+        ``older_than_s=0`` ONLY when no writer is running.
 
         Run after :meth:`expire_snapshots`, as scheduled maintenance —
         the Iceberg remove_orphan_files analogue."""
+        import time as _time
+
         meta = os.path.join(self.root, "_meta")
         referenced: set[str] = set()
         for fn in os.listdir(meta):
@@ -911,13 +984,14 @@ class LakeTable:
                 with open(os.path.join(meta, fn)) as f:
                     snap = json.load(f)
                 referenced.update(fi["path"] for fi in snap["files"])
+        cutoff = _time.time() - max(older_than_s, 0)
         data_root = os.path.join(self.root, "data")
         removed = 0
         for dirpath, _dirs, files in os.walk(data_root, topdown=False):
             for fn in files:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, self.root)
-                if rel not in referenced:
+                if rel not in referenced and os.path.getmtime(full) <= cutoff:
                     os.remove(full)
                     removed += 1
             if dirpath != data_root and not os.listdir(dirpath):
@@ -1036,9 +1110,17 @@ class LakeTable:
         par = self.spark.sparkContext.defaultParallelism
         fpb = max(files_per_bucket, 1)
         if len(todo) * fpb < 4 * par:
-            # few dirty buckets: raise salt cardinality so the rewrite
-            # still spreads across the cluster (cells >= 4 * parallelism)
-            fpb = max(fpb, -(-4 * par // max(len(todo), 1)))
+            # Few dirty buckets: raise salt cardinality so the rewrite
+            # still spreads across the cluster (cells >= 4 * parallelism),
+            # CAPPED at 64 files per bucket: a single-commit bucket is a
+            # compaction fixed point by design (idempotence — see the
+            # dirty-bucket rule above), so an uncapped escalation would
+            # leave a once-dirty bucket holding up to 4x-parallelism files
+            # that only rebucket() could ever shrink (round-3 advice). 64
+            # bounds read amplification (a task-friendly 0.5-2 GB bucket ->
+            # 8-32 MB files) while keeping a 1-dirty-bucket rewrite
+            # parallel enough on any realistic executor count.
+            fpb = max(fpb, min(-(-4 * par // max(len(todo), 1)), 64))
         salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.lit(7)), F.lit(fpb))
         n_cells = len(todo) * fpb
         n_parts = min(n_cells, max(4 * par, -(-len(src) // 8)))

@@ -325,7 +325,10 @@ class CatalogReplayRunner:
                 # only a batch the source provably extends past is complete;
                 # a growing tail batch must be re-entered on resume
                 props["last_complete_batch"] = str(k)
-            self.catalog.set_properties(props)
+            # O(1) progress channel: one atomically-swapped PROGRESS file,
+            # not a full registry version per batch (a 10^5-batch replay
+            # would otherwise leave 10^5 registry dumps; round-3 review #3)
+            self.catalog.set_progress(props)
             total["batches"] += 1
             for key in ("rows_inserted", "rows_updated", "rows_deleted", "ddl_applied"):
                 total[key] += m[key]
