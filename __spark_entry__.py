@@ -9,7 +9,9 @@ semantics independently.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import sys
 import tempfile
 from collections.abc import Callable
@@ -43,6 +45,23 @@ from th2_listener_mysql_binlog_go_spark.streaming.runner import CatalogReplayRun
 
 TARGET_SCHEMA = [("repo", "string"), ("path", "string"), ("commit", "string"),
                  ("lang", "string"), ("content", "string")]
+
+# Replay-shaped queries build throwaway lake tables; dirs register here and
+# are removed at interpreter exit, so a driver looping queries() doesn't
+# accumulate temp tables (round-3 review: "driver-side temp dirs leak").
+_RUN_TMP: list[str] = []
+
+
+def _mkdtemp(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    _RUN_TMP.append(d)
+    return d
+
+
+@atexit.register
+def _cleanup_run_tmp() -> None:
+    for d in _RUN_TMP:
+        shutil.rmtree(d, ignore_errors=True)
 
 # ---------------------------------------------------------------- shared SQL
 # These fragments are executed VERBATIM by both Spark and DuckDB to build
@@ -126,7 +145,7 @@ def q_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested = to_change_schema(flat)
     b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
     span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 8)
-    tmp = tempfile.mkdtemp(prefix="cdc_replay_")
+    tmp = _mkdtemp("cdc_replay_")
     table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
                              key_cols=["repo", "path"], num_buckets=16)
     ReplayRunner(spark, table, batch_span=span).run(nested)
@@ -148,7 +167,7 @@ def q_replay_with_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
     span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 6)
-    tmp = tempfile.mkdtemp(prefix="cdc_replay_ddl_")
+    tmp = _mkdtemp("cdc_replay_ddl_")
     table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
                              key_cols=["repo", "path"], num_buckets=16)
     ReplayRunner(spark, table, batch_span=span).run(nested)
@@ -167,12 +186,68 @@ def q_replay_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested = to_change_schema(flat)
     b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
     span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 4)
-    tmp = tempfile.mkdtemp(prefix="cdc_cow_")
+    tmp = _mkdtemp("cdc_cow_")
     table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
                              key_cols=["repo", "path"], num_buckets=8)
     ReplayRunner(spark, table, batch_span=span,
                  config=ApplyConfig(merge_mode="cow")).run(nested)
     return table.read().select("repo", "path", "commit", "lang", "content")
+
+
+def q_replay_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/S12 under the oracle gate (round-3 review #4): the replay stops
+    after 3 of 8 batches (simulated crash — the handle is dropped), a
+    FRESH handle reloads the table from disk (the table IS the checkpoint,
+    listener.go:198-227's loadState analogue) and runs to completion, and
+    a third run must clamp to a no-op (S12's beyond-source watermark
+    guard). The final state hash-matches the cdc_replay_final_state
+    oracle — resume converges to exactly the uninterrupted result."""
+    flat = derived_changestream(spark, sf_dir)
+    nested = to_change_schema(flat)
+    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
+    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 8)
+    tmp = _mkdtemp("cdc_resume_")
+    root = os.path.join(tmp, "t")
+    table = LakeTable.create(spark, root, TARGET_SCHEMA,
+                             key_cols=["repo", "path"], num_buckets=16)
+    m1 = ReplayRunner(spark, table, batch_span=span).run(nested, max_batches=3)
+    assert m1["batches"] == 3
+    # fresh handle: resume state comes only from persisted snapshot props
+    resumed = LakeTable.load(spark, root)
+    ReplayRunner(spark, resumed, batch_span=span).run(nested)
+    m3 = ReplayRunner(spark, LakeTable.load(spark, root), batch_span=span).run(nested)
+    assert m3.get("clamped") and m3["events"] == 0
+    return LakeTable.load(spark, root).read().select(
+        "repo", "path", "commit", "lang", "content")
+
+
+def q_wire_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's PUBLISHED interface end-to-end under streaming
+    (round-3 review #2): the derived stream serialized to bean-JSON wire
+    payloads (listener.go:296-315) lands as JSON-lines files, Structured
+    Streaming tails them (readStream -> decode_stream -> foreachBatch
+    apply, decode inside the streaming plan), and the drained lake state
+    must hash-match the cdc_replay_final_state oracle — proving a consumer
+    of the reference's queue output gets the identical table."""
+    from th2_listener_mysql_binlog_go_spark.sources.rawjson import encode_stream
+    from th2_listener_mysql_binlog_go_spark.streaming.structured import (
+        StreamingWireApplier,
+    )
+
+    flat = derived_changestream(spark, sf_dir)
+    nested = to_change_schema(flat)
+    tmp = _mkdtemp("cdc_wstream_")
+    wire_dir = os.path.join(tmp, "wire")
+    encode_stream(nested).repartition(8).write.json(wire_dir)
+    table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
+                             key_cols=["repo", "path"], num_buckets=16)
+    q = StreamingWireApplier(spark, table).start(
+        wire_dir, os.path.join(tmp, "ckpt"),
+        available_now=True, max_files_per_trigger=4,
+    )
+    q.awaitTermination(600)
+    return LakeTable.load(spark, table.root).read().select(
+        "repo", "path", "commit", "lang", "content")
 
 
 def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,7 +330,7 @@ def q_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested = to_change_schema(flat)
     b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
     span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 5)
-    tmp = tempfile.mkdtemp(prefix="cdc_lin_")
+    tmp = _mkdtemp("cdc_lin_")
     table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
                              key_cols=["repo", "path"], num_buckets=8)
     runner = ReplayRunner(spark, table, batch_span=span,
@@ -282,7 +357,7 @@ def q_multitable_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested = to_change_schema(flat)
     b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
     span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 4)
-    tmp = tempfile.mkdtemp(prefix="cdc_multi_")
+    tmp = _mkdtemp("cdc_multi_")
     cat = LakeCatalog.create(spark, os.path.join(tmp, "cat"))
     for t in ("files", "files2"):
         cat.create_table("repos", t, TARGET_SCHEMA, ["repo", "path"], num_buckets=8)
@@ -557,6 +632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_dedup": q_lww_dedup,
         "cdc_replay_final_state": q_replay_final_state,
         "cdc_replay_cow": q_replay_cow,
+        "cdc_replay_resume": q_replay_resume,
+        "cdc_wire_stream_replay": q_wire_stream_replay,
         "cdc_wire_roundtrip": q_wire_roundtrip,
         "cdc_wire_batched_roundtrip": q_wire_batched_roundtrip,
         "cdc_lineage_metrics": q_lineage_metrics,
@@ -917,6 +994,26 @@ SELECT repo, path, commit, lang, content
 FROM ranked WHERE rn = 1 AND op <> 'DELETE'
 """.strip(),
         "cdc_replay_cow": f"""
+WITH {stream}, {observed},
+dml AS (SELECT * FROM observed WHERE op IN ('INSERT','UPDATE','DELETE')),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY gtid DESC) AS rn FROM dml
+)
+SELECT repo, path, commit, lang, content
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+""".strip(),
+        # resume and wire-streaming replays converge to the SAME final
+        # state as the uninterrupted batch replay — oracle SQL verbatim
+        "cdc_replay_resume": f"""
+WITH {stream}, {observed},
+dml AS (SELECT * FROM observed WHERE op IN ('INSERT','UPDATE','DELETE')),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY gtid DESC) AS rn FROM dml
+)
+SELECT repo, path, commit, lang, content
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+""".strip(),
+        "cdc_wire_stream_replay": f"""
 WITH {stream}, {observed},
 dml AS (SELECT * FROM observed WHERE op IN ('INSERT','UPDATE','DELETE')),
 ranked AS (

@@ -43,3 +43,25 @@ def test_runner_heartbeat(tmp_path):
     beat(2, {"rows_inserted": 0, "rows_updated": 0, "rows_deleted": 0, "ddl_applied": 1}, 45)
     rows = [json.loads(line) for line in open(tmp_path / "hb.jsonl")]
     assert rows[0]["rows_applied"] == 8 and rows[1]["ddl_applied"] == 1
+
+
+def test_dump_events_trace_analogue(spark, tmp_path):
+    """Debug dump (listener.go:317-323 trace logging): a bounded sample of
+    wire-serialized events lands in a JSONL file; the limit caps driver
+    traffic plan-side."""
+    from th2_listener_mysql_binlog_go_spark.sources.changestream import (
+        synthetic_changestream,
+    )
+    from th2_listener_mysql_binlog_go_spark.streaming.metrics import dump_events
+
+    stream = synthetic_changestream(spark, 500, n_repos=5, n_paths=10)
+    path = str(tmp_path / "trace" / "events.jsonl")
+    n = dump_events(stream, path, limit=50)
+    assert n == 50
+    rows = [json.loads(line) for line in open(path)]
+    assert len(rows) == 50
+    assert all("payload" in r and "gtid" in r for r in rows)
+    assert any('"Operation"' in r["payload"] for r in rows)
+    # append semantics (a second dump extends the trace)
+    assert dump_events(stream, path, limit=10) == 10
+    assert sum(1 for _ in open(path)) == 60

@@ -27,9 +27,14 @@ def test_roundtrip_replay_equivalence(spark, tmp_path):
     raw = encode_stream(stream)
     assert dict(raw.dtypes)["payload"] == "string"
     decoded = decode_stream(raw)
-    # same names and types (nullability flags differ through from_json)
-    assert [(f.name, f.dataType.simpleString()) for f in decoded.schema.fields] == \
+    # same names and types (nullability flags differ through from_json),
+    # plus row_idx — the within-event row order of multi-row beans that the
+    # apply path's _seq packing consumes (CHANGE_SCHEMA sources carry their
+    # order in log_pos/seq; wire decode must reconstruct it per bean)
+    assert [(f.name, f.dataType.simpleString())
+            for f in decoded.schema.fields if f.name != "row_idx"] == \
            [(f.name, f.dataType.simpleString()) for f in stream.schema.fields]
+    assert dict(decoded.dtypes)["row_idx"] == "int"
 
     # the non-matching QUERY statements survive encode/decode and are then
     # dropped by the applier's classifier, as in the reference

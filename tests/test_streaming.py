@@ -57,6 +57,38 @@ def test_streaming_drain_and_resume(spark, tmp_path):
     assert os.path.exists(str(tmp_path / "lin"))
 
 
+def test_wire_stream_drain_and_resume(spark, tmp_path):
+    """Streaming ingest of the PUBLISHED wire format (serialized bean JSON,
+    listener.go:296-315): encode the change stream to JSON-lines payload
+    files, drain via readStream -> decode_stream -> foreachBatch, converge
+    to the oracle; then new payload files arrive and a restart from the
+    same checkpoint applies only them (exactly-once across the resume)."""
+    from th2_listener_mysql_binlog_go_spark.sources.rawjson import encode_stream
+    from th2_listener_mysql_binlog_go_spark.streaming.structured import StreamingWireApplier
+
+    src = str(tmp_path / "wire")
+    full = synthetic_changestream(spark, 3000, n_repos=40, n_paths=60, truncate_per_10k=20)
+    encode_stream(full.filter("gtid < 2000")).repartition(4).write.json(src)
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], num_buckets=8)
+    wa = StreamingWireApplier(spark, table, lineage_dir=str(tmp_path / "lin"))
+    q = wa.start(src, str(tmp_path / "ckpt"), available_now=True, max_files_per_trigger=2)
+    q.awaitTermination(300)
+    part1 = state_fingerprint(replay_oracle(_oracle_events(full.filter("gtid < 2000"))))
+    got1 = df_fingerprint([r.asDict() for r in table.read().collect()])
+    assert got1 == part1
+
+    # more queue payloads arrive; restart from the checkpoint
+    encode_stream(full.filter("gtid >= 2000")).repartition(2).write.mode("append").json(src)
+    table2 = LakeTable.load(spark, table.root)
+    wa2 = StreamingWireApplier(spark, table2, lineage_dir=str(tmp_path / "lin"))
+    q2 = wa2.start(src, str(tmp_path / "ckpt"), available_now=True)
+    q2.awaitTermination(300)
+    expected = state_fingerprint(replay_oracle(_oracle_events(full)))
+    got = df_fingerprint([r.asDict() for r in LakeTable.load(spark, table.root).read().collect()])
+    assert got == expected
+
+
 def test_streaming_catalog_multitable_drain(spark, tmp_path):
     """Multi-table streaming shell: one foreachBatch drain routes to both
     observed tables and converges each to its per-table oracle."""

@@ -14,6 +14,8 @@ the persisted watermark):
   create          create an empty lake table
   replay          batch-replay a GTID-ordered change-event parquet dir
   stream          Structured Streaming tail (readStream + foreachBatch)
+  wire-stream     Structured Streaming tail of the PUBLISHED wire format
+                  (JSON-lines bean payloads -> decode_stream -> apply)
   catalog-replay  multi-table replay over a LakeCatalog
   catalog-stream  multi-table Structured Streaming tail
   compact         fold deltas into base files
@@ -113,6 +115,22 @@ def cmd_stream(args) -> dict:
     q = StreamingApplier(spark, table, config=_apply_config(args),
                          lineage_dir=args.lineage_dir).start(
         args.source, args.checkpoint, args.schema,
+        available_now=not args.continuous,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    q.awaitTermination()
+    return {"table": args.table, "watermark_gtid": LakeTable.load(spark, args.table).watermark_gtid}
+
+
+def cmd_wire_stream(args) -> dict:
+    from .plans.lake import LakeTable
+    from .streaming.structured import StreamingWireApplier
+
+    spark = _spark("cdc-wire-stream")
+    table = LakeTable.load(spark, args.table)
+    q = StreamingWireApplier(spark, table, config=_apply_config(args),
+                             lineage_dir=args.lineage_dir).start(
+        args.source, args.checkpoint, row_ddl=args.row_ddl,
         available_now=not args.continuous,
         max_files_per_trigger=args.max_files_per_trigger,
     )
@@ -249,6 +267,21 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--files-per-bucket", type=int, default=None)
     sp.add_argument("--lineage-dir", default=None)
     sp.set_defaults(fn=cmd_stream)
+
+    sp = sub.add_parser("wire-stream")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--source", required=True,
+                    help="directory of JSON-lines wire payloads (the "
+                         "reference's published bean-JSON surface)")
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--row-ddl", default=None,
+                    help='row struct DDL, e.g. "repo string, path string, ..."')
+    sp.add_argument("--continuous", action="store_true")
+    sp.add_argument("--max-files-per-trigger", type=int, default=None)
+    sp.add_argument("--mode", choices=["mor", "cow"], default=None)
+    sp.add_argument("--files-per-bucket", type=int, default=None)
+    sp.add_argument("--lineage-dir", default=None)
+    sp.set_defaults(fn=cmd_wire_stream)
 
     sp = sub.add_parser("catalog-stream")
     sp.add_argument("--catalog", required=True)

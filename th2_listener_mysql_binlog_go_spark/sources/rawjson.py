@@ -130,9 +130,11 @@ def decode_stream(raw: DataFrame, row_ddl: str = _ROW_DDL) -> DataFrame:
     Query beans keep their raw statement in ``ddl``; op='QUERY' rows are
     classified downstream by the applier (S6), pre-classified DDL ops pass
     through. Undecodable payloads (op NULL) are dropped, mirroring the
-    reference's skip of events it cannot decode."""
+    reference's skip of events it cannot decode. ``row_idx`` (within-event
+    row order of multi-row beans) rides along so the apply path's ``_seq``
+    packing keeps the reference's (pos, seq) sub-order."""
     d = decode_bean_json(raw, "payload", row_ddl)
     return d.filter(F.col("op").isNotNull()).select(
         "gtid", "log_name", "log_pos", "seq", "ts",
-        "schema_name", "table_name", "op", "before", "after", "ddl",
+        "schema_name", "table_name", "op", "row_idx", "before", "after", "ddl",
     )

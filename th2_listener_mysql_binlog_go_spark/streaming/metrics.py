@@ -82,6 +82,29 @@ class ProgressListener(StreamingQueryListener):
         }
 
 
+def dump_events(df, path: str, limit: int = 1000) -> int:
+    """Debug event dump — the trace-level payload logging of the
+    reference's run loop (/root/reference/component/listener/listener.go:
+    317-323, which logs every published bean when trace is enabled), as a
+    bounded sample: the first ``limit`` events of ``df`` (CHANGE_SCHEMA
+    shape), wire-serialized to their published bean-JSON form, appended to
+    a JSONL file. Driver traffic is capped at ``limit`` rows BY THE PLAN
+    (the limit runs JVM-side before collect) — this is a debugging aid,
+    never the data path. Returns the number of events written."""
+    from ..sources.rawjson import encode_stream
+
+    rows = encode_stream(df).limit(limit).collect()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "a") as f:
+        for r in rows:
+            f.write(json.dumps({
+                "gtid": r["gtid"], "log_name": r["log_name"],
+                "log_pos": r["log_pos"], "seq": r["seq"], "ts": r["ts"],
+                "payload": r["payload"],
+            }) + "\n")
+    return len(rows)
+
+
 def runner_heartbeat(jsonl_path: str):
     """Per-batch heartbeat writer for the batch replay runner."""
 

@@ -59,7 +59,9 @@ class StreamingApplier:
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         stream = reader.parquet(source_dir)
+        return self._start(stream, checkpoint_dir, available_now)
 
+    def _start(self, stream, checkpoint_dir: str, available_now: bool) -> StreamingQuery:
         def handle(batch_df, epoch_id: int) -> None:
             import time
 
@@ -91,6 +93,51 @@ class StreamingApplier:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+# Position metadata the reference attaches to every published message
+# (name/pos/seq/timestamp, /root/reference/component/listener/listener.go:325-332)
+# plus the serialized bean payload itself.
+WIRE_SCHEMA = ("gtid bigint, log_name string, log_pos bigint, seq bigint, "
+               "ts bigint, payload string")
+
+
+class StreamingWireApplier(StreamingApplier):
+    """Streaming ingest of the reference's PUBLISHED surface: serialized
+    bean-JSON payloads (listener.go:296-315; golden bodies README.md:
+    109-240) landing as JSON-lines files — the Spark-native stand-in for
+    the MQ a real deployment tails. ``readStream`` tracks the files,
+    :func:`~..sources.rawjson.decode_stream` (pure Catalyst ``from_json``
+    + explode, inside the streaming plan, JVM-side) turns payloads back
+    into CHANGE_SCHEMA rows, and the same ``foreachBatch`` apply loop
+    merges them — so a consumer of the reference's queue output can point
+    this at its archive and get the identical lake state the parquet-fed
+    shells produce (oracle-checked: ``cdc_wire_stream_replay`` hashes
+    against the ``cdc_replay_final_state`` oracle).
+
+    Exactly-once composition is inherited: the streaming engine replays
+    the in-flight epoch with the same id after a crash; the applier's
+    sub-batch guard no-ops the replayed prefix."""
+
+    def start(
+        self,
+        source_dir: str,
+        checkpoint_dir: str,
+        row_ddl: str | None = None,
+        available_now: bool = True,
+        max_files_per_trigger: int | None = None,
+    ) -> StreamingQuery:
+        """Tail ``source_dir`` (JSON-lines wire payloads, WIRE_SCHEMA
+        envelope) and apply each micro-batch. ``row_ddl`` is the row
+        struct of the observed table (defaults to the repo-table shape)."""
+        from ..sources.rawjson import _ROW_DDL, decode_stream
+
+        reader = self.spark.readStream.schema(WIRE_SCHEMA)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        raw = reader.json(source_dir)
+        return self._start(decode_stream(raw, row_ddl or _ROW_DDL),
+                           checkpoint_dir, available_now)
 
 
 class StreamingCatalogApplier:
