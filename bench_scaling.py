@@ -69,14 +69,20 @@ spark = build_session("scaling-%d" % cores, master="local[%d]" % cores,
                           "spark.shuffle.spill.compress": "true",
                       })
 spark.sparkContext.setLogLevel("ERROR")
-# Materialize the stream once as a parquet table (the binlog-archive
-# source a real deployment reads): excluded from timing, no cache/GC
-# pressure, and per-batch gtid filters prune row groups like a
-# gtid-partitioned archive would on a cluster.
+# Materialize the stream once as a GTID-RANGE-PARTITIONED parquet archive
+# (the binlog-segment layout a real deployment's archiver produces):
+# excluded from timing, no cache/GC pressure, and each batch's scan is
+# partition-PRUNED to its own spans at planning time (round-3 review #5 —
+# real pruning, not just row-group skips; asserted via scan metrics in
+# tests/test_partition_pruning.py).
+from th2_listener_mysql_binlog_go_spark.sources.changestream import write_gtid_partitioned
 src = os.path.join("/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir(),
                    "scal-src-%d" % cores)
-synthetic_changestream(spark, n_events, n_repos=max(200, n_events // 5000),
-                       n_paths=2000, with_truncate=False, n_partitions=cores * 4).write.mode("overwrite").parquet(src)
+p_span = max(n_events // (int(sys.argv[3]) * 4), 1)  # 4 archive spans per batch
+write_gtid_partitioned(
+    synthetic_changestream(spark, n_events, n_repos=max(200, n_events // 5000),
+                           n_paths=2000, with_truncate=False, n_partitions=cores * 4),
+    src, partition_span=p_span)
 stream = spark.read.parquet(src)
 tmp = tempfile.mkdtemp(prefix="scal_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
 table = LakeTable.create(spark, os.path.join(tmp, "t"),
@@ -97,7 +103,8 @@ warm_table = LakeTable.create(spark, os.path.join(warm_tmp, "w"),
     [("repo", "string"), ("path", "string"), ("commit", "string"),
      ("lang", "string"), ("content", "string")],
     key_cols=["repo", "path"], num_buckets=64)
-ReplayRunner(spark, warm_table, batch_span=10_000, config=cfg).run(stream.filter("gtid < 20000"))
+ReplayRunner(spark, warm_table, batch_span=10_000, config=cfg,
+             partition_col="gtid_span", partition_span=p_span).run(stream.filter("gtid < 20000"))
 warm_table.compact()
 shutil.rmtree(warm_tmp, ignore_errors=True)
 
@@ -106,7 +113,8 @@ shutil.rmtree(warm_tmp, ignore_errors=True)
 # serial sections (codegen compile, sampling, scheduling).
 depth = int(os.environ.get("SCALING_PIPELINE", "3"))
 runner = ReplayRunner(spark, table, batch_span=max(n_events // int(sys.argv[3]), 1),
-                      config=cfg, pipeline_depth=depth)
+                      config=cfg, pipeline_depth=depth,
+                      partition_col="gtid_span", partition_span=p_span)
 t0 = time.monotonic()
 runner.run(stream)
 t_replay = time.monotonic() - t0

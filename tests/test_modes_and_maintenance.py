@@ -4,6 +4,8 @@ state; MOR and CoW replays of the same stream converge identically."""
 
 import os
 
+from pyspark.sql import functions as F
+
 from th2_listener_mysql_binlog_go_spark.operators.apply import ApplyConfig
 from th2_listener_mysql_binlog_go_spark.plans.lake import LakeTable
 from th2_listener_mysql_binlog_go_spark.sources.changestream import synthetic_changestream
@@ -169,3 +171,37 @@ def test_expire_vacuum_and_concurrent_commit_guard(spark, tmp_path):
     except ConcurrentCommitError:
         pass
     assert LakeTable.load(spark, t.root).snapshot.properties["winner"] == "t2"
+
+
+def test_snapshot_metadata_stays_bounded(spark, tmp_path):
+    """Round-3 review #6: each commit serializes the full files list, so
+    the list must stay BOUNDED under the default auto-compaction policy —
+    <= buckets*fpb base files + ~8 batches' worth of deltas — regardless
+    of how many batches have ever committed, keeping per-commit metadata
+    KB-scale (the measured bound documented in docs/PLANS.md; a two-level
+    manifest is the upgrade path if buckets*fpb ever makes this MB-scale)."""
+    import json as _json
+
+    stream = synthetic_changestream(spark, 6000, n_repos=20, n_paths=40,
+                                    truncate_per_10k=0)
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"],
+                         num_buckets=4)
+    fpb = 2
+    ReplayRunner(spark, t, batch_span=200,          # 30 batches
+                 config=ApplyConfig(files_per_bucket=fpb,
+                                    auto_compact_deltas="auto")).run(stream)
+    buckets = t.snapshot.num_buckets
+    bound = buckets * fpb + 9 * buckets * fpb       # base + auto threshold + 1 batch
+    assert len(t.snapshot.files) <= bound, (len(t.snapshot.files), bound)
+    head = os.path.join(t.root, "_meta", "HEAD")
+    snap_file = os.path.join(t.root, "_meta", open(head).read().strip())
+    size = os.path.getsize(snap_file)
+    assert size < 64 * 1024                          # KB-scale snapshot JSON
+    # and the bound is a fixed point: another 30 batches don't grow it
+    more = synthetic_changestream(spark, 6000, n_repos=20, n_paths=40,
+                                  truncate_per_10k=0).withColumn(
+        "gtid", F.col("gtid") + 6000)
+    ReplayRunner(spark, t, batch_span=200,
+                 config=ApplyConfig(files_per_bucket=fpb,
+                                    auto_compact_deltas="auto")).run(more)
+    assert len(t.snapshot.files) <= bound

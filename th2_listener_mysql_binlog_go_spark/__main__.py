@@ -101,6 +101,7 @@ def cmd_replay(args) -> dict:
         spark, table, batch_span=args.batch_span, config=_apply_config(args),
         lineage_dir=args.lineage_dir, pipeline_depth=args.pipeline_depth,
         prescan_window=args.prescan_window,
+        partition_col=args.partition_col, partition_span=args.partition_span,
     )
     m = runner.run(stream, max_batches=args.max_batches, allow_gaps=args.allow_gaps)
     return m
@@ -166,6 +167,7 @@ def cmd_catalog_replay(args) -> dict:
         spark, cat, batch_span=args.batch_span, config=_apply_config(args),
         lineage_dir=args.lineage_dir, pipeline_depth=args.pipeline_depth,
         prescan_window=args.prescan_window,
+        partition_col=args.partition_col, partition_span=args.partition_span,
     )
     return runner.run(stream, max_batches=args.max_batches, allow_gaps=args.allow_gaps)
 
@@ -236,6 +238,13 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--batch-span", type=int, default=1_000_000)
         sp.add_argument("--pipeline-depth", type=int, default=3)
         sp.add_argument("--prescan-window", type=int, default=256)
+        sp.add_argument("--partition-col", default=None,
+                        help="hive partition column of a gtid-range-"
+                             "partitioned source archive (e.g. gtid_span); "
+                             "enables per-batch partition pruning")
+        sp.add_argument("--partition-span", type=int, default=None,
+                        help="gtids per archive partition (gtid // span = "
+                             "partition value)")
         sp.add_argument("--max-batches", type=int, default=None)
         sp.add_argument("--allow-gaps", action="store_true")
         sp.add_argument("--mode", choices=["mor", "cow"], default=None)

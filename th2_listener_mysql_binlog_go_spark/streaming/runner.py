@@ -50,10 +50,12 @@ def _ddl_windows(runner, stream: DataFrame, ks: list[int], span: int):
     for i in range(0, len(ks), w):
         wks = ks[i:i + w]
         lo_g, hi_g = wks[0] * span, (wks[-1] + 1) * span
+        cond = (ddl_candidates_cond()
+                & (F.col("gtid") >= lo_g) & (F.col("gtid") < hi_g))
+        cond = cond & runner._partition_pred(lo_g, hi_g)
         rows = sorted(
             (
-                stream.filter(ddl_candidates_cond()
-                              & (F.col("gtid") >= lo_g) & (F.col("gtid") < hi_g))
+                stream.filter(cond)
                 .select("gtid", "op", "ddl", "schema_name", "table_name")
                 .collect()
             ),
@@ -76,6 +78,8 @@ class ReplayRunner:
         lineage_dir: str | None = None,
         pipeline_depth: int = 1,
         prescan_window: int = 256,
+        partition_col: str | None = None,
+        partition_span: int | None = None,
     ):
         """``pipeline_depth`` > 1 overlaps the delta-WRITE jobs of up to
         that many consecutive no-DDL mor batches (independent Spark jobs,
@@ -92,7 +96,19 @@ class ReplayRunner:
         O(window), never O(run) — an unbounded 10^10-event replay holds
         ~window * span * ddl_rate rows (~tens) regardless of run length.
         The pipeline rides across window boundaries (the next collect
-        runs on the driver thread while staged jobs proceed)."""
+        runs on the driver thread while staged jobs proceed).
+
+        ``partition_col``/``partition_span``: when the source archive is
+        hive-partitioned by GTID range (dirs ``{partition_col}=N`` where
+        ``N = gtid // partition_span``, as
+        :func:`~..sources.changestream.write_gtid_partitioned` lays out),
+        batch k's filter ALSO constrains the partition column, so
+        Catalyst's partition pruning drops every other partition's files
+        from the scan at PLANNING time — batch cost is O(its span's
+        files), not O(archive listing + row-group skips). A range filter
+        on ``gtid`` alone cannot prune (no gtid->dir transitivity in the
+        optimizer); the explicit predicate restores it. Verified by
+        tests/test_partition_pruning.py via scan metrics."""
         self.spark = spark
         self.table = table
         self.batch_span = batch_span
@@ -100,9 +116,28 @@ class ReplayRunner:
         self.lineage = LineageWriter(lineage_dir) if lineage_dir else None
         self.pipeline_depth = max(1, pipeline_depth)
         self.prescan_window = max(1, prescan_window)
+        self.partition_col = partition_col
+        self.partition_span = partition_span
         # instrumentation: max DDL rows held by any single window's
         # pre-scan (tests assert boundedness)
         self.max_prescan_rows = 0
+
+    def _partition_pred(self, lo_g: int, hi_g: int):
+        """Partition-column predicate covering GTIDs [lo_g, hi_g) — TRUE
+        when no archive partitioning was declared."""
+        if self.partition_col is None or not self.partition_span:
+            return F.lit(True)
+        ps = self.partition_span
+        return F.col(self.partition_col).between(lo_g // ps, (hi_g - 1) // ps)
+
+    def batch_df(self, stream: DataFrame, k: int) -> DataFrame:
+        """Batch k's slice: the gtid range filter plus (when declared) the
+        partition predicate that lets the scan prune to the span's dirs."""
+        span = self.batch_span
+        return stream.filter(
+            (F.col("gtid") >= k * span) & (F.col("gtid") < (k + 1) * span)
+            & self._partition_pred(k * span, (k + 1) * span)
+        )
 
     def run(
         self,
@@ -167,9 +202,7 @@ class ReplayRunner:
             ks = ks[:max_batches]
 
         def batch_df(k: int) -> DataFrame:
-            return stream.filter(
-                (F.col("gtid") >= k * span) & (F.col("gtid") < (k + 1) * span)
-            )
+            return self.batch_df(stream, k)
 
         def sequential(k: int, ddls: list) -> None:
             t0 = time.monotonic()
@@ -259,6 +292,8 @@ class CatalogReplayRunner:
         lineage_dir: str | None = None,
         pipeline_depth: int = 1,
         prescan_window: int = 256,
+        partition_col: str | None = None,
+        partition_span: int | None = None,
     ):
         """``pipeline_depth`` > 1 overlaps the per-pair delta-WRITE jobs of
         up to that many consecutive DDL-free mor batches (on top of the
@@ -279,7 +314,13 @@ class CatalogReplayRunner:
         self.lineage = LineageWriter(lineage_dir) if lineage_dir else None
         self.pipeline_depth = max(1, pipeline_depth)
         self.prescan_window = max(1, prescan_window)
+        self.partition_col = partition_col
+        self.partition_span = partition_span
         self.max_prescan_rows = 0
+
+    # same gtid-partitioned-archive pruning contract as ReplayRunner
+    _partition_pred = ReplayRunner._partition_pred
+    batch_df = ReplayRunner.batch_df
 
     @property
     def watermark_gtid(self) -> int:
@@ -315,9 +356,7 @@ class CatalogReplayRunner:
             ks = ks[:max_batches]
 
         def batch_df(k: int) -> DataFrame:
-            return stream.filter(
-                (F.col("gtid") >= k * span) & (F.col("gtid") < (k + 1) * span)
-            )
+            return self.batch_df(stream, k)
 
         def record(k: int, m: dict, wall_ms: int) -> None:
             props = {"watermark_gtid": str(min(hi, (k + 1) * span - 1))}
