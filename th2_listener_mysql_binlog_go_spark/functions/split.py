@@ -118,7 +118,17 @@ def split_plan(
     size) state across batch boundaries. The earlier per-event
     ``applyInPandas`` paid one Python grouped-map call per event —
     ~50k two-row events cost ~19s at sf0.1; this pass is one function
-    call per Arrow batch (~0.1s for the same input)."""
+    call per Arrow batch (~0.1s for the same input).
+
+    The per-row loop below is the heaviest per-row Python in the repo
+    (round-3 review): the close-on-overflow recurrence is genuinely
+    sequential per event, so built-in window functions can't express it.
+    Upgrade paths if the wire encode path ever matters at 10^10 rows:
+    (a) a numba/cython kernel over the same numpy arrays (numba is not in
+    this container — gate behind an import-try), or (b) the monotone
+    cumulative-sum approximation ``floor((cumsum - size) / max_size)``
+    already oracle-proven as ``cdc_size_split_plan`` (pure Catalyst, one
+    window — slightly over-fragments vs greedy but never oversizes)."""
     import numpy as np
 
     from pyspark.sql import functions as F
