@@ -116,3 +116,50 @@ def test_streaming_catalog_multitable_drain(spark, tmp_path):
     lin = spark.read.parquet(str(tmp_path / "lin"))
     assert {r["table_name"] for r in lin.select("table_name").distinct().collect()} == \
         {"repos.files", "repos.shadow_table"}
+
+
+def test_wire_catalog_multitable_drain(spark, tmp_path):
+    """Multi-table consumer of the published wire format: one decode pass
+    feeds the catalog fan-out; both observed tables converge to their
+    per-table oracles."""
+    from th2_listener_mysql_binlog_go_spark.operators.apply import ApplyConfig
+    from th2_listener_mysql_binlog_go_spark.plans.catalog import LakeCatalog
+    from th2_listener_mysql_binlog_go_spark.sources.changestream import (
+        DERIVED_MULTI_STREAM_SQL,  # noqa: F401  (documents the driver analogue)
+    )
+    from th2_listener_mysql_binlog_go_spark.sources.rawjson import encode_stream
+    from th2_listener_mysql_binlog_go_spark.streaming.structured import (
+        StreamingWireCatalogApplier,
+    )
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "wire")
+    full = synthetic_changestream(spark, 2000, n_repos=30, n_paths=50,
+                                  truncate_per_10k=20)
+    # route half the DML to a second table (same row shape)
+    full = full.withColumn(
+        "table_name",
+        F.when(F.col("op").isin("INSERT", "UPDATE", "DELETE")
+               & (F.col("gtid") % 2 == 0), F.lit("files2"))
+        .otherwise(F.col("table_name")),
+    )
+    encode_stream(full).repartition(4).write.json(src)
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"))
+    for t in ("files", "files2"):
+        cat.create_table("repos", t, SCHEMA, ["repo", "path"], num_buckets=4)
+    cfg = ApplyConfig(observed={"repos": ["files", "files2"]}, num_buckets=4)
+    q = StreamingWireCatalogApplier(spark, cat, config=cfg).start(
+        src, str(tmp_path / "ckpt"), available_now=True, max_files_per_trigger=2)
+    q.awaitTermination(300)
+
+    evs = [
+        {"gtid": r["gtid"], "op": r["op"], "table_name": r["table_name"],
+         "before": r["before"].asDict() if r["before"] else None,
+         "after": r["after"].asDict() if r["after"] else None}
+        for r in full.collect()
+    ]
+    for t in ("files", "files2"):
+        expected = state_fingerprint(replay_oracle(evs, observed_tables={t}))
+        got = df_fingerprint([r.asDict() for r in cat.get("repos", t).read().collect()])
+        assert got == expected, t

@@ -18,6 +18,7 @@ the persisted watermark):
                   (JSON-lines bean payloads -> decode_stream -> apply)
   catalog-replay  multi-table replay over a LakeCatalog
   catalog-stream  multi-table Structured Streaming tail
+  catalog-wire-stream  multi-table tail of the published wire format
   compact         fold deltas into base files
   rebucket        bucket-count evolution
   vacuum          expire old snapshots + delete unreferenced data files
@@ -148,6 +149,23 @@ def cmd_catalog_stream(args) -> dict:
     q = StreamingCatalogApplier(spark, cat, config=_apply_config(args),
                                 lineage_dir=args.lineage_dir).start(
         args.source, args.checkpoint, args.schema,
+        available_now=not args.continuous,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    q.awaitTermination()
+    return {"catalog": args.catalog,
+            "tables": sorted(LakeCatalog.load(spark, args.catalog).list_tables())}
+
+
+def cmd_catalog_wire_stream(args) -> dict:
+    from .plans.catalog import LakeCatalog
+    from .streaming.structured import StreamingWireCatalogApplier
+
+    spark = _spark("cdc-catalog-wire-stream")
+    cat = LakeCatalog.load(spark, args.catalog)
+    q = StreamingWireCatalogApplier(spark, cat, config=_apply_config(args),
+                                    lineage_dir=args.lineage_dir).start(
+        args.source, args.checkpoint, row_ddl=args.row_ddl,
         available_now=not args.continuous,
         max_files_per_trigger=args.max_files_per_trigger,
     )
@@ -305,6 +323,22 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--files-per-bucket", type=int, default=None)
     sp.add_argument("--lineage-dir", default=None)
     sp.set_defaults(fn=cmd_catalog_stream)
+
+    sp = sub.add_parser("catalog-wire-stream")
+    sp.add_argument("--catalog", required=True)
+    sp.add_argument("--source", required=True,
+                    help="directory of JSON-lines wire payloads")
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--row-ddl", default=None,
+                    help="UNION of observed tables' row struct DDLs")
+    sp.add_argument("--observed", required=True,
+                    help="comma-separated schema.table pairs to observe")
+    sp.add_argument("--continuous", action="store_true")
+    sp.add_argument("--max-files-per-trigger", type=int, default=None)
+    sp.add_argument("--mode", choices=["mor", "cow"], default=None)
+    sp.add_argument("--files-per-bucket", type=int, default=None)
+    sp.add_argument("--lineage-dir", default=None)
+    sp.set_defaults(fn=cmd_catalog_wire_stream)
 
     sp = sub.add_parser("catalog-replay")
     sp.add_argument("--catalog", required=True)

@@ -1,0 +1,1 @@
+from .caching import release_cache, tag_cached  # noqa: F401

@@ -171,7 +171,9 @@ class StreamingCatalogApplier:
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         stream = reader.parquet(source_dir)
+        return self._start(stream, checkpoint_dir, available_now)
 
+    def _start(self, stream, checkpoint_dir: str, available_now: bool) -> StreamingQuery:
         def handle(batch_df, epoch_id: int) -> None:
             import time
 
@@ -204,3 +206,32 @@ class StreamingCatalogApplier:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+class StreamingWireCatalogApplier(StreamingCatalogApplier):
+    """Multi-table consumer of the published wire format: readStream over
+    JSON-lines bean payloads -> :func:`~..sources.rawjson.decode_stream`
+    inside the streaming plan -> the catalog fan-out foreachBatch loop
+    (routing, CREATE/DROP in gtid order, per-pair parallel staging).
+
+    ``row_ddl`` must be the UNION of the observed tables' row structs:
+    ``from_json`` fills fields a payload lacks with NULL, and each table's
+    merge projects leniently onto its own columns, so heterogeneous tables
+    share one decode pass."""
+
+    def start(
+        self,
+        source_dir: str,
+        checkpoint_dir: str,
+        row_ddl: str | None = None,
+        available_now: bool = True,
+        max_files_per_trigger: int | None = None,
+    ) -> StreamingQuery:
+        from ..sources.rawjson import _ROW_DDL, decode_stream
+
+        reader = self.spark.readStream.schema(WIRE_SCHEMA)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        raw = reader.json(source_dir)
+        return self._start(decode_stream(raw, row_ddl or _ROW_DDL),
+                           checkpoint_dir, available_now)
