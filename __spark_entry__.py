@@ -514,6 +514,17 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   max_shingle_df=100)
 
 
+def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    graph (pairs alone don't dedup a corpus — near-duplication is
+    transitive, and keep-one-per-GROUP needs the component). Spark runs
+    iterative min-label propagation; DuckDB recomputes the same pairs and
+    closes them with a recursive CTE — the components must match exactly."""
+    pairs = dd.minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=16, bands=4,
+                                 k=5, min_sig_sim=0.5)
+    return dd.neardup_components(pairs).select("id", "component")
+
+
 def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID + quality score + whitespace AND BPE-ish token counts
     + fingerprint per doc."""
@@ -651,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_size_split_plan": q_size_split_plan,
         "cdc_batch_plan": q_batch_plan,
         "doc_dedup_exact": q_doc_dedup_exact,
+        "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_text_stats": q_doc_text_stats,
@@ -779,6 +791,29 @@ mins AS (
   FROM hs
 )
 SELECT doc_id, unnest(list_sort(list_distinct(m))) AS fp FROM mins
+""".strip()
+
+
+def _components_oracle() -> str:
+    """Connected components over the MinHash-LSH pair graph: the pairs are
+    the _minhash_oracle query verbatim (nested WITH), closed by a
+    recursive CTE computing min-reachable-id per node."""
+    return f"""
+WITH RECURSIVE mh AS (
+{_minhash_oracle()}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM mh
+  UNION
+  SELECT id_b AS a, id_a AS b FROM mh
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT id, min(r) AS component FROM reach GROUP BY id
 """.strip()
 
 
@@ -1179,6 +1214,7 @@ SELECT batch_id, gtid_min, gtid_max, n_insert, n_update, n_delete,
 FROM agg
 """.strip(),
         "doc_dedup_exact": _dedup_exact_oracle(),
+        "doc_dedup_clusters": _components_oracle(),
         "doc_minhash_lsh": _minhash_oracle(),
         "doc_ngram_jaccard": _jaccard_oracle(),
         "doc_text_stats": _text_stats_oracle(),

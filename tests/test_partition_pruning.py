@@ -112,3 +112,27 @@ def test_partitioned_replay_matches_oracle(spark, tmp_path):
     expected = state_fingerprint(replay_oracle(events))
     got = df_fingerprint([r.asDict() for r in t.read().collect()])
     assert got == expected
+
+
+def test_bounds_scan_prunes_to_extreme_partitions(spark, tmp_path):
+    """run()'s opening min/max-gtid discovery must not rescan the whole
+    archive when partitioning is declared: partition values come from the
+    file listing and only the two extreme partitions are scanned."""
+    src = str(tmp_path / "archive")
+    stream = synthetic_changestream(spark, 8000, n_repos=20, n_paths=40,
+                                    truncate_per_10k=0, n_partitions=8)
+    write_gtid_partitioned(stream, src, partition_span=1000)
+    per_span = _archive_files(src)
+    archive = spark.read.parquet(src)
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"],
+                         num_buckets=4)
+    runner = ReplayRunner(spark, t, batch_span=1000,
+                          partition_col="gtid_span", partition_span=1000)
+    b = runner._bounds(archive)
+    assert (b["lo"], b["hi"]) == (0, 7999)
+    # the pruned bounds plan reads only the extreme partitions' files
+    pred = F.col("gtid_span").isin(0, 7)
+    files_read = _scan_files_read(archive.filter(pred).select("gtid"))
+    assert files_read == per_span[0] + per_span[7] < sum(per_span.values())
+    # un-declared: exact same answer, full-scan path
+    assert tuple(ReplayRunner(spark, t, batch_span=1000)._bounds(archive)) == (0, 7999)

@@ -200,3 +200,32 @@ def test_winnow_shared_span_guarantee(spark):
     assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
     nb = {r["doc_id"]: r["nb"] for r in out}
     assert nb[0] > 8 and all(v > 0 for v in nb.values())
+
+
+def test_neardup_components(spark):
+    """Connected components over a pair graph: chain, clique, isolated
+    pair — min-reachable-id labels, convergence, cache release."""
+    from th2_listener_mysql_binlog_go_spark.functions.caching import release_cache
+    from th2_listener_mysql_binlog_go_spark.functions.dedup import neardup_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5, clique {10,11,12}, isolated pair (20,21)
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        ["id_a", "id_b"],
+    )
+    out = neardup_components(pairs)
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+    assert release_cache(out, blocking=True) >= 1
+
+    # non-convergence guard: a long chain with max_iters too small raises
+    import pytest
+
+    long_chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_components(long_chain, max_iters=3)

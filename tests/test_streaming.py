@@ -163,3 +163,36 @@ def test_wire_catalog_multitable_drain(spark, tmp_path):
         expected = state_fingerprint(replay_oracle(evs, observed_tables={t}))
         got = df_fingerprint([r.asDict() for r in cat.get("repos", t).read().collect()])
         assert got == expected, t
+
+
+def test_wire_publish_then_consume_full_circle(spark, tmp_path):
+    """The engine in the reference's PRODUCING role, closed end-to-end:
+    binlog-shaped parquet -> StreamingWirePublisher (size-bounded bean
+    payloads, S8/S9/S10 per micro-batch) -> StreamingWireApplier consumes
+    the published queue dir -> the lake state matches the oracle replay of
+    the original stream."""
+    from th2_listener_mysql_binlog_go_spark.streaming.structured import (
+        StreamingWireApplier,
+        StreamingWirePublisher,
+    )
+
+    src = str(tmp_path / "binlog")
+    out = str(tmp_path / "queue")
+    full = synthetic_changestream(spark, 2000, n_repos=30, n_paths=50,
+                                  truncate_per_10k=20)
+    full.repartition(4).write.parquet(src)
+
+    pub = StreamingWirePublisher(spark, max_size=4096)
+    q = pub.start(src, out, str(tmp_path / "pub_ckpt"), CHANGE_SCHEMA,
+                  available_now=True, max_files_per_trigger=2)
+    q.awaitTermination(300)
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                             ["repo", "path"], num_buckets=8)
+    q2 = StreamingWireApplier(spark, table).start(
+        out, str(tmp_path / "sub_ckpt"), available_now=True)
+    q2.awaitTermination(300)
+
+    expected = state_fingerprint(replay_oracle(_oracle_events(full)))
+    got = df_fingerprint([r.asDict() for r in table.read().collect()])
+    assert got == expected

@@ -16,6 +16,8 @@ the persisted watermark):
   stream          Structured Streaming tail (readStream + foreachBatch)
   wire-stream     Structured Streaming tail of the PUBLISHED wire format
                   (JSON-lines bean payloads -> decode_stream -> apply)
+  wire-publish    the reference's PRODUCING role: tail CHANGE_SCHEMA
+                  parquet, publish size-bounded bean-JSON payloads
   catalog-replay  multi-table replay over a LakeCatalog
   catalog-stream  multi-table Structured Streaming tail
   catalog-wire-stream  multi-table tail of the published wire format
@@ -155,6 +157,19 @@ def cmd_catalog_stream(args) -> dict:
     q.awaitTermination()
     return {"catalog": args.catalog,
             "tables": sorted(LakeCatalog.load(spark, args.catalog).list_tables())}
+
+
+def cmd_wire_publish(args) -> dict:
+    from .streaming.structured import StreamingWirePublisher
+
+    spark = _spark("cdc-wire-publish")
+    q = StreamingWirePublisher(spark, max_size=args.max_size).start(
+        args.source, args.out, args.checkpoint, args.schema,
+        available_now=not args.continuous,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    q.awaitTermination()
+    return {"out": args.out}
 
 
 def cmd_catalog_wire_stream(args) -> dict:
@@ -323,6 +338,19 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--files-per-bucket", type=int, default=None)
     sp.add_argument("--lineage-dir", default=None)
     sp.set_defaults(fn=cmd_catalog_stream)
+
+    sp = sub.add_parser("wire-publish")
+    sp.add_argument("--source", required=True,
+                    help="CHANGE_SCHEMA parquet dir (binlog segments)")
+    sp.add_argument("--out", required=True,
+                    help="output dir for JSON-lines wire payloads")
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--schema", required=True, help="change-event schema DDL")
+    sp.add_argument("--max-size", type=int, default=1 << 20,
+                    help="max serialized payload bytes (split bound)")
+    sp.add_argument("--continuous", action="store_true")
+    sp.add_argument("--max-files-per-trigger", type=int, default=None)
+    sp.set_defaults(fn=cmd_wire_publish)
 
     sp = sub.add_parser("catalog-wire-stream")
     sp.add_argument("--catalog", required=True)

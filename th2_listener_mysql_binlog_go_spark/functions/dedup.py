@@ -313,3 +313,85 @@ def simhash_pairs(
     )
     # caller releases the pinned signature blocks via caching.release_cache
     return tag_cached(out, [sigs])
+
+
+# ------------------------------------------------------------------ clusters
+
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup PAIR graph -> (id, component)
+    with ``component`` = the smallest doc id reachable from ``id``.
+
+    Pair lists (MinHash/SimHash/embedding LSH output) don't dedup a corpus
+    by themselves: near-duplication is transitive in practice (A~B, B~C)
+    and the keep-one-per-GROUP decision needs the component, not the pair.
+    This is the step between candidate pairs and ``keep = (id == component)``.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min label among itself and its neighbors, via one join on
+    each edge direction + a groupBy(min); converges in graph-diameter
+    rounds. Near-dup components are shallow (stars/cliques around a few
+    templates), so diameter is small; the loop is driver-bounded by
+    ``max_iters`` and raises if not converged (at web scale with adversarial
+    long chains, switch to the large-star/small-star alternation of
+    Kiveris et al., "Connected Components in MapReduce", which converges
+    in O(log^2 n) — same join primitive, different edge rewiring).
+    Convergence check is an aggregate (count of label changes), not a
+    collect. Each round's labels are ``localCheckpoint``-ed: an iterative
+    DataFrame loop otherwise grows its LOGICAL PLAN exponentially (every
+    round re-embeds the last round's tree — the analyzer OOMs long before
+    the data does), so lineage must be cut per round. localCheckpoint is
+    executor-memory-backed (lost-executor replay gap); a production run at
+    cluster scale would set a reliable ``spark.sparkContext.setCheckpointDir``
+    and use ``checkpoint()`` — same loop, durable truncation. The edge
+    table persists across rounds; release via
+    :func:`~.caching.release_cache` on the result."""
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("n_comp"), F.col("component")))
+                .alias("component"),
+                (F.coalesce(F.col("n_comp"), F.col("component")) < F.col("component"))
+                .cast("int").alias("_changed"),
+            )
+            .localCheckpoint()  # cut lineage: plan depth stays O(1) per round
+        )
+        changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        edges.unpersist()
+        raise RuntimeError(
+            f"neardup_components did not converge in {max_iters} rounds: "
+            "pathological chain structure — use the large-star/small-star "
+            "variant for this graph"
+        )
+    from .caching import tag_cached
+
+    return tag_cached(labels.select("id", "component"), [edges])

@@ -5,4 +5,5 @@ from .structured import (  # noqa: F401
     StreamingCatalogApplier,
     StreamingWireApplier,
     StreamingWireCatalogApplier,
+    StreamingWirePublisher,
 )

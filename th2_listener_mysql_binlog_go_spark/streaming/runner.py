@@ -130,6 +130,29 @@ class ReplayRunner:
         ps = self.partition_span
         return F.col(self.partition_col).between(lo_g // ps, (hi_g - 1) // ps)
 
+    def _bounds(self, stream: DataFrame):
+        """(min, max) gtid of the source. Un-partitioned: one full-stream
+        agg — fine for a bounded replay, but it rescans the WHOLE archive
+        every run, which at a 10^10-event archive is the single largest
+        serial cost of a resume. With a declared archive partitioning the
+        extreme partition VALUES come from the driver-side file listing
+        (hive dir names — no data read), and the exact min/max needs a
+        scan of only the two extreme partitions."""
+        if self.partition_col and self.partition_span:
+            import re
+
+            pat = re.compile(rf"{re.escape(self.partition_col)}=(-?\d+)")
+            vals = {int(m.group(1))
+                    for f in stream.inputFiles()
+                    for m in [pat.search(f)] if m}
+            if vals:
+                return stream.filter(
+                    F.col(self.partition_col).isin(min(vals), max(vals))
+                ).agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
+        return stream.agg(
+            F.min("gtid").alias("lo"), F.max("gtid").alias("hi")
+        ).collect()[0]
+
     def batch_df(self, stream: DataFrame, k: int) -> DataFrame:
         """Batch k's slice: the gtid range filter plus (when declared) the
         partition predicate that lets the scan prune to the span's dirs."""
@@ -147,9 +170,7 @@ class ReplayRunner:
     ) -> dict:
         """Replay ``stream`` (change events, CHANGE_SCHEMA-shaped) into the
         table from the current watermark. Returns summary metrics."""
-        bounds = stream.agg(
-            F.min("gtid").alias("lo"), F.max("gtid").alias("hi")
-        ).collect()[0]
+        bounds = self._bounds(stream)
         if bounds["lo"] is None:
             return {"batches": 0, "events": 0}
         lo, hi = bounds["lo"], bounds["hi"]
@@ -321,6 +342,7 @@ class CatalogReplayRunner:
     # same gtid-partitioned-archive pruning contract as ReplayRunner
     _partition_pred = ReplayRunner._partition_pred
     batch_df = ReplayRunner.batch_df
+    _bounds = ReplayRunner._bounds
 
     @property
     def watermark_gtid(self) -> int:
@@ -328,9 +350,7 @@ class CatalogReplayRunner:
 
     def run(self, stream: DataFrame, max_batches: int | None = None,
             allow_gaps: bool = False) -> dict:
-        bounds = stream.agg(
-            F.min("gtid").alias("lo"), F.max("gtid").alias("hi")
-        ).collect()[0]
+        bounds = self._bounds(stream)
         if bounds["lo"] is None:
             return {"batches": 0, "events": 0}
         lo, hi = bounds["lo"], bounds["hi"]

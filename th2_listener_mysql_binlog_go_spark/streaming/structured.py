@@ -235,3 +235,59 @@ class StreamingWireCatalogApplier(StreamingCatalogApplier):
         raw = reader.json(source_dir)
         return self._start(decode_stream(raw, row_ddl or _ROW_DDL),
                            checkpoint_dir, available_now)
+
+
+class StreamingWirePublisher:
+    """The reference's PRODUCING role, Spark-native: tail a CHANGE_SCHEMA
+    parquet directory (binlog segments) and PUBLISH size-bounded bean-JSON
+    wire payloads as JSON-lines files — the directory-as-queue analogue of
+    the reference's batcher + MQ pipe (putToBatch listener.go:265-294,
+    publish listener.go:296-315). Each micro-batch runs the full S8/S9/S10
+    pipeline (:func:`~..sources.rawjson.encode_stream_batched`: one bean
+    per RowsEvent, oversized INSERT/DELETE events split greedily under
+    ``max_size``) inside ``foreachBatch`` — the encoder's groupBy/
+    mapInPandas are batch ops, mirroring the reference's per-sync-loop
+    batching.
+
+    Delivery: at-least-once, matching the reference (its resume from the
+    last *published* message can re-emit, README/listener.go:198-227): a
+    crash between a payload write and the checkpoint commit republishes
+    that epoch. Payloads are keyed by ``(gtid, log_pos, part_idx)``, so
+    consumers dedup exactly — this engine's own apply side already does
+    (LWW on (_gtid, _seq) + batch-id guards make re-consumption a no-op)."""
+
+    def __init__(self, spark: SparkSession, max_size: int = 1 << 20,
+                 base_size: int = 96):
+        self.spark = spark
+        self.max_size = max_size
+        self.base_size = base_size
+
+    def start(
+        self,
+        source_dir: str,
+        out_dir: str,
+        checkpoint_dir: str,
+        schema_ddl: str,
+        available_now: bool = True,
+        max_files_per_trigger: int | None = None,
+    ) -> StreamingQuery:
+        from ..sources.rawjson import encode_stream_batched
+
+        reader = self.spark.readStream.schema(schema_ddl)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(source_dir)
+
+        def handle(batch_df, epoch_id: int) -> None:
+            (
+                encode_stream_batched(batch_df, self.max_size, self.base_size)
+                .write.mode("append").json(out_dir)
+            )
+
+        writer = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
