@@ -196,3 +196,38 @@ def test_wire_publish_then_consume_full_circle(spark, tmp_path):
     expected = state_fingerprint(replay_oracle(_oracle_events(full)))
     got = df_fingerprint([r.asDict() for r in table.read().collect()])
     assert got == expected
+
+
+def test_wire_redelivery_converges(spark, tmp_path):
+    """At-least-once publish parity: the reference can re-emit events on
+    resume (listener.go:198-227), so a consumer must converge under
+    duplicate payload delivery. Publish the same payload set TWICE into
+    the queue dir (a crashed publisher's re-emitted epoch); the consumer's
+    second drain applies the duplicates and the state is unchanged — LWW
+    on (_gtid, _seq) makes re-application idempotent in effect."""
+    from th2_listener_mysql_binlog_go_spark.sources.rawjson import encode_stream
+    from th2_listener_mysql_binlog_go_spark.streaming.structured import StreamingWireApplier
+
+    src = str(tmp_path / "queue")
+    full = synthetic_changestream(spark, 1500, n_repos=20, n_paths=40,
+                                  truncate_per_10k=20)
+    wire = encode_stream(full)
+    wire.repartition(3).write.json(src)
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                             ["repo", "path"], num_buckets=4)
+    q = StreamingWireApplier(spark, table).start(
+        src, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(300)
+    expected = state_fingerprint(replay_oracle(_oracle_events(full)))
+    first = df_fingerprint([r.asDict() for r in table.read().collect()])
+    assert first == expected
+
+    # re-emitted epoch: the SAME payloads land again as new files
+    wire.repartition(2).write.mode("append").json(src)
+    t2 = LakeTable.load(spark, table.root)
+    q2 = StreamingWireApplier(spark, t2).start(
+        src, str(tmp_path / "ckpt"), available_now=True)
+    q2.awaitTermination(300)
+    again = df_fingerprint([r.asDict() for r in LakeTable.load(spark, table.root).read().collect()])
+    assert again == expected
