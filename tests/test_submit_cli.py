@@ -107,3 +107,58 @@ def test_spark_submit_replay_resume_compact(spark, tmp_path):
                            for r in LakeTable.load(spark, t2_dir).read().collect()])
     assert got2 == state_fingerprint(expect)
     shutil.rmtree(str(tmp_path / "events"), ignore_errors=True)
+
+
+def test_spark_submit_catalog_replay_resume(spark, tmp_path):
+    """Cross-process catalog crash-resume through the O(1) PROGRESS
+    channel: catalog + tables created via the CLI, partial catalog-replay
+    in one spark-submit process (simulated crash), a SECOND process
+    resumes to completion; per-table states match the oracle and the
+    per-batch progress minted zero registry versions."""
+    from th2_listener_mysql_binlog_go_spark.plans.catalog import LakeCatalog
+
+    zpath = _zip_pkg(str(tmp_path))
+    script = str(tmp_path / "run_cdc.py")
+    with open(script, "w") as f:
+        f.write(RUNNER)
+
+    src = str(tmp_path / "events")
+    stream = synthetic_changestream(spark, 2000, n_repos=20, n_paths=40,
+                                    truncate_per_10k=0)
+    stream.repartition(4).write.parquet(src)
+    croot = str(tmp_path / "cat")
+    schema_str = "repo string, path string, commit string, lang string, content string"
+
+    _submit(zpath, script, "catalog-create", "--catalog", croot)
+    for name in ("repos.files", "repos.files2"):
+        m = _submit(zpath, script, "catalog-create-table", "--catalog", croot,
+                    "--name", name, "--schema", schema_str,
+                    "--keys", "repo,path", "--num-buckets", "4")
+    assert m["tables"] == ["repos.files", "repos.files2"]
+    reg_before = sorted(f for f in os.listdir(os.path.join(croot, "_catalog"))
+                        if f.startswith("r") and f.endswith(".json"))
+
+    args = ["--catalog", croot, "--source", src, "--batch-span", "500",
+            "--observed", "repos.files,repos.files2", "--pipeline-depth", "2"]
+    m1 = _submit(zpath, script, "catalog-replay", *args, "--max-batches", "2")
+    assert m1["batches"] == 2
+    m2 = _submit(zpath, script, "catalog-replay", *args)   # fresh process resumes
+    assert m1["batches"] + m2["batches"] == 4
+    # batch progress went through PROGRESS, not registry versions
+    reg_after = sorted(f for f in os.listdir(os.path.join(croot, "_catalog"))
+                       if f.startswith("r") and f.endswith(".json"))
+    assert reg_after == reg_before
+    assert os.path.exists(os.path.join(croot, "_catalog", "PROGRESS"))
+
+    events = [
+        {"gtid": r["gtid"], "op": r["op"], "table_name": r["table_name"],
+         "before": r["before"].asDict() if r["before"] else None,
+         "after": r["after"].asDict() if r["after"] else None}
+        for r in stream.collect()
+    ]
+    cat = LakeCatalog.load(spark, croot)
+    for t in ("files", "files2"):
+        expected = state_fingerprint(replay_oracle(events, observed_tables={t}))
+        got = df_fingerprint(
+            [r.asDict() for r in cat.get("repos", t).read().collect()])
+        assert got == expected, t

@@ -18,6 +18,7 @@ the persisted watermark):
                   (JSON-lines bean payloads -> decode_stream -> apply)
   wire-publish    the reference's PRODUCING role: tail CHANGE_SCHEMA
                   parquet, publish size-bounded bean-JSON payloads
+  catalog-create / catalog-create-table  initialize a LakeCatalog + tables
   catalog-replay  multi-table replay over a LakeCatalog
   catalog-stream  multi-table Structured Streaming tail
   catalog-wire-stream  multi-table tail of the published wire format
@@ -157,6 +158,28 @@ def cmd_catalog_stream(args) -> dict:
     q.awaitTermination()
     return {"catalog": args.catalog,
             "tables": sorted(LakeCatalog.load(spark, args.catalog).list_tables())}
+
+
+def cmd_catalog_create(args) -> dict:
+    from .plans.catalog import LakeCatalog
+
+    spark = _spark("cdc-catalog-create")
+    LakeCatalog.create(spark, args.catalog)
+    return {"catalog": args.catalog, "tables": []}
+
+
+def cmd_catalog_create_table(args) -> dict:
+    from .plans.catalog import LakeCatalog
+
+    spark = _spark("cdc-catalog-create-table")
+    cat = LakeCatalog.load(spark, args.catalog)
+    schema, _, table = args.name.partition(".")
+    t = cat.create_table(schema, table, _parse_schema(args.schema),
+                         key_cols=args.keys.split(","),
+                         num_buckets=args.num_buckets)
+    return {"catalog": args.catalog, "table": args.name,
+            "num_buckets": t.snapshot.num_buckets,
+            "tables": cat.list_tables()}
 
 
 def cmd_wire_publish(args) -> dict:
@@ -338,6 +361,19 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--files-per-bucket", type=int, default=None)
     sp.add_argument("--lineage-dir", default=None)
     sp.set_defaults(fn=cmd_catalog_stream)
+
+    sp = sub.add_parser("catalog-create")
+    sp.add_argument("--catalog", required=True)
+    sp.set_defaults(fn=cmd_catalog_create)
+
+    sp = sub.add_parser("catalog-create-table")
+    sp.add_argument("--catalog", required=True)
+    sp.add_argument("--name", required=True, help="schema.table")
+    sp.add_argument("--schema", required=True,
+                    help='column DDL, e.g. "repo string, path string"')
+    sp.add_argument("--keys", required=True, help="comma-separated key columns")
+    sp.add_argument("--num-buckets", type=int, default=16)
+    sp.set_defaults(fn=cmd_catalog_create_table)
 
     sp = sub.add_parser("wire-publish")
     sp.add_argument("--source", required=True,
