@@ -104,7 +104,8 @@ warm_table = LakeTable.create(spark, os.path.join(warm_tmp, "w"),
      ("lang", "string"), ("content", "string")],
     key_cols=["repo", "path"], num_buckets=64)
 ReplayRunner(spark, warm_table, batch_span=10_000, config=cfg,
-             partition_col="gtid_span", partition_span=p_span).run(stream.filter("gtid < 20000"))
+             partition_col="gtid_span", partition_span=p_span,
+             archive_root=src).run(stream.filter("gtid < 20000"))
 warm_table.compact()
 shutil.rmtree(warm_tmp, ignore_errors=True)
 
@@ -114,7 +115,8 @@ shutil.rmtree(warm_tmp, ignore_errors=True)
 depth = int(os.environ.get("SCALING_PIPELINE", "3"))
 runner = ReplayRunner(spark, table, batch_span=max(n_events // int(sys.argv[3]), 1),
                       config=cfg, pipeline_depth=depth,
-                      partition_col="gtid_span", partition_span=p_span)
+                      partition_col="gtid_span", partition_span=p_span,
+                      archive_root=src)
 t0 = time.monotonic()
 runner.run(stream)
 t_replay = time.monotonic() - t0

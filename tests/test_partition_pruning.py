@@ -116,8 +116,9 @@ def test_partitioned_replay_matches_oracle(spark, tmp_path):
 
 def test_bounds_scan_prunes_to_extreme_partitions(spark, tmp_path):
     """run()'s opening min/max-gtid discovery must not rescan the whole
-    archive when partitioning is declared: partition values come from the
-    file listing and only the two extreme partitions are scanned."""
+    archive when partitioning is declared: partition values come from one
+    root-level dir listing (O(partitions), file-count independent) and
+    only the two extreme partitions are scanned for exact gtids."""
     src = str(tmp_path / "archive")
     stream = synthetic_changestream(spark, 8000, n_repos=20, n_paths=40,
                                     truncate_per_10k=0, n_partitions=8)
@@ -127,7 +128,13 @@ def test_bounds_scan_prunes_to_extreme_partitions(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"],
                          num_buckets=4)
     runner = ReplayRunner(spark, t, batch_span=1000,
-                          partition_col="gtid_span", partition_span=1000)
+                          partition_col="gtid_span", partition_span=1000,
+                          archive_root=src)
+    # no full file enumeration anywhere on the bounds path (round-4 review:
+    # inputFiles() shipped EVERY archive file path through the driver)
+    archive.inputFiles = lambda: (_ for _ in ()).throw(
+        AssertionError("bounds must not enumerate archive files"))
+    assert runner._listed_extreme_partitions() == (0, 7)
     b = runner._bounds(archive)
     assert (b["lo"], b["hi"]) == (0, 7999)
     # the pruned bounds plan reads only the extreme partitions' files
@@ -135,4 +142,36 @@ def test_bounds_scan_prunes_to_extreme_partitions(spark, tmp_path):
     files_read = _scan_files_read(archive.filter(pred).select("gtid"))
     assert files_read == per_span[0] + per_span[7] < sum(per_span.values())
     # un-declared: exact same answer, full-scan path
-    assert tuple(ReplayRunner(spark, t, batch_span=1000)._bounds(archive)) == (0, 7999)
+    b2 = ReplayRunner(spark, t, batch_span=1000)._bounds(archive)
+    assert (b2["lo"], b2["hi"]) == (0, 7999)
+
+
+def test_bounds_correct_on_filtered_stream(spark, tmp_path):
+    """_bounds accepts ANY DataFrame, including a pre-filtered archive read
+    (bench_scaling's warm-up does exactly that). A filter that empties an
+    extreme partition must NOT skew lo/hi to the other extreme's values —
+    the silently-skipped-middle-batches hazard of round-4 advice #1."""
+    src = str(tmp_path / "archive")
+    stream = synthetic_changestream(spark, 8000, n_repos=20, n_paths=40,
+                                    truncate_per_10k=0, n_partitions=8)
+    write_gtid_partitioned(stream, src, partition_span=1000)
+    archive = spark.read.parquet(src)
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"],
+                         num_buckets=4)
+    for root in (src, None):  # listing path AND partition-col-agg path
+        runner = ReplayRunner(spark, t, batch_span=1000,
+                              partition_col="gtid_span", partition_span=1000,
+                              archive_root=root)
+        # filter keeps both extremes partially: per-partition split still exact
+        b = runner._bounds(archive.filter("gtid >= 500 and gtid < 7500"))
+        assert (b["lo"], b["hi"]) == (500, 7499)
+        # filter EMPTIES the low extreme (and more): old code returned
+        # lo = max-partition's min, silently skipping every middle batch
+        b = runner._bounds(archive.filter("gtid >= 2500"))
+        assert (b["lo"], b["hi"]) == (2500, 7999)
+        # filter empties the high extreme
+        b = runner._bounds(archive.filter("gtid < 5500"))
+        assert (b["lo"], b["hi"]) == (0, 5499)
+        # filter empties everything
+        b = runner._bounds(archive.filter("gtid < 0"))
+        assert b["lo"] is None

@@ -106,6 +106,7 @@ def cmd_replay(args) -> dict:
         lineage_dir=args.lineage_dir, pipeline_depth=args.pipeline_depth,
         prescan_window=args.prescan_window,
         partition_col=args.partition_col, partition_span=args.partition_span,
+        archive_root=args.source if args.partition_col else None,
     )
     m = runner.run(stream, max_batches=args.max_batches, allow_gaps=args.allow_gaps)
     return m
@@ -224,6 +225,7 @@ def cmd_catalog_replay(args) -> dict:
         lineage_dir=args.lineage_dir, pipeline_depth=args.pipeline_depth,
         prescan_window=args.prescan_window,
         partition_col=args.partition_col, partition_span=args.partition_span,
+        archive_root=args.source if args.partition_col else None,
     )
     return runner.run(stream, max_batches=args.max_batches, allow_gaps=args.allow_gaps)
 

@@ -80,6 +80,7 @@ class ReplayRunner:
         prescan_window: int = 256,
         partition_col: str | None = None,
         partition_span: int | None = None,
+        archive_root: str | None = None,
     ):
         """``pipeline_depth`` > 1 overlaps the delta-WRITE jobs of up to
         that many consecutive no-DDL mor batches (independent Spark jobs,
@@ -108,7 +109,15 @@ class ReplayRunner:
         files), not O(archive listing + row-group skips). A range filter
         on ``gtid`` alone cannot prune (no gtid->dir transitivity in the
         optimizer); the explicit predicate restores it. Verified by
-        tests/test_partition_pruning.py via scan metrics."""
+        tests/test_partition_pruning.py via scan metrics.
+
+        ``archive_root``: filesystem root of the hive-partitioned archive.
+        When set (with partitioning declared), resume's bounds discovery
+        reads the candidate extreme partition VALUES from ONE root-level
+        directory listing — O(partitions) driver cost, file-count
+        independent — instead of enumerating every archive file (round-4
+        review: at a 10^6-file archive the full listing was the new serial
+        cost the pruned scan had just removed)."""
         self.spark = spark
         self.table = table
         self.batch_span = batch_span
@@ -118,6 +127,7 @@ class ReplayRunner:
         self.prescan_window = max(1, prescan_window)
         self.partition_col = partition_col
         self.partition_span = partition_span
+        self.archive_root = archive_root
         # instrumentation: max DDL rows held by any single window's
         # pre-scan (tests assert boundedness)
         self.max_prescan_rows = 0
@@ -130,28 +140,87 @@ class ReplayRunner:
         ps = self.partition_span
         return F.col(self.partition_col).between(lo_g // ps, (hi_g - 1) // ps)
 
-    def _bounds(self, stream: DataFrame):
-        """(min, max) gtid of the source. Un-partitioned: one full-stream
-        agg — fine for a bounded replay, but it rescans the WHOLE archive
-        every run, which at a 10^10-event archive is the single largest
-        serial cost of a resume. With a declared archive partitioning the
-        extreme partition VALUES come from the driver-side file listing
-        (hive dir names — no data read), and the exact min/max needs a
-        scan of only the two extreme partitions."""
-        if self.partition_col and self.partition_span:
-            import re
+    def _listed_extreme_partitions(self) -> tuple[int, int] | None:
+        """Candidate (min, max) partition values from ONE root-level
+        directory listing of ``archive_root`` — O(partitions) driver cost,
+        independent of the archive's file count (round-4 review: the old
+        ``stream.inputFiles()`` path shipped every file path through the
+        driver, the one remaining O(archive) serial cost on resume)."""
+        if not self.archive_root:
+            return None
+        import os
 
-            pat = re.compile(rf"{re.escape(self.partition_col)}=(-?\d+)")
-            vals = {int(m.group(1))
-                    for f in stream.inputFiles()
-                    for m in [pat.search(f)] if m}
-            if vals:
-                return stream.filter(
-                    F.col(self.partition_col).isin(min(vals), max(vals))
-                ).agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
-        return stream.agg(
+        prefix = f"{self.partition_col}="
+        vals = []
+        try:
+            entries = os.listdir(self.archive_root)
+        except OSError:
+            return None
+        for d in entries:
+            if d.startswith(prefix):
+                try:
+                    vals.append(int(d[len(prefix):]))
+                except ValueError:
+                    continue
+        return (min(vals), max(vals)) if vals else None
+
+    def _extreme_partition_bounds(self, stream: DataFrame, lo_p: int, hi_p: int):
+        """Exact (lo, hi) gtid from the two extreme partitions, grouped BY
+        partition so an extreme partition emptied by an upstream filter is
+        DETECTED (its group is absent) rather than silently replaced by the
+        other extreme's values — the wrong-bounds hazard of aggregating the
+        two partitions together (round-4 advice #1). Returns None when
+        either extreme has no surviving rows."""
+        pcol = self.partition_col
+        per = {
+            r["p"]: r
+            for r in stream.filter(F.col(pcol).isin(lo_p, hi_p))
+            .groupBy(F.col(pcol).alias("p"))
+            .agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi"))
+            .collect()
+        }
+        if lo_p in per and hi_p in per:
+            # every row of a lower partition precedes every row of a higher
+            # one, so the extremes' per-partition min/max ARE the global ones
+            return {"lo": per[lo_p]["lo"], "hi": per[hi_p]["hi"]}
+        return None
+
+    def _bounds(self, stream: DataFrame):
+        """(min, max) gtid of the source — correct for ANY input DataFrame,
+        including a pre-filtered archive read (round-4 advice #1).
+
+        Un-partitioned: one full-stream agg — fine for a bounded replay,
+        but it rescans the WHOLE archive every run. With declared
+        partitioning, candidate extreme partitions come from (a) one
+        root-level dir listing when ``archive_root`` is set — O(partitions)
+        driver cost, zero data read — else (b) a distributed min/max agg
+        over the partition COLUMN alone (column-pruned to metadata: the
+        scan reads partition values + footer row counts, no data pages, and
+        honors any upstream filter). The exact gtid min/max then scans only
+        the two extreme partitions, grouped by partition so a
+        filter-emptied extreme falls back to (b) instead of returning the
+        wrong bounds."""
+        pcol = self.partition_col
+        if pcol and self.partition_span:
+            cand = self._listed_extreme_partitions()
+            if cand is not None:
+                b = self._extreme_partition_bounds(stream, *cand)
+                if b is not None:
+                    return b
+                # an extreme dir exists but has no surviving rows (upstream
+                # filter): discover the FILTERED stream's true extremes
+            ext = stream.agg(
+                F.min(pcol).alias("plo"), F.max(pcol).alias("phi")
+            ).collect()[0]
+            if ext["plo"] is None:
+                return {"lo": None, "hi": None}
+            b = self._extreme_partition_bounds(stream, ext["plo"], ext["phi"])
+            if b is not None:
+                return b
+        row = stream.agg(
             F.min("gtid").alias("lo"), F.max("gtid").alias("hi")
         ).collect()[0]
+        return {"lo": row["lo"], "hi": row["hi"]}
 
     def batch_df(self, stream: DataFrame, k: int) -> DataFrame:
         """Batch k's slice: the gtid range filter plus (when declared) the
@@ -315,6 +384,7 @@ class CatalogReplayRunner:
         prescan_window: int = 256,
         partition_col: str | None = None,
         partition_span: int | None = None,
+        archive_root: str | None = None,
     ):
         """``pipeline_depth`` > 1 overlaps the per-pair delta-WRITE jobs of
         up to that many consecutive DDL-free mor batches (on top of the
@@ -337,12 +407,15 @@ class CatalogReplayRunner:
         self.prescan_window = max(1, prescan_window)
         self.partition_col = partition_col
         self.partition_span = partition_span
+        self.archive_root = archive_root
         self.max_prescan_rows = 0
 
     # same gtid-partitioned-archive pruning contract as ReplayRunner
     _partition_pred = ReplayRunner._partition_pred
     batch_df = ReplayRunner.batch_df
     _bounds = ReplayRunner._bounds
+    _listed_extreme_partitions = ReplayRunner._listed_extreme_partitions
+    _extreme_partition_bounds = ReplayRunner._extreme_partition_bounds
 
     @property
     def watermark_gtid(self) -> int:
