@@ -140,6 +140,45 @@ def test_batched_encode_mixed_op_transaction(spark):
     assert [x["path"] for x in body["Inserted"]] == ["zz_first.py", "aa_second.py"]
 
 
+def test_split_parts_keep_seq_suborder(spark, tmp_path):
+    """_seq disjointness across parts of ONE split event (round-4 advice
+    #3): every part's decoded row_idx restarts at 0 while parts share
+    log_pos, so decode folds part_idx into log_pos — the same key touched
+    in two parts of one multi-row event must resolve LWW to the LATER
+    (higher-seq) row, exactly as the unsplit replay does."""
+    # 8-row INSERT event at one (gtid, log_pos); rows ~150B; max_size=400
+    # forces a split into >= 3 parts. Rows 0 and 7 hit the SAME key with
+    # different contents — the seq-7 row must win.
+    events = (
+        [_mk(1, 100, 0, "INSERT", "same.py", content="FIRST" + "x" * 40)]
+        + [_mk(1, 100, i, "INSERT", f"fill{i}.py") for i in range(1, 7)]
+        + [_mk(1, 100, 7, "INSERT", "same.py", content="LAST" + "y" * 40)]
+    )
+    stream = spark.createDataFrame(events, CHANGE_SCHEMA)
+    wire = encode_stream_batched(stream, max_size=400).cache()
+    # the duplicate-key rows really land in different parts
+    import json as _json
+
+    part_of = {}
+    for r in wire.collect():
+        body = _json.loads(r["payload"])
+        for row in body.get("Inserted", []):
+            if row["path"] == "same.py":
+                part_of[row["content"][:4]] = r["part_idx"]
+    assert part_of["FIRS"] != part_of["LAST"], "test setup: split must separate them"
+
+    decoded = decode_stream(wire)
+    # decoded parts carry DISTINCT effective log_pos (the fold), ordered by part
+    pos = sorted({r["log_pos"] for r in decoded.collect()})
+    assert len(pos) == len(set(r["part_idx"] for r in wire.collect()))
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"],
+                         num_buckets=2)
+    ReplayRunner(spark, t, batch_span=500).run(decoded)
+    rows = {r["path"]: r["content"] for r in t.read().collect()}
+    assert rows["same.py"].startswith("LAST"), "cross-part LWW must pick the later row"
+
+
 def test_batched_encode_ddl_passthrough(spark):
     stream = spark.createDataFrame(
         [(9, "binlog.000001", 900, 9, 0, "repos", "files", "TRUNCATE",

@@ -165,6 +165,76 @@ def test_wire_catalog_multitable_drain(spark, tmp_path):
         assert got == expected, t
 
 
+def test_wire_catalog_heterogeneous_schemas(spark, tmp_path):
+    """The union-row_ddl contract of StreamingWireCatalogApplier with
+    tables whose columns GENUINELY differ (round-4 review #8): one decode
+    pass over the union schema — from_json NULL-fills fields a payload
+    lacks, each table's merge projects leniently onto its own columns —
+    must converge both tables to their per-table states."""
+    from th2_listener_mysql_binlog_go_spark.operators.apply import ApplyConfig
+    from th2_listener_mysql_binlog_go_spark.plans.catalog import LakeCatalog
+    from th2_listener_mysql_binlog_go_spark.sources.rawjson import encode_stream
+    from th2_listener_mysql_binlog_go_spark.streaming.structured import (
+        StreamingWireCatalogApplier,
+    )
+
+    # table A: the repo-file shape; table B: disjoint payload columns
+    files_ddl = ("gtid bigint, log_name string, log_pos bigint, seq bigint, "
+                 "ts bigint, schema_name string, table_name string, op string, "
+                 "before struct<repo:string,path:string,content:string>, "
+                 "after struct<repo:string,path:string,content:string>, ddl string")
+    metrics_ddl = ("gtid bigint, log_name string, log_pos bigint, seq bigint, "
+                   "ts bigint, schema_name string, table_name string, op string, "
+                   "before struct<repo:string,path:string,size_bytes:bigint,license:string>, "
+                   "after struct<repo:string,path:string,size_bytes:bigint,license:string>, "
+                   "ddl string")
+
+    def _f(gtid, op, path, content):
+        row = ("r1", path, content)
+        return (gtid, "binlog.000001", gtid * 8, gtid, 0, "repos", "files", op,
+                row if op in ("UPDATE", "DELETE") else None,
+                row if op in ("INSERT", "UPDATE") else None, None)
+
+    def _m(gtid, op, path, size, license):
+        row = ("r1", path, size, license)
+        return (gtid, "binlog.000001", gtid * 8, gtid, 0, "repos", "metrics", op,
+                row if op in ("UPDATE", "DELETE") else None,
+                row if op in ("INSERT", "UPDATE") else None, None)
+
+    files_ev = [_f(1, "INSERT", "a.py", "v1"), _f(3, "UPDATE", "a.py", "v2"),
+                _f(5, "INSERT", "b.py", "bb"), _f(7, "DELETE", "b.py", "bb")]
+    metrics_ev = [_m(2, "INSERT", "a.py", 10, "mit"),
+                  _m(4, "INSERT", "c.py", 20, "apache"),
+                  _m(6, "UPDATE", "a.py", 30, "gpl")]
+    src = str(tmp_path / "wire")
+    encode_stream(spark.createDataFrame(files_ev, files_ddl)).write.json(src)
+    encode_stream(spark.createDataFrame(metrics_ev, metrics_ddl)) \
+        .write.mode("append").json(src)
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"))
+    cat.create_table("repos", "files",
+                     [("repo", "string"), ("path", "string"), ("content", "string")],
+                     ["repo", "path"], num_buckets=2)
+    cat.create_table("repos", "metrics",
+                     [("repo", "string"), ("path", "string"),
+                      ("size_bytes", "bigint"), ("license", "string")],
+                     ["repo", "path"], num_buckets=2)
+    union_row_ddl = ("repo string, path string, content string, "
+                     "size_bytes bigint, license string")
+    cfg = ApplyConfig(observed={"repos": ["files", "metrics"]}, num_buckets=2)
+    q = StreamingWireCatalogApplier(spark, cat, config=cfg).start(
+        src, str(tmp_path / "ckpt"), row_ddl=union_row_ddl, available_now=True)
+    q.awaitTermination(300)
+
+    files_rows = {(r["repo"], r["path"]): r["content"]
+                  for r in cat.get("repos", "files").read().collect()}
+    assert files_rows == {("r1", "a.py"): "v2"}
+    metrics_rows = {(r["repo"], r["path"]): (r["size_bytes"], r["license"])
+                    for r in cat.get("repos", "metrics").read().collect()}
+    assert metrics_rows == {("r1", "a.py"): (30, "gpl"),
+                            ("r1", "c.py"): (20, "apache")}
+
+
 def test_wire_publish_then_consume_full_circle(spark, tmp_path):
     """The engine in the reference's PRODUCING role, closed end-to-end:
     binlog-shaped parquet -> StreamingWirePublisher (size-bounded bean

@@ -169,3 +169,58 @@ def split_plan(
         *event_cols, order_col
     )
     return d.mapInPandas(pack_stream, schema=out_schema)
+
+
+def split_plan_cumsum(
+    df: DataFrame,
+    event_col: str | list[str],
+    order_col: str,
+    size_col: str,
+    op_col: str,
+    max_size: int,
+    base_size: int = 64,
+) -> DataFrame:
+    """Same contract as :func:`split_plan`, zero Python: one window prefix
+    sum assigns each row to part ``floor((cumsum_incl - 1) / cap)`` over
+    padded row sizes (size + 1 comma), with ``cap = max_size - base_size -
+    max_padded_row_of_the_event`` — the headroom term is what makes fixed
+    cap-multiples safe: a row straddling a boundary opens its part early,
+    and the part then fills to the next multiple, so without headroom the
+    payload could overshoot by up to one row (caught by the randomized
+    size-bound test).
+
+    Size guarantee is then as strong as greedy's: every payload is
+    <= max_size, except the unavoidable single-row-over-budget case (which
+    greedy also emits oversized — bean.go:129-150 has no other option).
+    Events whose largest row exceeds HALF the budget (headroom < maxrow)
+    degrade to one row per part — safe, rare, and still Catalyst. The
+    trade vs greedy is fragmentation, not safety; part indexes may skip
+    values (consumers group/order by part_idx; density is not part of the
+    wire contract). This is the default kernel for the streaming publisher
+    hot path (round-4 review #6): the greedy ``mapInPandas`` loop is
+    per-row Python per micro-batch, this is whole-stage codegen."""
+    event_cols = [event_col] if isinstance(event_col, str) else list(event_col)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w_cum = (
+        Window.partitionBy(*event_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_ev = (
+        Window.partitionBy(*event_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_rank = Window.partitionBy(*event_cols).orderBy(order_col)
+    padded = F.col(size_col) + 1
+    maxrow = F.max(padded).over(w_ev)
+    cap = F.lit(max_size - base_size) - maxrow
+    cum = F.sum(padded).over(w_cum)
+    part = F.when(
+        cap >= maxrow, F.floor((cum - 1) / cap)
+    ).otherwise(F.row_number().over(w_rank) - 1)  # jumbo rows: one per part
+    splittable = F.col(op_col).isin("INSERT", "DELETE")
+    return df.withColumn(
+        "part_idx", F.when(splittable, part).otherwise(F.lit(0)).cast("int")
+    )

@@ -43,6 +43,7 @@ def encode_stream_batched(
     changes: DataFrame,
     max_size: int,
     base_size: int = 96,
+    split_mode: str = "greedy",
 ) -> DataFrame:
     """Size-bounded wire encoding — the full S9→S10 pipeline of the
     reference's ``putToBatch`` (listener.go:265-294): rows of one binlog
@@ -66,8 +67,15 @@ def encode_stream_batched(
     row per published message; ``(gtid, log_pos, part_idx)`` identifies
     it, ``part_idx`` consumed from the split plan. ``base_size`` must
     upper-bound the envelope header (Record.sizeBytes, bean.go:47-53) so
-    the size guarantee holds."""
-    from ..functions.split import split_plan
+    the size guarantee holds.
+
+    ``split_mode``: 'greedy' is the reference's exact sequential packing
+    (one ``mapInPandas`` kernel — per-row Python, contained to one pass);
+    'cumsum' is the pure-Catalyst prefix-sum plan
+    (:func:`...split.split_plan_cumsum`) with the same never-oversize
+    guarantee but slightly more parts — the choice for streaming-publisher
+    hot paths where the Python kernel would run per micro-batch."""
+    from ..functions.split import split_plan, split_plan_cumsum
 
     event_cols = ["gtid", "log_pos", "schema_name", "table_name", "op"]
     ddl_ops = ("TRUNCATE", "CREATE_TABLE", "DROP_TABLE", "ALTER_TABLE", "QUERY")
@@ -81,9 +89,10 @@ def encode_stream_batched(
     sized = dml.withColumn("row_json", row_json).withColumn(
         "est_size", F.octet_length(F.col("row_json"))
     )
-    planned = split_plan(sized, event_col=event_cols, order_col="seq",
-                         size_col="est_size", op_col="op",
-                         max_size=max_size, base_size=base_size)
+    splitter = {"greedy": split_plan, "cumsum": split_plan_cumsum}[split_mode]
+    planned = splitter(sized, event_col=event_cols, order_col="seq",
+                       size_col="est_size", op_col="op",
+                       max_size=max_size, base_size=base_size)
     field = (
         F.when(F.col("op") == "INSERT", F.lit("Inserted"))
         .when(F.col("op") == "DELETE", F.lit("Deleted"))
@@ -132,9 +141,23 @@ def decode_stream(raw: DataFrame, row_ddl: str = _ROW_DDL) -> DataFrame:
     through. Undecodable payloads (op NULL) are dropped, mirroring the
     reference's skip of events it cannot decode. ``row_idx`` (within-event
     row order of multi-row beans) rides along so the apply path's ``_seq``
-    packing keeps the reference's (pos, seq) sub-order."""
+    packing keeps the reference's (pos, seq) sub-order.
+
+    Messages carrying ``part_idx`` (the batched encoder splits oversized
+    events into parts, each its own message) fold it into the emitted
+    ``log_pos``: every part's payload restarts ``row_idx`` at 0 while all
+    parts share the source ``log_pos``, so without the fold two rows in
+    different parts of ONE event could collide in ``_seq`` and leave LWW
+    between them undefined (round-4 advice #3). The fold is order-exact:
+    parts partition the event's seq-sorted rows in order, and
+    ``log_pos + part_idx`` stays strictly below the NEXT event's log_pos
+    because a split event's byte size (>= 1 byte per part) bounds its part
+    count while log_pos advances by the full event size."""
     d = decode_bean_json(raw, "payload", row_ddl)
+    log_pos = F.col("log_pos")
+    if "part_idx" in raw.columns:
+        log_pos = log_pos + F.coalesce(F.col("part_idx").cast("bigint"), F.lit(0))
     return d.filter(F.col("op").isNotNull()).select(
-        "gtid", "log_name", "log_pos", "seq", "ts",
+        "gtid", "log_name", log_pos.alias("log_pos"), "seq", "ts",
         "schema_name", "table_name", "op", "row_idx", "before", "after", "ddl",
     )

@@ -97,9 +97,11 @@ class StreamingApplier:
 
 # Position metadata the reference attaches to every published message
 # (name/pos/seq/timestamp, /root/reference/component/listener/listener.go:325-332)
-# plus the serialized bean payload itself.
-WIRE_SCHEMA = ("gtid bigint, log_name string, log_pos bigint, seq bigint, "
-               "ts bigint, payload string")
+# plus the serialized bean payload itself. part_idx identifies the part of a
+# split oversized event (batched publisher); unbatched producers omit it and
+# the JSON reader fills NULL, which decode_stream treats as part 0.
+WIRE_SCHEMA = ("gtid bigint, log_name string, log_pos bigint, part_idx int, "
+               "seq bigint, ts bigint, payload string")
 
 
 class StreamingWireApplier(StreamingApplier):
@@ -254,13 +256,22 @@ class StreamingWirePublisher:
     crash between a payload write and the checkpoint commit republishes
     that epoch. Payloads are keyed by ``(gtid, log_pos, part_idx)``, so
     consumers dedup exactly — this engine's own apply side already does
-    (LWW on (_gtid, _seq) + batch-id guards make re-consumption a no-op)."""
+    (LWW on (_gtid, _seq) + batch-id guards make re-consumption a no-op).
+
+    ``split_mode='cumsum'`` by default (round-4 review #6): the publisher
+    runs the split kernel once per MICRO-BATCH, so the greedy variant's
+    per-row Python ``mapInPandas`` pass would sit on the hot path forever;
+    the prefix-sum plan is whole-stage codegen with the same never-oversize
+    guarantee (see :func:`~..functions.split.split_plan_cumsum` — it only
+    fragments slightly more). Pass ``split_mode='greedy'`` for bean.go's
+    exact packing."""
 
     def __init__(self, spark: SparkSession, max_size: int = 1 << 20,
-                 base_size: int = 96):
+                 base_size: int = 96, split_mode: str = "cumsum"):
         self.spark = spark
         self.max_size = max_size
         self.base_size = base_size
+        self.split_mode = split_mode
 
     def start(
         self,
@@ -280,7 +291,8 @@ class StreamingWirePublisher:
 
         def handle(batch_df, epoch_id: int) -> None:
             (
-                encode_stream_batched(batch_df, self.max_size, self.base_size)
+                encode_stream_batched(batch_df, self.max_size, self.base_size,
+                                      split_mode=self.split_mode)
                 .write.mode("append").json(out_dir)
             )
 
