@@ -174,8 +174,8 @@ def test_multimodal_decode_stub(spark, docs):
     assert len(rows) == 7
     assert rows[0]["byte_len"] == 128  # 4 * sha256-hex -> 128 bytes
     assert len(rows[0]["feature"]) == 8
-    # the real decoder is a clearly-marked stub
-    with pytest.raises(Exception, match="NotImplementedError|real media"):
+    # sha-hex fake payloads are no real format: the real path refuses them
+    with pytest.raises(Exception, match="no real decoder|NotImplementedError"):
         mm.decode_media(media, fake=False).collect()
 
 
@@ -223,9 +223,62 @@ def test_neardup_components(spark):
     assert release_cache(out, blocking=True) >= 1
 
     # non-convergence guard: a long chain with max_iters too small raises
+    # when the fallback is disabled
     import pytest
 
     long_chain = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        neardup_components(long_chain, max_iters=3)
+        neardup_components(long_chain, max_iters=3, fallback="raise")
+
+
+def test_neardup_components_alternating_fallback(spark):
+    """Adversarial path graph (diameter >> max_iters): min-label
+    propagation cannot finish, the large-star/small-star alternation takes
+    over automatically and converges to the right labels (round-4 review
+    item: a 100-TB dedup must terminate, not raise at hour N)."""
+    from th2_listener_mysql_binlog_go_spark.functions.caching import release_cache
+    from th2_listener_mysql_binlog_go_spark.functions.dedup import neardup_components
+
+    n = 120  # path 0-1-...-120: diameter 120 >> 5 propagation rounds
+    path = spark.createDataFrame([(i, i + 1) for i in range(n)], ["id_a", "id_b"])
+    out = neardup_components(path, max_iters=5)
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+    assert release_cache(out, blocking=True) >= 1
+
+    # two chains + a clique, shuffled ids: components stay separate
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50, 90)]          # chain 50..90
+        + [(200 + i, 200 + i + 1) for i in range(40)]  # chain 200..240
+        + [(7, 8), (8, 9), (7, 9)],                  # clique {7,8,9}
+        ["id_a", "id_b"],
+    )
+    out2 = neardup_components(pairs, max_iters=4)
+    got2 = {r["id"]: r["component"] for r in out2.collect()}
+    assert all(got2[i] == 50 for i in range(50, 91))
+    assert all(got2[200 + i] == 200 for i in range(41))
+    assert got2[7] == got2[8] == got2[9] == 7
+    release_cache(out2, blocking=True)
+
+
+def test_neardup_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches the per-round lineage cut to a reliable
+    checkpoint(): results identical, checkpoint files actually land in the
+    directory (durable truncation — round-4 review #3)."""
+    import os
+
+    from th2_listener_mysql_binlog_go_spark.functions.caching import release_cache
+    from th2_listener_mysql_binlog_go_spark.functions.dedup import neardup_components
+
+    ckpt = str(tmp_path / "ckpt")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)] + [(100, 101)], ["id_a", "id_b"])
+    # max_iters small enough to exercise the fallback through the same cut
+    out = neardup_components(pairs, max_iters=3, checkpoint_dir=ckpt)
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert all(got[i] == 0 for i in range(41))
+    assert got[100] == got[101] == 100
+    files = [os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs]
+    assert files, "reliable checkpoint must write files under checkpoint_dir"
+    release_cache(out, blocking=True)

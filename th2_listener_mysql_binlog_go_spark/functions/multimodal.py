@@ -1,13 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video ride a 100 TB lake as ``binary`` columns with a typed
-metadata struct. The Spark-side machinery here is real and tested —
-schema, Arrow batch shape, ``mapInPandas`` signatures, partition sizing —
-while the actual codec work is stubbed: this container has no
-image/audio libraries, so ``decode_image_batch`` raises
-``NotImplementedError`` unless given the deterministic fake decoder
-(``fake=True``), which produces byte-derived pseudo-features so the
-pipeline is end-to-end testable.
+metadata struct. The Spark-side machinery — schema, Arrow batch shape,
+``mapInPandas`` signatures, partition sizing — is real and tested, and so
+is the decode: ``decode_media(fake=False)`` parses actual PNG / PPM / WAV
+bytes via :mod:`.codecs` (PIL / soundfile when installed, dependency-free
+stdlib+numpy parsers otherwise). Only formats with no available decoder
+(video containers, exotic codecs without PIL) raise / null out, per
+``on_unsupported``. The ``fake=True`` decoder remains as the
+any-payload deterministic path used by the hash oracle.
 
 Pattern notes for the real thing:
 - decode inside ``mapInPandas`` (one Arrow batch of binaries in, one
@@ -63,20 +64,113 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def decode_media(df: DataFrame, fake: bool = False, feature_dim: int = 8) -> DataFrame:
+def synthesize_real_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic REAL-format media rows: payloads are genuine PNG / PPM /
+    WAV bytes (``codecs`` encoders) whose content derives from the source
+    row's id+text, so ``decode_media(fake=False)`` exercises actual byte-level
+    parsing end-to-end with zero external data. Kind cycles image(png) /
+    image(ppm) / audio(wav) by ``id % 3``. Encoded inside ``mapInPandas`` —
+    the synthesis is distributed like any decode stage would be."""
+    out_schema = MEDIA_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from . import codecs
+
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                mid = int(mid)
+                seed = np.frombuffer(
+                    hashlib.sha256(f"{mid}:{text}".encode()).digest(),
+                    dtype=np.uint8,
+                ).astype(np.int64)
+                m = mid % 3
+                if m in (0, 1):
+                    w, h = 8 + mid % 13, 6 + mid % 11
+                    pix = (seed.cumsum()[:, None, None]
+                           + np.arange(h)[None, :, None] * 7
+                           + np.arange(w)[None, None, :] * 3)
+                    pix = (pix.sum(axis=0) % 256).astype(np.uint8)[:, :, None]
+                    pix = np.repeat(pix, 3, axis=2)
+                    payload = (codecs.encode_png(pix) if m == 0
+                               else codecs.encode_ppm(pix))
+                    mime = "image/png" if m == 0 else "image/x-portable-pixmap"
+                    rows.append((mid, "image", payload, {
+                        "mime": mime, "width": w, "height": h,
+                        "duration_ms": None}))
+                else:
+                    nfr, rate = 64 + mid % 97, 8000
+                    t = np.arange(nfr, dtype=np.float64)
+                    wave_ = np.sin(t * (1 + seed[0] % 17) / 10.0) * 3000
+                    samples = wave_.astype(np.int16)[:, None]
+                    payload = codecs.encode_wav(samples, rate)
+                    rows.append((mid, "audio", payload, {
+                        "mime": "audio/wav", "width": None, "height": None,
+                        "duration_ms": int(nfr * 1000 / rate)}))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
+
+
+def decode_media(
+    df: DataFrame,
+    fake: bool = False,
+    feature_dim: int = 8,
+    on_unsupported: str = "error",
+) -> DataFrame:
     """binary payload -> per-item features via mapInPandas.
 
-    ``fake=True`` runs the deterministic byte-derived decoder (testable
-    everywhere); ``fake=False`` requires real codec libraries and raises
-    ``NotImplementedError`` in this environment (clearly-marked stub)."""
+    ``fake=True`` runs the deterministic byte-derived decoder (any payload);
+    ``fake=False`` runs REAL decoders (:mod:`.codecs`): PIL / soundfile when
+    installed, else the dependency-free built-in PNG/PPM/PGM/WAV parsers —
+    width/height/feature come from actual decoded pixels / PCM samples.
+    Formats nothing can decode (e.g. video containers — no stdlib demuxer)
+    follow ``on_unsupported``: ``'error'`` raises ``NotImplementedError``
+    (honest default), ``'null'`` emits the row with NULL dims/feature so a
+    lake-wide sweep can quarantine undecodables instead of dying."""
+    if on_unsupported not in ("error", "null"):
+        raise ValueError("on_unsupported must be 'error' or 'null'")
+
+    def decode_real(pdf: pd.DataFrame) -> pd.DataFrame:
+        from . import codecs
+
+        n = len(pdf)
+        widths = np.full(n, -1, dtype=np.int64)
+        heights = np.full(n, -1, dtype=np.int64)
+        feats: list = [None] * n
+        byte_len = np.zeros(n, dtype=np.int32)
+        for i, payload in enumerate(pdf["payload"]):
+            b = bytes(payload)
+            byte_len[i] = len(b)
+            got = codecs.decode_one(b, feature_dim)
+            if got is None:
+                if on_unsupported == "error":
+                    kind = codecs.sniff_kind(b) or "unknown"
+                    raise NotImplementedError(
+                        f"no real decoder for payload format '{kind}' "
+                        f"(media_id={pdf['media_id'].iloc[i]}); install "
+                        "PIL/soundfile or pass on_unsupported='null'"
+                    )
+                continue
+            widths[i], heights[i], feats[i] = got
+        return pd.DataFrame({
+            "media_id": pdf["media_id"],
+            "kind": pdf["kind"],
+            "byte_len": byte_len,
+            "width": pd.array([None if w < 0 else int(w) for w in widths],
+                              dtype="Int32"),
+            "height": pd.array([None if h < 0 else int(h) for h in heights],
+                               dtype="Int32"),
+            "feature": feats,
+        })
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real media decoding needs image/audio codecs not present "
-                    "in this container; pass fake=True for the deterministic stub"
-                )
+                yield decode_real(pdf)
+                continue
             n = len(pdf)
             feats = np.zeros((n, feature_dim), dtype=np.float32)
             byte_len = np.zeros(n, dtype=np.int32)
@@ -170,10 +264,20 @@ def size_balanced_repartition(
     """Repartition so tasks carry comparable *byte* loads (blob tables skew
     by size, not rows): one partition per ~``target_bytes`` pack of the
     running cumulative byte estimate (see :func:`size_balanced_pack_ids`).
-    Range-partitioned on the dense pack id — exactly one pack per task, no
-    balls-in-bins collisions."""
+    Exactly one pack per task, no balls-in-bins collisions: the dense pack
+    id maps through :func:`~..plans.lake.exact_partition_rep` — a
+    deterministic hash exchange with no range-sampling pass (the sampler
+    would re-execute the whole cumsum plan a second time). Beyond the
+    mapping's codegen-friendly size, falls back to range partitioning."""
+    from ..plans.lake import EXACT_REPARTITION_MAX, exact_partition_rep
+
     packed, n_packs = size_balanced_pack_ids(
         df, bytes_col, order_col=order_col,
         target_bytes=target_bytes, chunk_span=chunk_span,
     )
-    return packed.repartitionByRange(n_packs, F.col("_pack_id")).drop("_pack_id")
+    if n_packs <= EXACT_REPARTITION_MAX:
+        out = packed.repartition(
+            n_packs, exact_partition_rep(F.col("_pack_id"), n_packs))
+    else:
+        out = packed.repartitionByRange(n_packs, F.col("_pack_id"))
+    return out.drop("_pack_id")
