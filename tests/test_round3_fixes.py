@@ -42,6 +42,17 @@ def test_catalog_progress_is_o1_files(spark, tmp_path):
     # registry-level properties still overlay correctly under progress
     cat.set_properties({"owner": "cdc"})
     assert LakeCatalog.load(spark, root).properties["owner"] == "cdc"
+    # a durable set of a key LIVING in PROGRESS must not be masked by the
+    # stale progress value (round-4 advice #4): set_properties evicts the
+    # overlapping key from the overlay first
+    cat.set_properties({"watermark_gtid": "-1"})
+    assert cat.properties["watermark_gtid"] == "-1"
+    assert LakeCatalog.load(spark, root).properties["watermark_gtid"] == "-1"
+    # non-overlapping progress keys survive the eviction
+    assert cat.properties["last_complete_batch"] == "998"
+    # and later progress writes take over again, as a replay would
+    cat.set_progress({"watermark_gtid": "5"})
+    assert cat.properties["watermark_gtid"] == "5"
     # no stray tmp files from the atomic swaps
     assert not [f for f in os.listdir(os.path.join(root, "_catalog")) if ".tmp." in f]
 
@@ -93,11 +104,20 @@ def test_catalog_expire_and_vacuum(spark, tmp_path):
     assert live.get("repos", "files").read().count() == 0
 
 
+def _backdate(path: str, seconds: float) -> None:
+    import time
+
+    past = time.time() - seconds
+    os.utime(path, (past, past))
+
+
 def test_crashed_writer_version_file_is_reclaimed(spark, tmp_path):
     """A writer that crashed AFTER creating the next version file but
     BEFORE swapping HEAD leaves an orphan; the recovering writer (same
-    version) must reclaim it — while a fully-committed concurrent writer
-    (HEAD swapped) still raises. Covers both the lake and catalog paths."""
+    version) must reclaim it once the orphan is OLDER than the reclaim
+    grace (crash recovery is a restart, not milliseconds later) — while a
+    fully-committed concurrent writer (HEAD swapped) still raises. Covers
+    both the lake and catalog paths."""
     from th2_listener_mysql_binlog_go_spark.plans.lake import ConcurrentCommitError
 
     t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"],
@@ -105,6 +125,7 @@ def test_crashed_writer_version_file_is_reclaimed(spark, tmp_path):
     v_next = os.path.join(t.root, "_meta", f"v{t.snapshot.version + 1:012d}.json")
     with open(v_next, "w") as f:
         json.dump({"crashed": True}, f)             # orphan: HEAD still behind
+    _backdate(v_next, 300)                          # crash was minutes ago
     t.set_properties({"after_crash": "ok"})         # reclaims + commits
     assert LakeTable.load(spark, t.root).snapshot.properties["after_crash"] == "ok"
 
@@ -112,6 +133,7 @@ def test_crashed_writer_version_file_is_reclaimed(spark, tmp_path):
     r_next = os.path.join(cat.root, "_catalog", f"r{cat.registry['version'] + 1:012d}.json")
     with open(r_next, "w") as f:
         json.dump({"crashed": True}, f)
+    _backdate(r_next, 300)
     cat.set_properties({"after_crash": "ok"})
     assert LakeCatalog.load(spark, cat.root).properties["after_crash"] == "ok"
 
@@ -120,6 +142,25 @@ def test_crashed_writer_version_file_is_reclaimed(spark, tmp_path):
     t.set_properties({"winner": "live"})
     with pytest.raises(ConcurrentCommitError):
         stale.set_properties({"winner": "stale"})
+
+
+def test_inflight_writer_version_file_is_not_reclaimed(spark, tmp_path):
+    """A FRESH version file with HEAD behind it is indistinguishable from
+    a LIVE writer between its O_EXCL create and its HEAD swap; reclaiming
+    it would re-open the lost-update the CAS prevents (round-4 advice #2).
+    The second writer must hard-fail, and the first writer's payload must
+    survive."""
+    from th2_listener_mysql_binlog_go_spark.plans.lake import ConcurrentCommitError
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"],
+                         num_buckets=2)
+    v_next = os.path.join(t.root, "_meta", f"v{t.snapshot.version + 1:012d}.json")
+    with open(v_next, "w") as f:
+        json.dump({"in_flight": True}, f)           # just created, HEAD behind
+    with pytest.raises(ConcurrentCommitError):
+        t.set_properties({"thief": "me"})
+    with open(v_next) as f:                         # first writer's file intact
+        assert json.load(f) == {"in_flight": True}
 
 
 def test_seq_encoding_stamp_and_guard(spark, tmp_path):

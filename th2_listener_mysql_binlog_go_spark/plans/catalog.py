@@ -104,9 +104,10 @@ class LakeCatalog:
                     "reload the catalog and retry"
                 )
         fname = f"r{version:012d}.json"
-        # O_EXCL exclusive create: the per-commit filename is a CAS, so two
-        # writers that both passed the HEAD check cannot both commit (see
-        # lake._excl_write_json; same crashed-writer reclaim rule).
+        # O_EXCL exclusive create: the per-commit filename is a CAS — the
+        # second writer past the same HEAD check hard-fails instead of
+        # truncating the winner (see lake._excl_write_json; same age-gated
+        # crashed-writer reclaim rule and residual stalled-writer window).
         _excl_write_json(meta, fname, self.registry,
                          head_is_behind=lambda cur: _version_of(cur, "r") < version)
         tmp = os.path.join(meta, f"HEAD.tmp.{uuid.uuid4().hex}")
@@ -188,7 +189,24 @@ class LakeCatalog:
     def set_properties(self, props: dict[str, str]) -> None:
         """Durable registry-property update: one full registry version per
         call. For rare changes; per-batch watermarks belong in
-        :meth:`set_progress`."""
+        :meth:`set_progress`.
+
+        A durable set of a key that also lives in the PROGRESS overlay
+        (e.g. an operator resetting ``watermark_gtid``) evicts that key
+        from PROGRESS first — otherwise the stale progress value would
+        silently mask the new durable one for every reader (round-4 advice
+        #4). Eviction is ordered BEFORE the registry commit: a crash
+        between the two leaves the key unset in progress and old in the
+        registry — a clean retry, never a masked write."""
+        progress = self._read_progress()
+        overlap = [k for k in props if k in progress]
+        if overlap:
+            for k in overlap:
+                del progress[k]
+            tmp = f"{self._progress_path()}.tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(progress, f)
+            os.replace(tmp, self._progress_path())
         self.registry.setdefault("properties", {}).update(props)
         self._bump()
 

@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -100,19 +101,34 @@ def _version_of(head_fname: str, prefix: str) -> int:
         return -1
 
 
-def _excl_write_json(meta_dir: str, fname: str, payload: dict, head_is_behind) -> None:
+# A version file older than this with HEAD still behind it is treated as a
+# crashed writer's orphan and may be reclaimed; younger files are presumed
+# IN-FLIGHT (a live writer between its O_EXCL create and its HEAD swap —
+# both driver-local small-file ops, normally milliseconds apart).
+RECLAIM_GRACE_S = 60.0
+
+
+def _excl_write_json(meta_dir: str, fname: str, payload: dict, head_is_behind,
+                     reclaim_grace_s: float = RECLAIM_GRACE_S) -> None:
     """Create the immutable version file with O_EXCL: the unique per-commit
-    filename makes exclusive-create an atomic CAS on POSIX, so two writers
-    that both passed the HEAD check cannot both commit — the loser gets a
-    hard :class:`ConcurrentCommitError` instead of silently truncating the
+    filename makes exclusive-create an atomic CAS on POSIX — a second
+    writer that passed the same HEAD check gets a hard
+    :class:`ConcurrentCommitError` instead of silently truncating the
     winner's committed file (round-3 advice).
 
     One legitimate collision exists: a writer that crashed AFTER creating
     the version file but BEFORE swapping HEAD leaves an orphaned version
     file that the recovering writer (same version, fresh process) must
-    reclaim. That case is detectable — HEAD still points BEFORE the
-    orphan — so we unlink-and-retry exactly once; any other collision (or
-    a second loss of the race) raises."""
+    reclaim. HEAD position alone cannot distinguish that orphan from a
+    LIVE writer mid-commit (created, not yet swapped) — unlinking the
+    latter re-opens exactly the lost-update the CAS exists to prevent
+    (round-4 advice #2) — so reclaim is additionally AGE-GATED: only a
+    file older than ``reclaim_grace_s`` with HEAD still behind it is
+    reclaimed (crash recovery is a restart, seconds-to-minutes later; the
+    create->swap gap of a live writer is milliseconds). Residual window:
+    a live writer stalled longer than the grace between its create and
+    swap can still be robbed — the same class of assumption as any
+    lease/grace-based recovery without a lock service."""
     path = os.path.join(meta_dir, fname)
     for attempt in (0, 1):
         try:
@@ -125,8 +141,13 @@ def _excl_write_json(meta_dir: str, fname: str, payload: dict, head_is_behind) -
                     cur = f.read().strip()
             except FileNotFoundError:
                 cur = ""
-            if attempt == 0 and head_is_behind(cur):
-                # crashed writer's orphan (unreachable from HEAD): reclaim
+            try:
+                age = time.time() - os.path.getmtime(path)
+            except OSError:
+                age = 0.0  # vanished/unreadable: treat as in-flight
+            if attempt == 0 and head_is_behind(cur) and age > reclaim_grace_s:
+                # crashed writer's orphan (unreachable from HEAD, stale):
+                # reclaim
                 try:
                     os.remove(path)
                 except FileNotFoundError:
@@ -134,9 +155,76 @@ def _excl_write_json(meta_dir: str, fname: str, payload: dict, head_is_behind) -
                 continue
             raise ConcurrentCommitError(
                 f"version file {fname} already exists and HEAD is at "
-                f"{cur or '<missing>'}: concurrent commit detected — reload "
-                "and retry"
+                f"{cur or '<missing>'}: concurrent commit (or an in-flight/"
+                "crashed writer younger than the reclaim grace) detected — "
+                "reload and retry"
             )
+
+
+def _murmur3_int(x: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3Hash`` of an IntegerType value (hashInt, seed 42) —
+    bit-exact parity with ``F.hash(int_col)``, pinned by
+    tests/test_exact_repartition.py. Lets the driver PRECOMPUTE where hash
+    partitioning will place a value, with zero Spark jobs."""
+    C1, C2, M = 0xCC9E2D51, 0x1B873593, 0xFFFFFFFF
+
+    def rotl(v: int, r: int) -> int:
+        return ((v << r) | (v >> (32 - r))) & M
+
+    k1 = rotl((x & M) * C1 & M, 15) * C2 & M
+    h1 = rotl((seed ^ k1) & M, 13)
+    h1 = (h1 * 5 + 0xE6546B64) & M
+    h1 ^= 4  # fmix length = 4 bytes
+    h1 ^= h1 >> 16
+    h1 = h1 * 0x85EBCA6B & M
+    h1 ^= h1 >> 13
+    h1 = h1 * 0xC2B2AE35 & M
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+_HASH_REPS_CACHE: dict[int, list[int]] = {}
+
+# Above this partition count the representative array literal stops being
+# codegen-friendly; callers fall back to repartitionByRange (sampling).
+EXACT_REPARTITION_MAX = 1024
+
+
+def _hash_reps(n: int) -> list[int]:
+    """For each target partition t in [0, n): the smallest non-negative int
+    x with pmod(murmur3(x), n) == t. Searching ~n*H(n) ints covers all
+    residues (coupon collector); cached per n."""
+    got = _HASH_REPS_CACHE.get(n)
+    if got is not None:
+        return got
+    reps: dict[int, int] = {}
+    x = 0
+    while len(reps) < n:
+        reps.setdefault(_murmur3_int(x) % n, x)
+        x += 1
+    out = [reps[t] for t in range(n)]
+    _HASH_REPS_CACHE[n] = out
+    return out
+
+
+def exact_partition_rep(pid_col, n: int):
+    """Map a DENSE integer partition id in [0, n) to a representative value
+    that Spark's hash partitioning places in exactly that partition —
+    ``df.repartition(n, exact_partition_rep(pid, n))`` is a deterministic
+    exchange with NO sampling pass.
+
+    ``repartitionByRange`` buys even placement by running a whole extra
+    job that executes the child plan a second time just to sample it; on
+    the per-batch merge path that sampling pass was the single largest
+    constant serial cost of a replay (round-4 review #5 — the Amdahl
+    serial section). When the partitioning key is already a dense integer
+    (bucket ids, salt cells, pack ids) the even placement is computable on
+    the driver for free: one ``element_at`` over a precomputed
+    representative array, whole-stage codegen, zero extra jobs."""
+    reps = _hash_reps(n)
+    return F.element_at(
+        F.array(*[F.lit(r) for r in reps]), pid_col.cast("int") + 1
+    ).cast("int")
 
 
 @dataclass
@@ -434,6 +522,27 @@ class LakeTable:
         phys_names = {c.id: c.name for c in snap.epoch_schemas[str(snap.epoch)]}
         return [F.col(c.name).alias(phys_names[c.id]) for c in snap.columns]
 
+    def _write_exchange(self, df: DataFrame, files_per_bucket: int = 1,
+                        num_buckets: int | None = None) -> DataFrame:
+        """The write-side exchange: dense (bucket, salt) cell ids map
+        evenly and DETERMINISTICALLY onto ``min(cells,
+        spark.sql.shuffle.partitions)`` reducers via
+        :func:`exact_partition_rep` — no range-sampling job. Exposed for
+        the plan-shape regression test (tests/test_exact_repartition.py)."""
+        snap = self.snapshot
+        keys = snap.key_names
+        fpb = max(files_per_bucket, 1)
+        salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.lit(7)), F.lit(fpb))
+        n_cells = (num_buckets or snap.num_buckets) * fpb
+        shuffle_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        n_parts = max(1, min(n_cells, shuffle_parts))
+        if n_parts <= EXACT_REPARTITION_MAX:
+            cell = F.col(BUCKET_COL) * fpb + salt
+            part = F.floor(cell * n_parts / F.lit(n_cells))
+            return df.repartition(n_parts, exact_partition_rep(part, n_parts))
+        # maintenance-scale cell counts: fall back to sampling
+        return df.repartitionByRange(F.col(BUCKET_COL), salt.alias("_salt"))
+
     def _write_files(self, df: DataFrame, commit_dir_rel: str, with_op: bool,
                      files_per_bucket: int = 1,
                      obs: Observation | None = None,
@@ -442,19 +551,28 @@ class LakeTable:
         """Write rows partitioned by bucket. ``files_per_bucket`` > 1 salts
         the shuffle so a hot bucket is written by several tasks/files.
 
-        ``obs``/``metrics`` attach an Observation *above* the range
-        exchange: repartitionByRange runs a sampling pass that executes the
-        upstream plan twice, so an upstream observe() would double-count."""
+        The exchange is a DETERMINISTIC hash repartition on a precomputed
+        representative of the dense (bucket, salt) cell id
+        (:func:`exact_partition_rep`): contiguous cells map evenly onto
+        ``min(cells, spark.sql.shuffle.partitions)`` reducers with zero
+        sampling. The previous ``repartitionByRange`` bought the same even
+        placement by running an extra job that re-executed this whole
+        child plan just to sample it — per merge batch, that sampling pass
+        was the largest constant serial cost of a replay (round-4 review
+        #5). Naive ``repartition(n, bucket, salt)`` is NOT equivalent:
+        hash placement of a few hundred distinct cells is balls-in-bins
+        (some reducers draw 3-4x the cells and straggle); the
+        representative mapping keeps range partitioning's evenness.
+
+        ``obs``/``metrics`` attach an Observation *above* the exchange —
+        required when any sampling exchange sits below (double execution),
+        still the right home now (counts ride the one write job)."""
         snap = self.snapshot
         keys = snap.key_names
         cols = self._physical_out_cols(snap) + [F.col(GTID_COL), F.col(SEQ_COL), F.col(BUCKET_COL)]
         if with_op:
             cols.append(F.col(OP_COL))
-        salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.lit(7)), F.lit(files_per_bucket))
-        # Range-partition on (bucket, salt): hash placement of a few
-        # hundred distinct combos into reducers is balls-in-bins (some
-        # tasks draw 3-4x the load and straggle); ranges split evenly.
-        out = df.repartitionByRange(F.col(BUCKET_COL), salt.alias("_salt"))
+        out = self._write_exchange(df, files_per_bucket)
         if obs is not None:
             out = out.observe(obs, *metrics)
         if drop_deletes:
@@ -1028,14 +1146,15 @@ class LakeTable:
         ).cast("int")
         df = df.withColumn(BUCKET_COL, new_bucket)
 
-        fpb = max(files_per_bucket, 1)
-        salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.lit(7)), F.lit(fpb))
         cols = self._physical_out_cols(snap) + [F.col(GTID_COL), F.col(SEQ_COL), F.col(BUCKET_COL)]
         new_version = snap.version + 1
         commit_dir_rel = os.path.join("data", f"r{new_version:012d}-{uuid.uuid4().hex[:8]}")
+        # same zero-sampling deterministic exchange as _write_files, sized
+        # for the NEW bucket count
+        out = self._write_exchange(df, files_per_bucket,
+                                   num_buckets=new_num_buckets)
         (
-            df.repartitionByRange(F.col(BUCKET_COL), salt.alias("_salt"))
-            .select(*cols, F.col(BUCKET_COL).alias("_bucket_p"))
+            out.select(*cols, F.col(BUCKET_COL).alias("_bucket_p"))
             .write.partitionBy("_bucket_p")
             .parquet(os.path.join(self.root, commit_dir_rel))
         )
@@ -1124,10 +1243,32 @@ class LakeTable:
         salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.lit(7)), F.lit(fpb))
         n_cells = len(todo) * fpb
         n_parts = min(n_cells, max(4 * par, -(-len(src) // 8)))
-        out = df.withColumn("_salt", salt).repartitionByRange(
-            n_parts, F.col(BUCKET_COL), F.col("_salt")
-        )
-        w = Window.partitionBy(BUCKET_COL, "_salt", *keys).orderBy(
+        # Deterministic even placement of the dense (dirty-bucket, salt)
+        # cell id — same zero-sampling exchange as _write_files. The
+        # mapped column LEADS the window's partitionBy so Catalyst proves
+        # the clustering and elides the second exchange (it is a pure
+        # function of (bucket, salt), so the window's groups are
+        # unchanged); hash-partitioning on an expression absent from the
+        # window keys would otherwise reintroduce a full key shuffle.
+        dense_idx = {b: i for i, b in enumerate(sorted(todo))}
+        if n_parts <= EXACT_REPARTITION_MAX:
+            bucket_rank = F.element_at(
+                F.create_map(*[F.lit(v) for bi in dense_idx.items() for v in bi]),
+                F.col(BUCKET_COL),
+            )
+            cell = bucket_rank * fpb + F.col("_salt")
+            cellpart = exact_partition_rep(
+                F.floor(cell * n_parts / F.lit(n_cells)), n_parts)
+            out = (
+                df.withColumn("_salt", salt)
+                .withColumn("_cellpart", cellpart)
+                .repartition(n_parts, F.col("_cellpart"))
+            )
+        else:  # beyond the codegen-friendly mapping size: sampling fallback
+            out = df.withColumn("_salt", salt).withColumn(
+                "_cellpart", F.col(BUCKET_COL)
+            ).repartitionByRange(n_parts, F.col(BUCKET_COL), F.col("_salt"))
+        w = Window.partitionBy("_cellpart", BUCKET_COL, "_salt", *keys).orderBy(
             F.col(GTID_COL).desc(), F.col(SEQ_COL).desc(),
             (F.col(OP_COL) == _KEEP).asc(),
         )
