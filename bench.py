@@ -13,7 +13,9 @@ Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), CDC_BENCH_EVENTS (override stream size),
 CDC_BENCH_BUCKETS (default 64), CDC_BENCH_REPEATS (default 3 — the
 headline apply is best-of-N; this shared host varies up to 3x run-to-run,
-so a single roll measures the neighbor, not the engine).
+so a single roll measures the neighbor, not the engine),
+CDC_BENCH_QUERY_REPEATS (default 2 — per-query walls are best-of-N too;
+per-run walls archived in detail.query_runs_sec).
 """
 
 from __future__ import annotations
@@ -121,17 +123,46 @@ def main() -> None:
         shutil.rmtree(tdir, ignore_errors=True)
     apply_sec = min(runs)
     times["cdc_apply_replay"] = round(apply_sec, 3)
+
+    # ---- wire-publish throughput: split kernel comparison ------------------
+    # The publisher's default prefix-sum kernel (pure Catalyst) vs the
+    # reference-exact greedy mapInPandas kernel (per-row Python) on the
+    # same persisted stream — evidence the Python kernel is off the
+    # publisher's critical path (round-4 review #6). One roll each; the
+    # ratio, not the absolute wall, is the reported fact.
+    from th2_listener_mysql_binlog_go_spark.sources.rawjson import encode_stream_batched
+
+    wire_publish = {}
+    wire_events = min(n_events, 1_000_000)
+    wire_src = stream.filter(F.col("gtid") < wire_events)
+    for mode in ("cumsum", "greedy"):
+        t0 = time.monotonic()
+        encode_stream_batched(wire_src, max_size=1 << 20, split_mode=mode) \
+            .write.mode("overwrite").format("noop").save()
+        wall = time.monotonic() - t0
+        wire_publish[mode] = {"sec": round(wall, 3),
+                              "events_per_sec": round(wire_events / wall, 1)}
     stream.unpersist()
     shutil.rmtree(tmp, ignore_errors=True)
 
     # ---- per-operator queries (same set the correctness gate checks) ------
+    # Best-of-N per QUERY too (round-4 review #1): the archived per-query
+    # walls were single rolls taken in a session heat-soaked by the 3x
+    # headline replays and misrepresented the engine by up to 7x two rounds
+    # running (r3 low, r4 high). Each query runs q_repeats times; the min
+    # is the steady-state wall, per-run walls are archived for audit.
+    q_repeats = int(os.environ.get("CDC_BENCH_QUERY_REPEATS", "2"))
     qs = entry.queries()
+    query_runs: dict[str, list[float]] = {}
     for name, fn in qs.items():
-        t0 = time.monotonic()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        times[name] = round(time.monotonic() - t0, 3)
-        _ = n
+        walls = []
+        for _ in range(q_repeats):
+            t0 = time.monotonic()
+            df = fn(spark, SF_DIR)
+            df.count()
+            walls.append(round(time.monotonic() - t0, 3))
+        query_runs[name] = walls
+        times[name] = min(walls)
 
     events_per_sec = n_events / apply_sec if apply_sec > 0 else 0.0
     print(json.dumps({
@@ -144,6 +175,8 @@ def main() -> None:
             "n_events": n_events,
             "apply_sec": round(apply_sec, 3),
             "apply_runs_sec": [round(r, 3) for r in runs],
+            "query_runs_sec": query_runs,
+            "wire_publish": wire_publish,
             "final_rows": final_rows,
             "cpus": CPUS,
         },
