@@ -481,6 +481,25 @@ def q_size_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_size_split_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 via the pure-Catalyst prefix-sum kernel (functions/split.py
+    split_plan_cumsum — the streaming publisher's default): per-event
+    max-row headroom keeps greedy's never-oversize guarantee, jumbo-row
+    events degrade to one row per part, UPDATE events never split
+    (update.go:49-55). DuckDB recomputes the same window arithmetic."""
+    from th2_listener_mysql_binlog_go_spark.functions.split import split_plan_cumsum
+
+    _events(spark, sf_dir).createOrReplaceTempView("events")
+    est = spark.sql(SIZE_SQL).withColumn(
+        "op",
+        F.when(F.col("event_id") % 7 == 0, F.lit("UPDATE")).otherwise(F.lit("INSERT")),
+    )
+    out = split_plan_cumsum(est, event_col="user_id", order_col="event_id",
+                            size_col="est_size", op_col="op",
+                            max_size=4096, base_size=64)
+    return out.select("event_id", "user_id", "est_size", "op", "part_idx")
+
+
 # ------------------------------------------------- training-data pipeline ops
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,6 +542,18 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=16, bands=4,
                                  k=5, min_sig_sim=0.5)
     return dd.neardup_components(pairs).select("id", "component")
+
+
+def q_doc_dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same component contract as doc_dedup_clusters, but FORCED through
+    the large-star/small-star alternation (Kiveris et al.): max_iters=1
+    leaves min-label propagation provably unconverged (any nonempty edge
+    set changes a label in round one), so the fallback computes every
+    component — the O(log^2 n) path a 100-TB chain-shaped dedup graph
+    takes. Must hash-match the SAME DuckDB recursive-CTE closure."""
+    pairs = dd.minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=16, bands=4,
+                                 k=5, min_sig_sim=0.5)
+    return dd.neardup_components(pairs, max_iters=1).select("id", "component")
 
 
 def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,6 +672,27 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec decode under a full hash oracle: synthesize_real_media
+    emits genuine PNG / PPM / WAV bytes (content derived from doc id+text),
+    decode_media(fake=False) parses them with the dependency-free byte
+    decoders (functions/codecs.py), and the DECODED dimensions — read from
+    the PNG IHDR chunk / netpbm header / WAV frame count by actual byte
+    parsing, not echoed metadata — must equal the synthesis law DuckDB
+    recomputes arithmetically. A wrong chunk walk, header parse, or
+    unfilter stride shows up as a dim mismatch; pixel/PCM content is
+    covered by the encode->decode round-trip tests (tests/test_codecs.py),
+    whose values zlib makes non-SQL-expressible."""
+    media = mm.synthesize_real_media(_docs(spark, sf_dir), "doc_id", "text")
+    out = mm.decode_media(media, fake=False, feature_dim=4)
+    return out.select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        "kind",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_changestream": q_changestream,
@@ -660,9 +712,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_json_decode": q_json_decode,
         "cdc_positional_decode": q_positional_decode,
         "cdc_size_split_plan": q_size_split_plan,
+        "cdc_size_split_cumsum": q_size_split_cumsum,
         "cdc_batch_plan": q_batch_plan,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_dedup_clusters": q_doc_dedup_clusters,
+        "doc_dedup_clusters_bigstar": q_doc_dedup_clusters_bigstar,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_text_stats": q_doc_text_stats,
@@ -673,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": q_emb_neardup,
         "doc_simhash": q_doc_simhash,
         "media_decode": q_media_decode,
+        "media_decode_real": q_media_decode_real,
     }
 
 
@@ -1213,8 +1268,41 @@ SELECT batch_id, gtid_min, gtid_max, n_insert, n_update, n_delete,
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS watermark_gtid
 FROM agg
 """.strip(),
+        "cdc_size_split_cumsum": f"""
+WITH est AS ({SIZE_SQL}),
+opd AS (
+  SELECT event_id, user_id, est_size,
+         CASE WHEN event_id % 7 = 0 THEN 'UPDATE' ELSE 'INSERT' END AS op
+  FROM est
+),
+win AS (
+  SELECT *,
+    est_size + 1 AS padded,
+    max(est_size + 1) OVER (PARTITION BY user_id) AS maxrow,
+    sum(est_size + 1) OVER (PARTITION BY user_id ORDER BY event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM opd
+)
+SELECT event_id, user_id, est_size, op,
+  CAST(CASE WHEN op = 'INSERT' THEN
+    CASE WHEN (4096 - 64 - maxrow) >= maxrow
+         THEN floor((cum - 1) / (4096 - 64 - maxrow))
+         ELSE rn - 1 END
+  ELSE 0 END AS INT) AS part_idx
+FROM win
+""".strip(),
+        "media_decode_real": """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+  CASE WHEN doc_id % 3 = 2 THEN 'audio' ELSE 'image' END AS kind,
+  CAST(CASE WHEN doc_id % 3 = 2 THEN 64 + doc_id % 97
+            ELSE 8 + doc_id % 13 END AS INT) AS width,
+  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 6 + doc_id % 11 END AS INT) AS height
+FROM documents
+""".strip(),
         "doc_dedup_exact": _dedup_exact_oracle(),
         "doc_dedup_clusters": _components_oracle(),
+        "doc_dedup_clusters_bigstar": _components_oracle(),
         "doc_minhash_lsh": _minhash_oracle(),
         "doc_ngram_jaccard": _jaccard_oracle(),
         "doc_text_stats": _text_stats_oracle(),
