@@ -500,6 +500,50 @@ def q_size_split_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "est_size", "op", "part_idx")
 
 
+def _replay_to_mid(spark: SparkSession, sf_dir: str, prefix: str):
+    """Shared setup for the time-travel / changelog queries: replay the
+    derived stream in 8 gtid-span batches, capturing the snapshot version
+    after batch 4 — the same cutoff arithmetic the DuckDB oracles redo
+    (span = greatest(1, (hi-lo+1)//8); cutoff = (lo//span + 4) * span)."""
+    flat = derived_changestream(spark, sf_dir)
+    nested = to_change_schema(flat)
+    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
+    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 8)
+    tmp = _mkdtemp(prefix)
+    table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
+                             key_cols=["repo", "path"], num_buckets=16)
+    ReplayRunner(spark, table, batch_span=span).run(nested, max_batches=4)
+    v_mid = table.snapshot.version
+    ReplayRunner(spark, table, batch_span=span).run(nested)
+    return table, v_mid
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel (Iceberg snapshot read): the state AS OF the version
+    committed after 4 of 8 replay batches, read back after the head has
+    moved on — through a compaction, so the old snapshot's file pins are
+    what make the answer, not the live file set."""
+    table, v_mid = _replay_to_mid(spark, sf_dir, "cdc_tt_")
+    table.compact()
+    return table.read_at(v_mid).select("repo", "path", "commit", "lang", "content")
+
+
+def q_changes_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake as a CDC *source* (Iceberg changelog / Delta CDF
+    analogue): net row-level changes between the mid-replay snapshot and
+    head — INSERT/UPDATE after-images, DELETE before-images, one row per
+    net-changed key. The O(changes) incremental plan (window delta files
+    + touched-bucket join, never a full-table read) is asserted, and the
+    DuckDB oracle recomputes the full-state diff — fast path vs
+    semantic ground truth."""
+    table, v_mid = _replay_to_mid(spark, sf_dir, "cdc_changes_")
+    assert table.changes_plan(v_mid) == "incremental"
+    return table.changes(v_mid).select(
+        "repo", "path", "commit", "lang", "content",
+        F.col("_change_type").alias("change_type"),
+    )
+
+
 # ------------------------------------------------- training-data pipeline ops
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -714,6 +758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_size_split_plan": q_size_split_plan,
         "cdc_size_split_cumsum": q_size_split_cumsum,
         "cdc_batch_plan": q_batch_plan,
+        "cdc_time_travel": q_time_travel,
+        "cdc_changes_diff": q_changes_diff,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_dedup_clusters_bigstar": q_doc_dedup_clusters_bigstar,
@@ -1067,6 +1113,13 @@ FROM stmts
 def oracle_sql() -> dict[str, str]:
     stream = f"stream AS (\n{DERIVED_STREAM_SQL}\n)"
     observed = "observed AS (SELECT * FROM stream WHERE schema_name = 'repos' AND table_name = 'files')"
+    # mid-replay cutoff, mirroring _replay_to_mid: span = greatest(1,
+    # (hi-lo+1) // 8); state-as-of-batch-4 = rows with gtid < (lo//span+4)*span
+    cut = (
+        "b AS (SELECT min(gtid) AS lo, max(gtid) AS hi FROM stream),\n"
+        "p AS (SELECT lo, greatest(1, CAST(floor((hi - lo + 1) / 8.0) AS BIGINT)) AS span FROM b),\n"
+        "cut AS (SELECT (CAST(floor(lo / (1.0 * span)) AS BIGINT) + 4) * span AS c FROM p)"
+    )
     return {
         "cdc_changestream": DERIVED_STREAM_SQL,
         "cdc_table_filter": f"WITH {stream}, {observed} SELECT * FROM observed",
@@ -1134,6 +1187,45 @@ SELECT gtid, log_pos, op, table_name,
   CASE WHEN op IN ('INSERT','UPDATE') THEN commit END AS after_commit,
   lang, content
 FROM wstream
+""".strip(),
+        "cdc_time_travel": f"""
+WITH {stream}, {observed},
+{cut},
+dml AS (
+  SELECT * FROM observed
+  WHERE op IN ('INSERT','UPDATE','DELETE') AND gtid < (SELECT c FROM cut)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY gtid DESC) AS rn FROM dml
+)
+SELECT repo, path, commit, lang, content
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+""".strip(),
+        "cdc_changes_diff": f"""
+WITH {stream}, {observed},
+{cut},
+dml AS (SELECT * FROM observed WHERE op IN ('INSERT','UPDATE','DELETE')),
+old_r AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY gtid DESC) AS rn
+  FROM dml WHERE gtid < (SELECT c FROM cut)
+),
+old_s AS (SELECT repo, path, commit, lang, content FROM old_r WHERE rn = 1 AND op <> 'DELETE'),
+new_r AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY gtid DESC) AS rn FROM dml
+),
+new_s AS (SELECT repo, path, commit, lang, content FROM new_r WHERE rn = 1 AND op <> 'DELETE')
+SELECT
+  CASE WHEN n.repo IS NULL THEN o.repo ELSE n.repo END AS repo,
+  CASE WHEN n.repo IS NULL THEN o.path ELSE n.path END AS path,
+  CASE WHEN n.repo IS NULL THEN o.commit ELSE n.commit END AS commit,
+  CASE WHEN n.repo IS NULL THEN o.lang ELSE n.lang END AS lang,
+  CASE WHEN n.repo IS NULL THEN o.content ELSE n.content END AS content,
+  CASE WHEN o.repo IS NULL THEN 'INSERT'
+       WHEN n.repo IS NULL THEN 'DELETE'
+       ELSE 'UPDATE' END AS change_type
+FROM new_s n FULL OUTER JOIN old_s o ON n.repo = o.repo AND n.path = o.path
+WHERE o.repo IS NULL OR n.repo IS NULL
+   OR n.commit <> o.commit OR n.lang <> o.lang OR n.content <> o.content
 """.strip(),
         "cdc_lineage_metrics": f"""
 WITH {stream}, {observed},

@@ -270,6 +270,33 @@ def cmd_catalog_vacuum(args) -> dict:
             "table_dirs_removed": removed}
 
 
+def cmd_history(args) -> dict:
+    from .plans.lake import LakeTable
+
+    spark = _spark("cdc-history")
+    t = LakeTable.load(spark, args.table)
+    return {"table": args.table, "history": t.history()}
+
+
+def cmd_changes(args) -> dict:
+    """Emit the net row-level changes between two snapshots (the lake's
+    CDC-out surface) to a parquet directory."""
+    from .plans.lake import LakeTable
+
+    spark = _spark("cdc-changes")
+    t = LakeTable.load(spark, args.table)
+    plan = t.changes_plan(args.from_version, args.to_version)
+    df = t.changes(args.from_version, args.to_version, mode=args.mode,
+                   include_meta=args.include_meta)
+    df.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    return {"table": args.table, "from_version": args.from_version,
+            "to_version": args.to_version if args.to_version is not None
+            else t.snapshot.version,
+            "plan": plan if args.mode == "auto" else args.mode,
+            "rows": n, "out": args.out}
+
+
 def cmd_show(args) -> dict:
     from .plans.lake import LakeTable
 
@@ -448,6 +475,20 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("show")
     sp.add_argument("--table", required=True)
     sp.set_defaults(fn=cmd_show)
+
+    sp = sub.add_parser("history")
+    sp.add_argument("--table", required=True)
+    sp.set_defaults(fn=cmd_history)
+
+    sp = sub.add_parser("changes")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--from-version", type=int, required=True, dest="from_version")
+    sp.add_argument("--to-version", type=int, default=None, dest="to_version")
+    sp.add_argument("--mode", choices=["auto", "incremental", "diff"],
+                    default="auto")
+    sp.add_argument("--include-meta", action="store_true")
+    sp.add_argument("--out", required=True, help="parquet output directory")
+    sp.set_defaults(fn=cmd_changes)
 
     args = p.parse_args(argv)
     print(json.dumps(args.fn(args)))

@@ -512,6 +512,242 @@ class LakeTable:
             out = out.drop(GTID_COL, SEQ_COL, BUCKET_COL)
         return out
 
+    # ------------------------------------------------------- time travel / CDC-out
+
+    def snapshot_at(self, version: int) -> Snapshot:
+        """Load a historical snapshot by version (Iceberg's
+        ``snapshot_id`` time travel). History is bounded by
+        :meth:`expire_snapshots` — an expired version raises with a clear
+        message instead of resurrecting a file :meth:`vacuum` may have
+        reclaimed."""
+        fname = os.path.join(self.root, "_meta", f"v{version:012d}.json")
+        try:
+            with open(fname) as f:
+                return Snapshot.from_json(json.load(f))
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot v{version} is unknown or expired "
+                "(expire_snapshots bounds time-travel history)"
+            ) from None
+
+    def read_at(self, version: int, include_meta: bool = False) -> DataFrame:
+        """Time-travel read: the table state as of snapshot ``version``."""
+        return self.read(include_meta=include_meta,
+                         snapshot=self.snapshot_at(version))
+
+    def history(self) -> list[dict]:
+        """Available snapshot history, oldest first (Iceberg's
+        ``history`` metadata table). Driver-side O(retained versions) —
+        bounded by :meth:`expire_snapshots`, never O(data)."""
+        meta = os.path.join(self.root, "_meta")
+        out = []
+        for fn in sorted(os.listdir(meta)):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            try:
+                int(fn[1:-5])
+            except ValueError:
+                continue
+            with open(os.path.join(meta, fn)) as f:
+                snap = Snapshot.from_json(json.load(f))
+            out.append({
+                "version": snap.version,
+                "parent": snap.parent,
+                "epoch": snap.epoch,
+                "n_files": len(snap.files),
+                "n_delta": sum(1 for fi in snap.files if fi.get("kind") == "delta"),
+                "watermark_gtid": int(snap.properties.get("watermark_gtid", "-1")),
+                "last_batch_id": int(snap.properties.get("last_batch_id", "-1")),
+                "truncate_gtid": int(snap.properties.get("truncate_gtid", "-1")),
+            })
+        return out
+
+    def _hybrid_snapshot(self, files: list[dict], properties: dict,
+                         num_buckets: int) -> Snapshot:
+        """A read-only snapshot view: HEAD's logical schema (columns +
+        epoch_schemas, which only ever grow) over an older version's
+        files/properties — lets old state be read pre-mapped to the
+        current column set, so diffs never compare across renames by
+        name."""
+        head = self.snapshot
+        return Snapshot(
+            version=-1, columns=head.columns, key_ids=head.key_ids,
+            num_buckets=num_buckets, epoch=head.epoch,
+            epoch_schemas=head.epoch_schemas, files=files,
+            properties=properties,
+        )
+
+    def changes_plan(self, from_version: int, to_version: int | None = None) -> str:
+        """Which plan :meth:`changes` will use for this window:
+        ``'incremental'`` (read ONLY the delta files the window added —
+        O(changes), the 100 TB path) or ``'diff'`` (full-state
+        comparison — O(table), the always-correct fallback).
+
+        The incremental path is sound exactly when the endpoint file sets
+        prove the window was append-only MOR commits: every ``from`` file
+        survives into ``to`` (no compaction/rebucket/CoW rewrite), every
+        added file is a delta, bucketing and the TRUNCATE marker are
+        unchanged. Endpoints suffice — snapshot state is purely (files,
+        properties, schema), and data files are immutable."""
+        from_snap = self.snapshot_at(from_version)
+        to_snap = (self.snapshot if to_version is None
+                   else self.snapshot_at(to_version))
+        from_paths = {fi["path"] for fi in from_snap.files}
+        added = [fi for fi in to_snap.files if fi["path"] not in from_paths]
+        ok = (
+            from_snap.num_buckets == to_snap.num_buckets
+            and from_snap.properties.get("truncate_gtid", "-1")
+            == to_snap.properties.get("truncate_gtid", "-1")
+            and len(from_paths - {fi["path"] for fi in to_snap.files}) == 0
+            and all(fi.get("kind") == "delta" for fi in added)
+        )
+        return "incremental" if ok else "diff"
+
+    def changes(self, from_version: int, to_version: int | None = None,
+                mode: str = "auto", include_meta: bool = False,
+                with_before: bool = False) -> DataFrame:
+        """Row-level net changes between two snapshots — the lake as a CDC
+        *source* (Iceberg's changelog scan / Delta CDF analogue): the
+        binlog fed the table; ``changes()`` re-publishes the table's own
+        history downstream. Output = current logical columns plus
+        ``_change_type`` in {INSERT, UPDATE, DELETE}; DELETE rows carry
+        the before-image, INSERT/UPDATE the after-image. Net semantics: a
+        key touched many times in the window emits one row (its final
+        outcome); insert-then-delete inside the window emits nothing.
+
+        ``mode``: 'auto' picks :meth:`changes_plan`'s answer;
+        'incremental' demands the O(changes) plan (raises when a
+        compaction/rebucket/TRUNCATE in the window makes it unsound);
+        'diff' forces the full-state comparison.
+
+        Scale shape (incremental): one scan of the window's delta files,
+        one per-key LWW window over them, one join against the *from*
+        state pruned to the touched buckets only. A billion-row table
+        with a million-row window reads the million rows plus the touched
+        buckets — never the table.
+
+        ``include_meta`` adds ``_gtid``/``_seq`` of the deciding change
+        event (incremental) or of the surviving row (diff — a diff cannot
+        know the deleting event's gtid; documented asymmetry).
+
+        ``with_before`` adds a ``_before`` struct of the non-key columns'
+        prior values (NULL for INSERT) — the Update bean's Before image
+        (update.go:23-31), free in both plans since each already joins
+        the old state."""
+        if mode not in ("auto", "incremental", "diff"):
+            raise ValueError(f"unknown mode {mode!r}")
+        from_snap = self.snapshot_at(from_version)
+        to_snap = (self.snapshot if to_version is None
+                   else self.snapshot_at(to_version))
+        if to_snap.version < from_snap.version:
+            raise ValueError(
+                f"to_version {to_snap.version} precedes from_version {from_snap.version}")
+        plan = self.changes_plan(from_version, to_snap.version)
+        if mode == "incremental" and plan != "incremental":
+            raise ValueError(
+                "incremental changes are unsound for this window (a "
+                "compaction, rebucket, CoW rewrite or TRUNCATE intervened); "
+                "use mode='diff' or 'auto'"
+            )
+        use = plan if mode == "auto" else mode
+
+        keys = to_snap.key_names
+        val_cols = [c.name for c in to_snap.columns if c.name not in keys]
+        meta_cols = [GTID_COL, SEQ_COL] if include_meta else []
+
+        def _empty() -> DataFrame:
+            st = _struct_of(to_snap.columns)
+            by_name = {f.name: f for f in st.fields}
+            fields = [by_name[c] for c in keys + val_cols]
+            if include_meta:
+                fields += [T.StructField(GTID_COL, T.LongType()),
+                           T.StructField(SEQ_COL, T.LongType())]
+            fields.append(T.StructField("_change_type", T.StringType()))
+            if with_before:
+                fields.append(T.StructField("_before", T.StructType(
+                    [by_name[v] for v in val_cols])))
+            return self.spark.createDataFrame([], T.StructType(fields))
+
+        if use == "incremental":
+            from_paths = {fi["path"] for fi in from_snap.files}
+            added = [fi for fi in to_snap.files if fi["path"] not in from_paths]
+            if not added:
+                return _empty()
+            touched = {fi["bucket"] for fi in added}
+            new_rows = self._read_mapped(to_snap, added, with_op=True)
+            trunc = int(to_snap.properties.get("truncate_gtid", "-1"))
+            if trunc >= 0:
+                new_rows = new_rows.filter(F.col(GTID_COL) > trunc)
+            # net outcome per key: last (gtid, seq) wins, DELETEs KEPT
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(GTID_COL).desc(), F.col(SEQ_COL).desc())
+            net = (new_rows.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1).drop("_rn"))
+            old_state = self.read(snapshot=self._hybrid_snapshot(
+                [fi for fi in from_snap.files if fi["bucket"] in touched],
+                from_snap.properties, from_snap.num_buckets))
+            old = old_state.select(
+                *[F.col(k) for k in keys],
+                *[F.col(v).alias(f"_old_{v}") for v in val_cols],
+            ).withColumn("_old_exists", F.lit(True))
+            j = net.join(old, on=keys, how="left")
+            is_del = F.col(OP_COL) == "DELETE"
+            exists = F.col("_old_exists").isNotNull()
+            out = (
+                j.filter(~is_del | exists)  # delete of a never-seen key: no-op
+                .withColumn("_change_type",
+                            F.when(is_del, "DELETE")
+                            .when(exists, "UPDATE").otherwise("INSERT"))
+            )
+            sel = [F.col(k) for k in keys] + [
+                F.when(is_del, F.col(f"_old_{v}")).otherwise(F.col(v)).alias(v)
+                for v in val_cols
+            ] + [F.col(c) for c in meta_cols] + [F.col("_change_type")]
+            if with_before:
+                sel.append(self._before_struct(val_cols, exists).alias("_before"))
+            return out.select(*sel)
+
+        # diff fallback: full-state comparison, always correct
+        old_full = self.read(
+            include_meta=include_meta,
+            snapshot=self._hybrid_snapshot(
+                from_snap.files, from_snap.properties, from_snap.num_buckets))
+        new_full = self.read(include_meta=include_meta, snapshot=to_snap)
+        o = old_full.select(
+            *[F.col(k) for k in keys],
+            *[F.col(c).alias(f"_old_{c}") for c in val_cols + meta_cols],
+        ).withColumn("_old_exists", F.lit(True))
+        n = new_full.select(
+            keys + val_cols + meta_cols).withColumn("_new_exists", F.lit(True))
+        j = n.join(o, on=keys, how="full_outer")
+        new_ex = F.col("_new_exists").isNotNull()
+        old_ex = F.col("_old_exists").isNotNull()
+        same = F.struct(*[F.col(v) for v in val_cols]).eqNullSafe(
+            F.struct(*[F.col(f"_old_{v}") for v in val_cols]))
+        out = (
+            j.filter(~(new_ex & old_ex & same))
+            .withColumn("_change_type",
+                        F.when(new_ex & old_ex, "UPDATE")
+                        .when(new_ex, "INSERT").otherwise("DELETE"))
+        )
+        sel = [F.col(k) for k in keys] + [
+            F.when(F.col("_change_type") == "DELETE", F.col(f"_old_{v}"))
+            .otherwise(F.col(v)).alias(v)
+            for v in val_cols
+        ] + [
+            F.when(F.col("_change_type") == "DELETE", F.col(f"_old_{c}"))
+            .otherwise(F.col(c)).alias(c)
+            for c in meta_cols
+        ] + [F.col("_change_type")]
+        if with_before:
+            sel.append(self._before_struct(val_cols, old_ex).alias("_before"))
+        return out.select(*sel)
+
+    @staticmethod
+    def _before_struct(val_cols: list[str], old_exists):
+        return F.when(old_exists, F.struct(
+            *[F.col(f"_old_{v}").alias(v) for v in val_cols]))
+
     # ---------------------------------------------------------------- write helpers
 
     def bucket_expr(self, key_cols: list[str] | None = None):
