@@ -228,3 +228,20 @@ def test_changes_apply_roundtrip_reconverges(spark, tmp_path):
     a = sorted(map(tuple, t.read().collect()))
     b = sorted(map(tuple, t2.read().collect()))
     assert a == b and len(a) == 3
+
+
+def test_time_travel_survives_vacuum_until_expiry(spark, tmp_path):
+    """vacuum() keeps every file any RETAINED snapshot pins, so time
+    travel works across compaction + vacuum; expire_snapshots is what
+    releases the pins (and then the files really go)."""
+    t, v1 = _setup_two_batches(spark, tmp_path)
+    t.compact()  # head no longer references the delta files v1 pins
+    assert t.vacuum(older_than_s=0) == 0  # nothing unreferenced yet
+    old = _by_key(t.read_at(v1))
+    assert old[("r1", "a.py")]["content"] == "v1"
+    t.expire_snapshots(keep_last=1)
+    assert t.vacuum(older_than_s=0) > 0  # v1's exclusive files released
+    with pytest.raises(ValueError, match="unknown or expired"):
+        t.read_at(v1)
+    # head still intact after the sweep
+    assert _by_key(t.read())[("r1", "a.py")]["content"] == "v1b"

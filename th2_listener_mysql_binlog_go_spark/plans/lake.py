@@ -1338,6 +1338,11 @@ class LakeTable:
                 with open(os.path.join(meta, fn)) as f:
                     snap = json.load(f)
                 referenced.update(fi["path"] for fi in snap["files"])
+        # Commit dirs with at least one live file keep their job sidecars
+        # (_SUCCESS markers, Hadoop LocalFileSystem .crc companions) — a
+        # .crc left behind for a live parquet would otherwise be swept,
+        # and LocalFileSystem verifies a checksum file when present.
+        referenced_dirs = {p.split("/", 2)[1] for p in referenced if "/" in p}
         cutoff = _time.time() - max(older_than_s, 0)
         data_root = os.path.join(self.root, "data")
         removed = 0
@@ -1345,7 +1350,14 @@ class LakeTable:
             for fn in files:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, self.root)
-                if rel not in referenced and os.path.getmtime(full) <= cutoff:
+                live = rel in referenced
+                if not live and fn.startswith(".") and fn.endswith(".crc"):
+                    companion = os.path.join(dirpath, fn[1:-4])
+                    live = os.path.relpath(companion, self.root) in referenced
+                if not live and fn in ("_SUCCESS", "._SUCCESS.crc"):
+                    commit_dir = os.path.relpath(dirpath, data_root).split(os.sep)[0]
+                    live = commit_dir in referenced_dirs
+                if not live and os.path.getmtime(full) <= cutoff:
                     os.remove(full)
                     removed += 1
             if dirpath != data_root and not os.listdir(dirpath):
