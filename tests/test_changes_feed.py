@@ -98,3 +98,41 @@ def test_changes_feed_redelivery_and_fallback(spark, tmp_path):
 
     t2 = _drain(spark, tmp_path, out, "t2")
     assert _state(t2) == _state(t) and len(_state(t)) == 2
+
+
+def test_changes_feed_bootstrap_after_expiry(spark, tmp_path):
+    """A feed's FIRST poll on a maintained table (v0 long expired) must
+    still bootstrap: whole current state as INSERT beans, then normal
+    incremental polls."""
+    import pytest
+
+    t = _mk(spark, str(tmp_path / "t"))
+    t.merge(_changes(spark, [
+        ("r1", "a.py", "c1", "py", "v1", "INSERT", 1),
+        ("r2", "b.py", "c2", "go", "v2", "INSERT", 2),
+    ]), batch_id=1, mode="mor")
+    t.merge(_changes(spark, [
+        ("r1", "a.py", "c3", "py", "v1b", "UPDATE", 3),
+    ]), batch_id=2, mode="mor")
+    t.expire_snapshots(keep_last=1)  # v0 (and v1) are gone
+
+    out = str(tmp_path / "queue")
+    feed = ChangesFeedPublisher(spark, t.root, out, max_size=4096)
+    m1 = feed.poll()
+    assert m1["plan"] == "bootstrap" and m1["payloads"] == 2
+
+    t.merge(_changes(spark, [
+        ("r3", "c.py", "c4", "rs", "v4", "INSERT", 4),
+    ]), batch_id=3, mode="mor")
+    m2 = feed.poll()
+    assert m2["plan"] == "incremental" and m2["payloads"] == 1
+
+    t2 = _drain(spark, tmp_path, out, "t2")
+    assert _state(t2) == _state(t) and len(_state(t)) == 3
+
+    # a LAGGED feed whose committed watermark expired is unrecoverable
+    # (the lost window's DELETEs cannot be re-derived) -> clear error
+    feed._commit_progress(1)
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(RuntimeError, match="retention outran the feed"):
+        feed.poll()

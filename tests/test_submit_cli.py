@@ -86,6 +86,13 @@ def test_spark_submit_replay_resume_compact(spark, tmp_path):
     shown = _submit(zpath, script, "show", "--table", table_dir)
     assert shown["properties"]["watermark_gtid"] == "2999"
 
+    # tag surface: pin head, visible to a later process, then drop it
+    tagged = _submit(zpath, script, "tag", "--table", table_dir, "--name", "audit")
+    assert tagged["tags"]["audit"] == tagged["version"]
+    dropped = _submit(zpath, script, "tag", "--table", table_dir,
+                      "--name", "audit", "--delete")
+    assert dropped["deleted"] is True and dropped["tags"] == {}
+
     expect = replay_oracle([r.asDict(recursive=True) for r in stream.collect()])
     got = df_fingerprint([r.asDict()
                           for r in LakeTable.load(spark, table_dir).read().collect()])

@@ -230,6 +230,62 @@ def test_changes_apply_roundtrip_reconverges(spark, tmp_path):
     assert a == b and len(a) == 3
 
 
+def test_snapshot_tags_pin_through_expiry(spark, tmp_path):
+    """Iceberg tag refs: a tagged version survives expire_snapshots (and
+    so vacuum keeps its files); untagging releases it. Tag names resolve
+    anywhere a version number does."""
+    t, v1 = _setup_two_batches(spark, tmp_path)
+    assert t.tags() == {}
+    assert t.tag("training-run", version=v1) == v1
+    t.compact()
+    # resolve by name: read_at and changes() accept the tag
+    assert _by_key(t.read_at("training-run"))[("r1", "a.py")]["content"] == "v1"
+    assert {r["_change_type"] for r in t.changes("training-run").collect()} \
+        == {"INSERT", "UPDATE", "DELETE"}
+    # expiry skips the pinned version but drops its untagged elders
+    t.expire_snapshots(keep_last=1)
+    left = {h["version"] for h in t.history()}
+    assert v1 in left and left == {v1, t.snapshot.version}
+    assert t.vacuum(older_than_s=0) >= 0
+    assert _by_key(t.read_at(v1))[("r1", "a.py")]["content"] == "v1"
+    # moving the tag to head releases v1 on the next expiry
+    t.tag("training-run")  # defaults to head
+    assert t.tags()["training-run"] == t.snapshot.version
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="unknown or expired"):
+        t.read_at(v1)
+    assert t.untag("training-run") and not t.untag("training-run")
+    with pytest.raises(ValueError, match="unknown tag"):
+        t.read_at("training-run")
+    with pytest.raises(ValueError, match="invalid tag name"):
+        t.tag("42")
+    with pytest.raises(ValueError, match="unknown or expired"):
+        t.tag("ghost", version=999)
+
+
+def test_changes_noop_update_is_not_a_change(spark, tmp_path):
+    """A key rewritten to identical values in the window is not a NET
+    change: the incremental plan must agree with the diff plan (and the
+    full-outer-join oracle), which filter same-value rows out."""
+    t = _mk(spark, tmp_path)
+    t.merge(_changes(spark, [
+        ("r1", "a.py", "c1", "py", "v1", "INSERT", 1),
+        ("r1", "b.py", "c2", "py", "v2", "INSERT", 2),
+    ]), batch_id=1, mode="mor")
+    v1 = t.snapshot.version
+    t.merge(_changes(spark, [
+        ("r1", "a.py", "c1", "py", "v1", "UPDATE", 3),   # no-op rewrite
+        ("r1", "b.py", "c2", "py", "v2b", "UPDATE", 4),  # real update
+    ]), batch_id=2, mode="mor")
+    assert t.changes_plan(v1) == "incremental"
+    inc = _by_key(t.changes(v1, mode="incremental"))
+    dif = _by_key(t.changes(v1, mode="diff"))
+    for ch in (inc, dif):
+        assert set(ch) == {("r1", "b.py")}
+        assert ch[("r1", "b.py")]["_change_type"] == "UPDATE"
+        assert ch[("r1", "b.py")]["content"] == "v2b"
+
+
 def test_time_travel_survives_vacuum_until_expiry(spark, tmp_path):
     """vacuum() keeps every file any RETAINED snapshot pins, so time
     travel works across compaction + vacuum; expire_snapshots is what

@@ -278,6 +278,22 @@ def cmd_history(args) -> dict:
     return {"table": args.table, "history": t.history()}
 
 
+def cmd_tag(args) -> dict:
+    """Pin (or move / drop) a named tag on a snapshot version; tagged
+    versions are exempt from vacuum's expire_snapshots retention."""
+    from .plans.lake import LakeTable
+
+    spark = _spark("cdc-tag")
+    t = LakeTable.load(spark, args.table)
+    if args.delete:
+        existed = t.untag(args.name)
+        return {"table": args.table, "tag": args.name, "deleted": existed,
+                "tags": t.tags()}
+    v = t.tag(args.name, version=args.version)
+    return {"table": args.table, "tag": args.name, "version": v,
+            "tags": t.tags()}
+
+
 def cmd_changes(args) -> dict:
     """Emit the net row-level changes between two snapshots (the lake's
     CDC-out surface) to a parquet directory."""
@@ -479,6 +495,15 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("history")
     sp.add_argument("--table", required=True)
     sp.set_defaults(fn=cmd_history)
+
+    sp = sub.add_parser("tag")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--name", required=True)
+    sp.add_argument("--version", type=int, default=None,
+                    help="version to pin (default: current head)")
+    sp.add_argument("--delete", action="store_true",
+                    help="drop the tag instead of creating it")
+    sp.set_defaults(fn=cmd_tag)
 
     sp = sub.add_parser("changes")
     sp.add_argument("--table", required=True)

@@ -21,6 +21,7 @@ Pattern notes for the real thing:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -28,6 +29,14 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Captured into the decode closures (a plain string pickles by value):
+# Python workers launched with a cwd that can't import this package —
+# any driver not started from the repo root, no --py-files — retry the
+# codecs import with this path appended. On a real cluster --py-files
+# ships the package and the fast import just works.
+_PKG_PARENT = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", ".."))
 
 MEDIA_SCHEMA = (
     "media_id bigint, kind string, payload binary, "
@@ -76,7 +85,13 @@ def synthesize_real_media(df: DataFrame, id_col: str, text_col: str) -> DataFram
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        from . import codecs
+        try:
+            from th2_listener_mysql_binlog_go_spark.functions import codecs
+        except ModuleNotFoundError:
+            import sys as _sys
+            if _PKG_PARENT not in _sys.path:
+                _sys.path.insert(0, _PKG_PARENT)
+            from th2_listener_mysql_binlog_go_spark.functions import codecs
 
         for pdf in batches:
             rows = []
@@ -134,7 +149,13 @@ def decode_media(
         raise ValueError("on_unsupported must be 'error' or 'null'")
 
     def decode_real(pdf: pd.DataFrame) -> pd.DataFrame:
-        from . import codecs
+        try:
+            from th2_listener_mysql_binlog_go_spark.functions import codecs
+        except ModuleNotFoundError:
+            import sys as _sys
+            if _PKG_PARENT not in _sys.path:
+                _sys.path.insert(0, _PKG_PARENT)
+            from th2_listener_mysql_binlog_go_spark.functions import codecs
 
         n = len(pdf)
         widths = np.full(n, -1, dtype=np.int64)

@@ -514,12 +514,13 @@ class LakeTable:
 
     # ------------------------------------------------------- time travel / CDC-out
 
-    def snapshot_at(self, version: int) -> Snapshot:
-        """Load a historical snapshot by version (Iceberg's
-        ``snapshot_id`` time travel). History is bounded by
-        :meth:`expire_snapshots` — an expired version raises with a clear
-        message instead of resurrecting a file :meth:`vacuum` may have
-        reclaimed."""
+    def snapshot_at(self, version: int | str) -> Snapshot:
+        """Load a historical snapshot by version — or by tag name
+        (Iceberg's ``snapshot_id`` / tag-ref time travel). History is
+        bounded by :meth:`expire_snapshots` — an expired version raises
+        with a clear message instead of resurrecting a file
+        :meth:`vacuum` may have reclaimed."""
+        version = self._resolve_version(version)
         fname = os.path.join(self.root, "_meta", f"v{version:012d}.json")
         try:
             with open(fname) as f:
@@ -530,8 +531,9 @@ class LakeTable:
                 "(expire_snapshots bounds time-travel history)"
             ) from None
 
-    def read_at(self, version: int, include_meta: bool = False) -> DataFrame:
-        """Time-travel read: the table state as of snapshot ``version``."""
+    def read_at(self, version: int | str, include_meta: bool = False) -> DataFrame:
+        """Time-travel read: the table state as of snapshot ``version``
+        (a number or a tag name)."""
         return self.read(include_meta=include_meta,
                          snapshot=self.snapshot_at(version))
 
@@ -562,6 +564,65 @@ class LakeTable:
             })
         return out
 
+    # ------------------------------------------------------------- tags
+    # Iceberg tag refs: a named pin on a snapshot version. Tagged versions
+    # are exempt from expire_snapshots (and therefore vacuum keeps their
+    # files), so "the snapshot training-run X read" survives routine
+    # retention until explicitly untagged. Stored in one _meta/TAGS.json
+    # swapped atomically; tag writes are last-writer-wins on the whole
+    # file (tags are operator actions, not the data-commit hot path —
+    # the version files themselves stay CAS-protected).
+
+    def _tags_path(self) -> str:
+        return os.path.join(self.root, "_meta", "TAGS.json")
+
+    def tags(self) -> dict[str, int]:
+        """Current tag -> version map (empty when none)."""
+        try:
+            with open(self._tags_path()) as f:
+                return {k: int(v) for k, v in json.load(f)["tags"].items()}
+        except FileNotFoundError:
+            return {}
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``name`` to ``version`` (default: current head). Re-tagging
+        an existing name moves it. Returns the pinned version."""
+        if not name or name.isdigit():
+            raise ValueError(f"invalid tag name {name!r} (must be "
+                             "non-empty and not a bare number)")
+        v = self.snapshot.version if version is None else version
+        self.snapshot_at(v)  # must exist and not be expired
+        t = self.tags()
+        t[name] = v
+        tmp = self._tags_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"tags": t}, f)
+        os.replace(tmp, self._tags_path())
+        return v
+
+    def untag(self, name: str) -> bool:
+        """Drop a tag; the version it pinned becomes expirable again.
+        Returns whether the tag existed."""
+        t = self.tags()
+        existed = name in t
+        if existed:
+            del t[name]
+            tmp = self._tags_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump({"tags": t}, f)
+            os.replace(tmp, self._tags_path())
+        return existed
+
+    def _resolve_version(self, ref: int | str) -> int:
+        """A version number, or a tag name (str) resolved through
+        :meth:`tags`."""
+        if isinstance(ref, str):
+            t = self.tags()
+            if ref not in t:
+                raise ValueError(f"unknown tag {ref!r} (have: {sorted(t)})")
+            return t[ref]
+        return ref
+
     def _hybrid_snapshot(self, files: list[dict], properties: dict,
                          num_buckets: int) -> Snapshot:
         """A read-only snapshot view: HEAD's logical schema (columns +
@@ -577,7 +638,7 @@ class LakeTable:
             properties=properties,
         )
 
-    def changes_plan(self, from_version: int, to_version: int | None = None) -> str:
+    def changes_plan(self, from_version: int | str, to_version: int | str | None = None) -> str:
         """Which plan :meth:`changes` will use for this window:
         ``'incremental'`` (read ONLY the delta files the window added —
         O(changes), the 100 TB path) or ``'diff'`` (full-state
@@ -603,7 +664,7 @@ class LakeTable:
         )
         return "incremental" if ok else "diff"
 
-    def changes(self, from_version: int, to_version: int | None = None,
+    def changes(self, from_version: int | str, to_version: int | str | None = None,
                 mode: str = "auto", include_meta: bool = False,
                 with_before: bool = False) -> DataFrame:
         """Row-level net changes between two snapshots — the lake as a CDC
@@ -693,8 +754,14 @@ class LakeTable:
             j = net.join(old, on=keys, how="left")
             is_del = F.col(OP_COL) == "DELETE"
             exists = F.col("_old_exists").isNotNull()
+            # net semantics, same as the diff plan: a rewrite to identical
+            # values is not a change (else the two plans — and the
+            # full-outer-join oracle — would disagree on no-op updates)
+            same_vals = F.struct(*[F.col(v) for v in val_cols]).eqNullSafe(
+                F.struct(*[F.col(f"_old_{v}") for v in val_cols]))
             out = (
                 j.filter(~is_del | exists)  # delete of a never-seen key: no-op
+                .filter(is_del | ~exists | ~same_vals)
                 .withColumn("_change_type",
                             F.when(is_del, "DELETE")
                             .when(exists, "UPDATE").otherwise("INSERT"))
@@ -1286,12 +1353,15 @@ class LakeTable:
         """Drop snapshot metadata older than the newest ``keep_last``
         versions (Iceberg's expire_snapshots): bounds time-travel history
         and lets :meth:`vacuum` reclaim the data files only those old
-        snapshots referenced. Never touches the current snapshot. Returns
-        the number of snapshot files removed."""
+        snapshots referenced. Never touches the current snapshot, and
+        never a version a :meth:`tag` pins — tagged snapshots ride out
+        retention until untagged. Returns the number of snapshot files
+        removed."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         meta = os.path.join(self.root, "_meta")
         cutoff = self.snapshot.version - keep_last + 1
+        pinned = set(self.tags().values())
         removed = 0
         for fn in os.listdir(meta):
             if not (fn.startswith("v") and fn.endswith(".json")):
@@ -1300,7 +1370,7 @@ class LakeTable:
                 version = int(fn[1:-5])
             except ValueError:
                 continue
-            if version < cutoff:
+            if version < cutoff and version not in pinned:
                 os.remove(os.path.join(meta, fn))
                 removed += 1
         return removed

@@ -377,16 +377,45 @@ class ChangesFeedPublisher:
 
         table = LakeTable.load(self.spark, self.table_root)
         head = table.snapshot.version
-        frm = self.published_version()
-        if frm is None:
-            frm = 0
+        committed = self.published_version()
+        frm = 0 if committed is None else committed
         if head <= frm:
             return {"published_version": frm, "payloads": 0, "plan": "noop"}
-        plan = table.changes_plan(frm, head)
-        ch = table.changes(frm, head, mode=self.mode,
-                           include_meta=True, with_before=True)
         keys = table.snapshot.key_names
         val_cols = [c.name for c in table.snapshot.columns if c.name not in keys]
+        try:
+            plan = table.changes_plan(frm, head)
+            ch = table.changes(frm, head, mode=self.mode,
+                               include_meta=True, with_before=True)
+        except ValueError as e:
+            if "unknown or expired" not in str(e):
+                raise
+            if committed is not None:
+                # The feed's watermark version fell out of retained history:
+                # the lost window's DELETEs are unrecoverable, and a blind
+                # full re-publish would leave them applied forever on the
+                # consumer. Sound options are operator-level only.
+                raise RuntimeError(
+                    f"changes feed watermark v{frm} has been expired from "
+                    f"{self.table_root}'s snapshot history (retention outran "
+                    "the feed): the lost window cannot be re-derived and a "
+                    "full re-publish would miss its DELETEs. Re-bootstrap "
+                    "the consumer into a fresh out_dir, or raise "
+                    "expire_snapshots keep_last above the feed's lag."
+                ) from e
+            # First poll on a table whose v0 has been expired by routine
+            # maintenance: bootstrap with the whole current state as
+            # INSERT beans — byte-equivalent to changes(0, head).
+            from pyspark.sql import types as T
+            plan = "bootstrap"
+            st = table.read(include_meta=True)
+            before_t = T.StructType([st.schema[c] for c in val_cols])
+            ch = st.select(
+                *[F.col(c) for c in keys + val_cols],
+                F.col("_gtid"), F.col("_seq"),
+                F.lit("INSERT").alias("_change_type"),
+                F.lit(None).cast(before_t).alias("_before"),
+            )
         after = F.struct(*[F.col(c) for c in keys + val_cols])
         before = F.struct(
             *[F.col(c) for c in keys],
@@ -416,4 +445,6 @@ class ChangesFeedPublisher:
             payloads.unpersist()
         self._commit_progress(head)
         return {"published_version": head, "from_version": frm,
-                "payloads": int(n), "plan": plan if self.mode == "auto" else self.mode}
+                "payloads": int(n),
+                "plan": plan if (self.mode == "auto" or plan == "bootstrap")
+                else self.mode}
