@@ -505,10 +505,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="drop the tag instead of creating it")
     sp.set_defaults(fn=cmd_tag)
 
+    def _ver(s: str):
+        # a bare number is a version; anything else is a tag name
+        return int(s) if s.lstrip("-").isdigit() else s
+
     sp = sub.add_parser("changes")
     sp.add_argument("--table", required=True)
-    sp.add_argument("--from-version", type=int, required=True, dest="from_version")
-    sp.add_argument("--to-version", type=int, default=None, dest="to_version")
+    sp.add_argument("--from-version", type=_ver, required=True, dest="from_version",
+                    help="snapshot version number or tag name")
+    sp.add_argument("--to-version", type=_ver, default=None, dest="to_version",
+                    help="snapshot version number or tag name (default: head)")
     sp.add_argument("--mode", choices=["auto", "incremental", "diff"],
                     default="auto")
     sp.add_argument("--include-meta", action="store_true")
