@@ -479,8 +479,14 @@ class LakeTable:
         keys = snap.key_names
         trunc = int(snap.properties.get("truncate_gtid", "-1"))
 
-        base = [fi for fi in snap.files if fi.get("kind", "base") == "base"]
-        delta = [fi for fi in snap.files if fi.get("kind", "base") == "delta"]
+        # Plan-time stats pruning: a file whose stamped gtid_hi sits at or
+        # below the TRUNCATE marker contains only dead rows — drop it from
+        # the scan entirely (the row-level filter below still handles
+        # straddling and unstamped files). A bucket whose deltas all died
+        # this way reads as CLEAN again.
+        live = [fi for fi in snap.files if not self._gtid_dead(fi, trunc)]
+        base = [fi for fi in live if fi.get("kind", "base") == "base"]
+        delta = [fi for fi in live if fi.get("kind", "base") == "delta"]
         dirty_buckets = {fi["bucket"] for fi in delta}
 
         def _trunc_filter(df: DataFrame | None) -> DataFrame | None:
@@ -731,12 +737,13 @@ class LakeTable:
 
         if use == "incremental":
             from_paths = {fi["path"] for fi in from_snap.files}
-            added = [fi for fi in to_snap.files if fi["path"] not in from_paths]
+            trunc = int(to_snap.properties.get("truncate_gtid", "-1"))
+            added = [fi for fi in to_snap.files if fi["path"] not in from_paths
+                     and not self._gtid_dead(fi, trunc)]
             if not added:
                 return _empty()
             touched = {fi["bucket"] for fi in added}
             new_rows = self._read_mapped(to_snap, added, with_op=True)
-            trunc = int(to_snap.properties.get("truncate_gtid", "-1"))
             if trunc >= 0:
                 new_rows = new_rows.filter(F.col(GTID_COL) > trunc)
             # net outcome per key: last (gtid, seq) wins, DELETEs KEPT
@@ -906,6 +913,28 @@ class LakeTable:
         return out
 
     @staticmethod
+    def _stamp_gtid_bounds(files: list[dict], lo, hi) -> list[dict]:
+        """Commit-level gtid bounds stamped on every file of a commit
+        (Iceberg manifest column stats, riding the write Observation —
+        zero extra IO, ``t_footer_s`` stays ~0). Batches partition the
+        gtid axis, so commit bounds are file-precise for deltas; for
+        rewrites they are conservative envelopes. Readers treat a file
+        with ``gtid_hi <= truncate_gtid`` as fully dead and plan it out
+        instead of row-filtering it; files without stats (older tables)
+        are simply never pruned."""
+        if lo is None or hi is None:
+            return files
+        for fi in files:
+            fi["gtid_lo"] = int(lo)
+            fi["gtid_hi"] = int(hi)
+        return files
+
+    @staticmethod
+    def _gtid_dead(fi: dict, trunc: int) -> bool:
+        hi = fi.get("gtid_hi")
+        return trunc >= 0 and hi is not None and hi <= trunc
+
+    @staticmethod
     def _obs_get_safe(obs: Observation) -> dict:
         """Observation metrics, tolerating the JVM assert that fires when
         the observed write ran zero tasks (fully-empty batch) — an empty
@@ -1022,7 +1051,9 @@ class LakeTable:
                           files_per_bucket=files_per_bucket,
                           obs=obs, metrics=metrics)
         m = self._obs_get_safe(obs)
-        written = self._list_commit_files(commit_dir_rel, snap.epoch, "delta")
+        written = self._stamp_gtid_bounds(
+            self._list_commit_files(commit_dir_rel, snap.epoch, "delta"),
+            m.get("min_gtid"), m.get("max_gtid"))
         return {
             "written": written,
             "epoch": snap.epoch,
@@ -1178,7 +1209,9 @@ class LakeTable:
                               files_per_bucket=files_per_bucket,
                               obs=obs, metrics=metrics)
             m = self._obs_get_safe(obs)
-            written = self._list_commit_files(commit_dir_rel, snap.epoch, "delta")
+            written = self._stamp_gtid_bounds(
+                self._list_commit_files(commit_dir_rel, snap.epoch, "delta"),
+                m.get("min_gtid"), m.get("max_gtid"))
             new_files = snap.files + written
             counts = {
                 "rows_inserted": int(m.get("rows_upserted") or 0),
@@ -1213,6 +1246,12 @@ class LakeTable:
                       .otherwise(0)).alias("rows_deleted"),
                 F.max(F.when(is_change, F.col(GTID_COL))).alias("max_gtid"),
                 F.min(F.when(is_change, F.col(GTID_COL))).alias("min_gtid"),
+                # bounds over the rows actually WRITTEN (kept rows carry
+                # older gtids than the batch's changes)
+                F.max(F.when(F.col(OP_COL) != "DELETE", F.col(GTID_COL)))
+                .alias("w_max_gtid"),
+                F.min(F.when(F.col(OP_COL) != "DELETE", F.col(GTID_COL)))
+                .alias("w_min_gtid"),
             ]
             if snap.num_buckets <= self._OBS_BUCKET_LIMIT:
                 # written base rows = winners minus DELETE winners
@@ -1222,7 +1261,9 @@ class LakeTable:
                               files_per_bucket=files_per_bucket,
                               obs=obs, metrics=metrics, drop_deletes=True)
             m = self._obs_get_safe(obs)
-            written = self._list_commit_files(commit_dir_rel, snap.epoch, "base")
+            written = self._stamp_gtid_bounds(
+                self._list_commit_files(commit_dir_rel, snap.epoch, "base"),
+                m.get("w_min_gtid"), m.get("w_max_gtid"))
             new_files = untouched + written
             counts = {
                 "rows_inserted": int(m.get("rows_inserted") or 0),
@@ -1477,6 +1518,13 @@ class LakeTable:
             .parquet(os.path.join(self.root, commit_dir_rel))
         )
         files = self._list_commit_files(commit_dir_rel, snap.epoch, "base")
+        los = [fi.get("gtid_lo") for fi in snap.files]
+        his = [fi.get("gtid_hi") for fi in snap.files]
+        if los and all(v is not None for v in los + his):
+            trunc = int(snap.properties.get("truncate_gtid", "-1"))
+            self._stamp_gtid_bounds(
+                files, max(min(los), trunc + 1) if trunc >= 0 else min(los),
+                max(his))
         self._write_snapshot(Snapshot(
             version=new_version, columns=snap.columns, key_ids=snap.key_ids,
             num_buckets=new_num_buckets, epoch=snap.epoch,
@@ -1534,10 +1582,23 @@ class LakeTable:
         keys = snap.key_names
         trunc = int(snap.properties.get("truncate_gtid", "-1"))
 
-        base = self._read_mapped(snap, [fi for fi in src if fi.get("kind", "base") == "base"],
+        # files whose whole gtid range died under the TRUNCATE marker are
+        # planned out (their rows would all be row-filtered anyway)
+        live_src = [fi for fi in src if not self._gtid_dead(fi, trunc)]
+        base = self._read_mapped(snap, [fi for fi in live_src if fi.get("kind", "base") == "base"],
                                  with_op=False)
-        delta = self._read_mapped(snap, [fi for fi in src if fi.get("kind") == "delta"],
+        delta = self._read_mapped(snap, [fi for fi in live_src if fi.get("kind") == "delta"],
                                   with_op=True)
+        if base is None and delta is None:
+            # every src file was dead: the rewrite is a pure drop
+            self._write_snapshot(Snapshot(
+                version=snap.version + 1, columns=snap.columns,
+                key_ids=snap.key_ids, num_buckets=snap.num_buckets,
+                epoch=snap.epoch, epoch_schemas=snap.epoch_schemas,
+                files=keep, properties=dict(snap.properties),
+                parent=snap.version,
+            ))
+            return len(todo)
         if base is not None:
             base = base.withColumn(OP_COL, F.lit(_KEEP))
         df = base.unionByName(delta) if base is not None and delta is not None else (base or delta)
@@ -1602,7 +1663,17 @@ class LakeTable:
             .write.partitionBy("_bucket_p")
             .parquet(os.path.join(self.root, commit_dir_rel))
         )
-        files = keep + self._list_commit_files(commit_dir_rel, snap.epoch, "base")
+        # conservative envelope from the inputs' stats (raised past the
+        # truncate marker the rewrite filtered out); inputs without stats
+        # leave the outputs unstamped
+        los = [fi.get("gtid_lo") for fi in live_src]
+        his = [fi.get("gtid_hi") for fi in live_src]
+        out_files = self._list_commit_files(commit_dir_rel, snap.epoch, "base")
+        if los and all(v is not None for v in los + his):
+            self._stamp_gtid_bounds(
+                out_files, max(min(los), trunc + 1) if trunc >= 0 else min(los),
+                max(his))
+        files = keep + out_files
         self._write_snapshot(Snapshot(
             version=new_version, columns=snap.columns, key_ids=snap.key_ids,
             num_buckets=snap.num_buckets, epoch=snap.epoch, epoch_schemas=snap.epoch_schemas,
