@@ -528,6 +528,35 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read_at(v_mid).select("repo", "path", "commit", "lang", "content")
 
 
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned point reads: replay the stream into a lake, then
+    answer 12 deterministic single-key questions via
+    :meth:`LakeTable.lookup` — each opens ONLY the key's bucket's files
+    (O(table/num_buckets) IO however large the table), with the key
+    predicate pushed through the LWW window into the parquet scan. The
+    union of the answers hash-matches the DuckDB LWW state filtered to
+    the same keys."""
+    from functools import reduce
+
+    flat = derived_changestream(spark, sf_dir)
+    nested = to_change_schema(flat)
+    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
+    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 4)
+    tmp = _mkdtemp("cdc_lookup_")
+    table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
+                             key_cols=["repo", "path"], num_buckets=16)
+    ReplayRunner(spark, table, batch_span=span).run(nested)
+    keys = sorted(
+        (r["repo"], r["path"])
+        for r in table.read().select("repo", "path")
+        .filter(F.md5(F.concat_ws("|", "repo", "path")).startswith("0"))
+        .collect()
+    )[:12]
+    parts = [table.lookup(repo, path) for repo, path in keys]
+    out = reduce(lambda a, c: a.unionByName(c), parts)
+    return out.select("repo", "path", "commit", "lang", "content")
+
+
 def q_changes_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The lake as a CDC *source* (Iceberg changelog / Delta CDF
     analogue): net row-level changes between the mid-replay snapshot and
@@ -759,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_size_split_cumsum": q_size_split_cumsum,
         "cdc_batch_plan": q_batch_plan,
         "cdc_time_travel": q_time_travel,
+        "cdc_point_lookup": q_point_lookup,
         "cdc_changes_diff": q_changes_diff,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_dedup_clusters": q_doc_dedup_clusters,
@@ -1200,6 +1230,24 @@ ranked AS (
 )
 SELECT repo, path, commit, lang, content
 FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+""".strip(),
+        "cdc_point_lookup": f"""
+WITH {stream}, {observed},
+dml AS (SELECT * FROM observed WHERE op IN ('INSERT','UPDATE','DELETE')),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY gtid DESC) AS rn FROM dml
+),
+final AS (
+  SELECT repo, path, commit, lang, content
+  FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+),
+keys AS (
+  SELECT repo, path FROM final
+  WHERE md5(repo || '|' || path) LIKE '0%'
+  ORDER BY repo, path LIMIT 12
+)
+SELECT f.repo, f.path, f.commit, f.lang, f.content
+FROM final f JOIN keys k ON f.repo = k.repo AND f.path = k.path
 """.strip(),
         "cdc_changes_diff": f"""
 WITH {stream}, {observed},

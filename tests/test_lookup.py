@@ -1,0 +1,51 @@
+"""Bucket-pruned point lookup: one key's read opens only its bucket's
+files, under MOR deltas, time travel, and bucket-count evolution."""
+
+from th2_listener_mysql_binlog_go_spark.plans.lake import LakeTable
+
+SCHEMA = [("repo", "string"), ("path", "string"), ("commit", "string"),
+          ("lang", "string"), ("content", "string")]
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string, _op string, _gtid long")
+
+
+def test_lookup_prunes_to_one_bucket_and_resolves_lww(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], num_buckets=8)
+    rows = [(f"r{i}", f"f{i}.py", f"c{i}", "py", f"v{i}", "INSERT", i + 1)
+            for i in range(24)]
+    t.merge(_batch(spark, rows), batch_id=1, mode="mor")
+    t.merge(_batch(spark, [
+        ("r3", "f3.py", "c3b", "py", "v3b", "UPDATE", 30),
+        ("r5", "f5.py", None, None, None, "DELETE", 31),
+    ]), batch_id=2, mode="mor")
+
+    got = t.lookup("r3", "f3.py").collect()
+    assert len(got) == 1 and got[0]["content"] == "v3b"
+    assert t.lookup("r5", "f5.py").collect() == []      # deleted
+    assert t.lookup("rX", "nope.py").collect() == []    # never existed
+
+    # the plan opened ONLY the key's bucket's files
+    df = t.lookup("r3", "f3.py")
+    target_bucket = {fi["bucket"] for fi in t.snapshot.files
+                     if any(p.endswith(fi["path"]) for p in df.inputFiles())}
+    assert target_bucket == {next(iter(target_bucket))}  # exactly one bucket
+    all_buckets = {fi["bucket"] for fi in t.snapshot.files}
+    assert len(all_buckets) > 1  # the prune was non-trivial
+
+    # time travel: pre-update snapshot still answers v3
+    v1 = t.snapshot.version - 1
+    old = t.lookup("r3", "f3.py", snapshot=t.snapshot_at(v1)).collect()
+    assert len(old) == 1 and old[0]["content"] == "v3"
+
+    # bucket evolution: lookup derives the bucket fn from the snapshot
+    t.rebucket(3)
+    got = t.lookup("r3", "f3.py").collect()
+    assert len(got) == 1 and got[0]["content"] == "v3b"
+    # and the old snapshot keeps answering under its OWN bucketing
+    old = t.lookup("r3", "f3.py", snapshot=t.snapshot_at(v1)).collect()
+    assert len(old) == 1 and old[0]["content"] == "v3"

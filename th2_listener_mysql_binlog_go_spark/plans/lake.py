@@ -518,6 +518,43 @@ class LakeTable:
             out = out.drop(GTID_COL, SEQ_COL, BUCKET_COL)
         return out
 
+    def lookup(self, *key_values, include_meta: bool = False,
+               snapshot: Snapshot | None = None) -> DataFrame:
+        """Point read of one key: the bucket function pins the key to ONE
+        bucket, so the plan opens only that bucket's files — O(table /
+        num_buckets) IO however large the table — and the key-equality
+        predicate pushes through the LWW window into the parquet scans
+        (a filter on the window's own partition keys commutes with
+        per-key resolution). The interactive analogue of the reference's
+        keyed queries: a billion-row table answers a single-key question
+        from one bucket's worth of files.
+
+        ``key_values`` follow the table's key column order. Returns an
+        empty DataFrame for an absent (or deleted / truncated) key."""
+        snap = snapshot or self.snapshot
+        keys = snap.key_names
+        if len(key_values) != len(keys):
+            raise ValueError(
+                f"lookup takes {len(keys)} key values {tuple(keys)}, "
+                f"got {len(key_values)}")
+        key_types = {c.name: c.type for c in snap.columns}
+        # bucket of the key: one driver-local row through the SAME
+        # Catalyst expression the writers use (no hand-rolled xxhash64
+        # parity to maintain), a millisecond single-task job
+        bucket_of = F.pmod(
+            F.xxhash64(*[F.col(k) for k in keys]),
+            F.lit(snap.num_buckets)).cast("int")  # snap's bucketing, not head's
+        b = (self.spark.range(1)
+             .select(*[F.lit(v).cast(key_types[k]).alias(k)
+                       for k, v in zip(keys, key_values)])
+             .select(bucket_of.alias("b"))
+             .first()["b"])
+        sub = snap.sub([fi for fi in snap.files if fi["bucket"] == b])
+        out = self.read(include_meta=include_meta, snapshot=sub)
+        for k, v in zip(keys, key_values):
+            out = out.filter(F.col(k).eqNullSafe(F.lit(v).cast(key_types[k])))
+        return out
+
     # ------------------------------------------------------- time travel / CDC-out
 
     def snapshot_at(self, version: int | str) -> Snapshot:
