@@ -29,6 +29,10 @@ the persisted watermark):
                   a live pipelined writer; 0 requires exclusive access)
   catalog-vacuum  expire old registry versions + remove dropped tables' dirs
   show            print snapshot properties / schema
+  history         snapshot history (versions, watermarks, file counts)
+  tag             pin/move/drop a named tag on a snapshot version
+  lookup          bucket-pruned point read of one key
+  changes         net row-level changes between two snapshots -> parquet
 
 Example (single table, create + replay + compact):
 
@@ -278,6 +282,20 @@ def cmd_history(args) -> dict:
     return {"table": args.table, "history": t.history()}
 
 
+def cmd_lookup(args) -> dict:
+    """Bucket-pruned point read: one key's row (or nothing) from one
+    bucket's files."""
+    from .plans.lake import LakeTable
+
+    spark = _spark("cdc-lookup")
+    t = LakeTable.load(spark, args.table)
+    snap = t.snapshot_at(args.version) if args.version is not None else None
+    vals = args.values.split(",")
+    rows = [r.asDict() for r in t.lookup(*vals, snapshot=snap).collect()]
+    return {"table": args.table, "keys": dict(zip(t.snapshot.key_names, vals)),
+            "rows": rows}
+
+
 def cmd_tag(args) -> dict:
     """Pin (or move / drop) a named tag on a snapshot version; tagged
     versions are exempt from vacuum's expire_snapshots retention."""
@@ -496,6 +514,18 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", required=True)
     sp.set_defaults(fn=cmd_history)
 
+    def _ver(s: str):
+        # a bare number is a version; anything else is a tag name
+        return int(s) if s.lstrip("-").isdigit() else s
+
+    sp = sub.add_parser("lookup")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--values", required=True,
+                    help="comma-separated key values in key-column order")
+    sp.add_argument("--version", type=_ver, default=None,
+                    help="snapshot version or tag name (default: head)")
+    sp.set_defaults(fn=cmd_lookup)
+
     sp = sub.add_parser("tag")
     sp.add_argument("--table", required=True)
     sp.add_argument("--name", required=True)
@@ -504,10 +534,6 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--delete", action="store_true",
                     help="drop the tag instead of creating it")
     sp.set_defaults(fn=cmd_tag)
-
-    def _ver(s: str):
-        # a bare number is a version; anything else is a tag name
-        return int(s) if s.lstrip("-").isdigit() else s
 
     sp = sub.add_parser("changes")
     sp.add_argument("--table", required=True)
