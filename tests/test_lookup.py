@@ -49,3 +49,38 @@ def test_lookup_prunes_to_one_bucket_and_resolves_lww(spark, tmp_path):
     # and the old snapshot keeps answering under its OWN bucketing
     old = t.lookup("r3", "f3.py", snapshot=t.snapshot_at(v1)).collect()
     assert len(old) == 1 and old[0]["content"] == "v3"
+
+
+def test_lookup_key_filter_pushes_into_parquet_scans(spark, tmp_path):
+    """The key-equality predicate must reach PushedFilters on EVERY scan
+    the lookup plan touches — compacted base (clean bucket), dirty base,
+    and delta — so compaction's key-sorted files get parquet row-group
+    stats pruning, not just a post-scan filter."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], num_buckets=4)
+    rows = [(f"r{i % 40}", f"f{i}.py", f"c{i}", "py", f"v{i}", "INSERT", i + 1)
+            for i in range(400)]
+    t.merge(_batch(spark, rows), batch_id=1, mode="mor")
+    t.compact()
+    t = LakeTable.load(spark, str(tmp_path / "t"))
+
+    def pushed(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scans = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+        assert scans, plan
+        return plan, scans
+
+    # clean (fully compacted) bucket: plain scan, no window
+    plan, scans = pushed(t.lookup("r3", "f3.py"))
+    assert "Window" not in plan
+    for ln in scans:
+        assert "EqualNullSafe(repo,r3)" in ln and "EqualNullSafe(path,f3.py)" in ln
+
+    # dirty bucket: the predicate commutes through the LWW window into
+    # BOTH the base and the delta scans
+    t.merge(_batch(spark, [("r3", "f3.py", "c3b", "py", "v3b", "UPDATE", 9001)]),
+            batch_id=2, mode="mor")
+    plan, scans = pushed(t.lookup("r3", "f3.py"))
+    assert "Window" in plan and len(scans) >= 2
+    for ln in scans:
+        assert "EqualNullSafe(repo,r3)" in ln and "EqualNullSafe(path,f3.py)" in ln
