@@ -573,6 +573,37 @@ def q_changes_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance from the changelog: a per-lang
+    (count, sum-of-content-length) aggregate created at the mid-replay
+    snapshot, then advanced to head by ONE incremental refresh —
+    O(changes + touched groups), never a source rescan (the O(changes)
+    plan is asserted). The refreshed view must hash-match the oracle's
+    full GROUP BY over the final state — incremental maintenance vs
+    ground-truth recompute."""
+    from th2_listener_mysql_binlog_go_spark.plans.matview import IncrementalAggView
+
+    flat = derived_changestream(spark, sf_dir)
+    nested = to_change_schema(flat)
+    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
+    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 8)
+    tmp = _mkdtemp("cdc_matview_")
+    table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
+                             key_cols=["repo", "path"], num_buckets=16)
+    ReplayRunner(spark, table, batch_span=span).run(nested, max_batches=4)
+    view = IncrementalAggView.create(
+        spark, table, os.path.join(tmp, "v"), dims=["lang"],
+        aggs={"n_files": ("count",), "total_size": ("sum", "length(content)")},
+        num_buckets=4)
+    ReplayRunner(spark, table, batch_span=span).run(nested)
+    assert table.changes_plan(view.source_version) == "incremental"
+    view.refresh()
+    return view.read().select(
+        "lang",
+        F.col("n_files").cast("bigint").alias("n_files"),
+        F.col("total_size").cast("bigint").alias("total_size"))
+
+
 # ------------------------------------------------- training-data pipeline ops
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -790,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": q_time_travel,
         "cdc_point_lookup": q_point_lookup,
         "cdc_changes_diff": q_changes_diff,
+        "cdc_incremental_agg": q_incremental_agg,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_dedup_clusters_bigstar": q_doc_dedup_clusters_bigstar,
@@ -1274,6 +1306,21 @@ SELECT
 FROM new_s n FULL OUTER JOIN old_s o ON n.repo = o.repo AND n.path = o.path
 WHERE o.repo IS NULL OR n.repo IS NULL
    OR n.commit <> o.commit OR n.lang <> o.lang OR n.content <> o.content
+""".strip(),
+        "cdc_incremental_agg": f"""
+WITH {stream}, {observed},
+dml AS (SELECT * FROM observed WHERE op IN ('INSERT','UPDATE','DELETE')),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY gtid DESC) AS rn FROM dml
+),
+final AS (
+  SELECT repo, path, commit, lang, content
+  FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_files,
+  CAST(sum(length(content)) AS BIGINT) AS total_size
+FROM final GROUP BY lang
 """.strip(),
         "cdc_lineage_metrics": f"""
 WITH {stream}, {observed},

@@ -1,0 +1,207 @@
+"""IncrementalAggView: materialized aggregates maintained from the
+changelog — every refresh must equal a full recompute, under inserts,
+updates (including dim-moving ones), deletes-to-zero, NULL dims,
+crash-replay, and time travel over refresh history."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from th2_listener_mysql_binlog_go_spark.plans.lake import LakeTable
+from th2_listener_mysql_binlog_go_spark.plans.matview import IncrementalAggView
+
+SCHEMA = [("repo", "string"), ("path", "string"), ("lang", "string"),
+          ("size", "int")]
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, lang string, size int, "
+              "_op string, _gtid long")
+
+
+def _recompute(source):
+    return (source.read().groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.coalesce(F.sum("size"), F.lit(0)).cast("bigint").alias("total_size"),
+                 (F.sum("size").cast("double") /
+                  F.nullif(F.count("size"), F.lit(0))).alias("mean_size")))
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()],
+                  key=lambda t: tuple((v is None, v) for v in t))
+
+
+def _assert_view_matches(view, source):
+    got = _rows(view.read())
+    want = _rows(_recompute(source))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3], (g, w)
+        if g[3] is None or w[3] is None:
+            assert g[3] == w[3], (g, w)
+        else:
+            assert g[3] == pytest.approx(w[3]), (g, w)
+
+
+AGGS = {"n_files": ("count",), "total_size": ("sum", "size"),
+        "mean_size": ("avg", "size")}
+
+
+def test_view_tracks_recompute_through_refresh_cycles(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                         ["repo", "path"], num_buckets=4)
+    t.merge(_batch(spark, [
+        ("r1", "a.py", "py", 10, "INSERT", 1),
+        ("r1", "b.py", "py", 20, "INSERT", 2),
+        ("r2", "c.go", "go", 30, "INSERT", 3),
+        ("r2", "d.rs", "rs", 40, "INSERT", 4),
+    ]), batch_id=1, mode="mor")
+
+    view = IncrementalAggView.create(spark, t, str(tmp_path / "v"),
+                                     dims=["lang"], aggs=AGGS, num_buckets=2)
+    _assert_view_matches(view, t)
+
+    # inserts + update + delete
+    t.merge(_batch(spark, [
+        ("r3", "e.py", "py", 50, "INSERT", 5),
+        ("r1", "a.py", "py", 15, "UPDATE", 6),       # same-dim update
+        ("r2", "c.go", None, None, "DELETE", 7),     # go group -> zero
+    ]), batch_id=2, mode="mor")
+    m = view.refresh()
+    assert m["to_version"] == t.snapshot.version
+    _assert_view_matches(view, t)
+    langs = {r["lang"] for r in view.read().collect()}
+    assert "go" not in langs  # emptied group row is DELETED, not zeroed
+
+    # dim-moving update: the row leaves one group and enters another
+    t.merge(_batch(spark, [
+        ("r2", "d.rs", "zig", 41, "UPDATE", 8),
+    ]), batch_id=3, mode="mor")
+    view.refresh()
+    _assert_view_matches(view, t)
+    langs = {r["lang"] for r in view.read().collect()}
+    assert "rs" not in langs and "zig" in langs
+
+
+def test_view_null_dims_and_null_measures(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                         ["repo", "path"], num_buckets=2)
+    t.merge(_batch(spark, [
+        ("r1", "a", None, 10, "INSERT", 1),   # NULL dim group
+        ("r1", "b", None, None, "INSERT", 2),  # NULL measure in NULL group
+        ("r1", "c", "py", None, "INSERT", 3),  # all-NULL measure group
+    ]), batch_id=1, mode="mor")
+    view = IncrementalAggView.create(spark, t, str(tmp_path / "v"),
+                                     dims=["lang"], aggs=AGGS, num_buckets=2)
+    _assert_view_matches(view, t)
+    # avg of the all-NULL group is NULL (SQL avg), count still 1
+    row = {r["lang"]: r for r in view.read().collect()}
+    assert row["py"]["mean_size"] is None and row["py"]["n_files"] == 1
+
+    t.merge(_batch(spark, [
+        ("r1", "b", None, 7, "UPDATE", 4),    # NULL group gains a value
+        ("r1", "a", None, None, "DELETE", 5),
+    ]), batch_id=2, mode="mor")
+    view.refresh()
+    _assert_view_matches(view, t)
+
+
+def test_view_refresh_is_idempotent_and_crash_replayable(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                         ["repo", "path"], num_buckets=2)
+    t.merge(_batch(spark, [("r1", "a", "py", 10, "INSERT", 1)]),
+            batch_id=1, mode="mor")
+    view = IncrementalAggView.create(spark, t, str(tmp_path / "v"),
+                                     dims=["lang"], aggs=AGGS)
+    t.merge(_batch(spark, [("r1", "b", "py", 20, "INSERT", 2)]),
+            batch_id=2, mode="mor")
+    m1 = view.refresh()
+    assert not m1.get("skipped")
+    # replayed refresh (same source version): batch_id gate makes it a no-op
+    m2 = view.refresh()
+    assert m2.get("skipped")
+    _assert_view_matches(view, t)
+    # a FRESH handle (crash analogue) resumes from the persisted watermark
+    v2 = IncrementalAggView.load(spark, t, str(tmp_path / "v"))
+    assert v2.source_version == t.snapshot.version
+    assert v2.refresh().get("skipped")
+    _assert_view_matches(v2, t)
+
+
+def test_view_survives_source_compaction_via_diff_fallback(spark, tmp_path):
+    """A compaction inside the refresh window makes the incremental
+    changes plan unsound; mode='auto' must fall back to the diff plan and
+    the view must still match the recompute."""
+    t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                         ["repo", "path"], num_buckets=2)
+    t.merge(_batch(spark, [("r1", "a", "py", 10, "INSERT", 1),
+                           ("r2", "b", "go", 20, "INSERT", 2)]),
+            batch_id=1, mode="mor")
+    view = IncrementalAggView.create(spark, t, str(tmp_path / "v"),
+                                     dims=["lang"], aggs=AGGS)
+    t.merge(_batch(spark, [("r1", "a", "py", 11, "UPDATE", 3),
+                           ("r2", "b", None, None, "DELETE", 4)]),
+            batch_id=2, mode="mor")
+    t.compact()
+    assert t.changes_plan(view.source_version) == "diff"
+    view.refresh()
+    _assert_view_matches(view, t)
+
+
+def test_view_time_travel_and_minmax_rejection(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                         ["repo", "path"], num_buckets=2)
+    t.merge(_batch(spark, [("r1", "a", "py", 10, "INSERT", 1)]),
+            batch_id=1, mode="mor")
+    view = IncrementalAggView.create(spark, t, str(tmp_path / "v"),
+                                     dims=["lang"], aggs=AGGS)
+    v_before = view.table.snapshot.version
+    t.merge(_batch(spark, [("r1", "b", "py", 30, "INSERT", 2)]),
+            batch_id=2, mode="mor")
+    view.refresh()
+    # the view is a lake table: its refresh history time-travels
+    old = view.read(snapshot=view.table.snapshot_at(v_before)).collect()
+    assert old[0]["n_files"] == 1 and old[0]["total_size"] == 10
+    new = view.read().collect()
+    assert new[0]["n_files"] == 2 and new[0]["total_size"] == 40
+
+    with pytest.raises(ValueError, match="no inverse"):
+        IncrementalAggView.create(spark, t, str(tmp_path / "v2"),
+                                  dims=["lang"],
+                                  aggs={"m": ("max", "size")})
+
+
+def test_view_randomized_against_recompute(spark, tmp_path):
+    """Deterministic pseudo-random churn: 5 refresh cycles over a keyed
+    stream with inserts/updates/deletes and dim moves; after every
+    refresh the view equals the full recompute."""
+    import random
+    rng = random.Random(7)
+    t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                         ["repo", "path"], num_buckets=4)
+    view = None
+    live = {}
+    gtid = 0
+    for cycle in range(5):
+        rows = []
+        for _ in range(40):
+            gtid += 1
+            key = (f"r{rng.randrange(6)}", f"f{rng.randrange(12)}")
+            if key in live and rng.random() < 0.25:
+                rows.append((*key, None, None, "DELETE", gtid))
+                live.pop(key)
+            else:
+                lang = rng.choice(["py", "go", "rs", None])
+                size = rng.choice([None, rng.randrange(100)])
+                op = "UPDATE" if key in live else "INSERT"
+                rows.append((*key, lang, size, op, gtid))
+                live[key] = (lang, size)
+        t.merge(_batch(spark, rows), batch_id=cycle + 1, mode="mor")
+        if view is None:
+            view = IncrementalAggView.create(
+                spark, t, str(tmp_path / "v"), dims=["lang"], aggs=AGGS,
+                num_buckets=2)
+        else:
+            view.refresh()
+        _assert_view_matches(view, t)

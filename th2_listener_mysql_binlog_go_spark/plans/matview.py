@@ -1,0 +1,285 @@
+"""Incrementally-maintained aggregate views (materialized-view
+maintenance from the changelog).
+
+The lake's ``changes()`` makes the table a CDC *source*; this module is
+its first in-repo consumer: an aggregate (``GROUP BY dims`` with
+count/sum/avg measures) materialized as its OWN LakeTable, keyed on the
+dims, and refreshed from the source's net changes instead of a full
+recompute. The reference feeds message queues whose consumers build
+exactly this kind of rollup by hand (th2 events-by-table dashboards);
+here the maintenance is a first-class, crash-safe lake operation.
+
+Scale shape of one refresh at 100 TB:
+  * ``changes(from_v)`` — the O(changes) incremental plan when sound
+    (window delta files + touched-bucket join), else the full diff;
+  * one groupBy over the O(changes) contribution rows;
+  * one join of those group deltas against the view state (the view is
+    O(#groups), orders of magnitude below the source);
+  * one keyed LakeTable.merge into the view — O(touched groups).
+Nothing scans the source table on the incremental path.
+
+Correctness model: every change row decomposes into signed contribution
+rows (+after for INSERT/UPDATE, −before for UPDATE/DELETE; UPDATE before
+images come from ``_before``, DELETE rows already carry theirs). count
+and sum are abelian-group aggregates, so the signed fold equals a full
+recompute EXACTLY for integer measures (float sums may differ in
+rounding by addition order — disclosed, tested with tolerance). avg is
+maintained as (sum, non-null count) and divided at read, matching SQL
+``avg``'s NULL handling. min/max are NOT groups (no inverse under
+deletion) and are rejected with a pointer at full recompute.
+
+Idempotence / crash safety ride the lake's own machinery: the refresh
+merges with ``batch_id = source_version``, so a crashed-and-replayed
+refresh is a no-op (lake.py's last_batch_id gate), and the watermark
+(``view_source_version``) commits atomically WITH the merged rows via
+``extra_properties`` — the view can never record a refresh it didn't
+apply, or apply one it didn't record.
+"""
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .lake import GTID_COL, OP_COL, LakeTable
+
+_ROWCNT = "_rowcnt"  # hidden liveness count: group row is deleted at 0
+_SIGN = "_sign"
+
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint", "long", "integer",
+              "short", "byte", "boolean"}
+
+
+def _storage_type(src: DataFrame, expr: str) -> str:
+    t = src.select(F.expr(expr).alias("_e")).schema[0].dataType.simpleString()
+    return "bigint" if t in _INT_TYPES else "double"
+
+
+class IncrementalAggView:
+    """A ``GROUP BY dims`` aggregate over a source LakeTable, stored as
+    its own LakeTable (keys = dims) and refreshed incrementally from
+    ``source.changes()``.
+
+    ``aggs`` maps output column name -> spec tuple:
+      ``("count",)``      — row count of the group;
+      ``("sum", expr)``   — sum of a SQL expression over source columns;
+      ``("avg", expr)``   — mean of the expression (NULLs excluded, like
+                            SQL ``avg``).
+
+    The view inherits the full lake surface: snapshot isolation, time
+    travel over refresh history, ``lookup()`` for single-group reads,
+    compaction, and the changelog (a view's ``changes()`` feeds the
+    NEXT consumer down the chain)."""
+
+    def __init__(self, spark: SparkSession, source: LakeTable, table: LakeTable):
+        self.spark = spark
+        self.source = source
+        self.table = table
+        props = table.snapshot.properties
+        self.dims: list[str] = json.loads(props["view_dims"])
+        self.aggs: dict[str, tuple] = {
+            k: tuple(v) for k, v in json.loads(props["view_aggs"]).items()}
+
+    # ------------------------------------------------------------- lifecycle
+
+    @classmethod
+    def create(cls, spark: SparkSession, source: LakeTable, root: str,
+               dims: list[str], aggs: dict[str, tuple],
+               num_buckets: int = 16) -> "IncrementalAggView":
+        """Full initial compute at the source's CURRENT version, then
+        incremental forever (``refresh``)."""
+        cls._validate(aggs)
+        src_cols = {c.name: c.type for c in source.snapshot.columns}
+        for d in dims:
+            if d not in src_cols:
+                raise ValueError(f"dim {d!r} is not a source column")
+        v0 = source.snapshot.version
+        src = source.read()
+
+        schema = [(d, src_cols[d]) for d in dims]
+        for name, spec in aggs.items():
+            for st_col, st_type in cls._storage_cols(name, spec, src):
+                schema.append((st_col, st_type))
+        schema.append((_ROWCNT, "bigint"))
+
+        table = LakeTable.create(
+            spark, root, schema, key_cols=list(dims), num_buckets=num_buckets,
+            properties={
+                "view_source_version": str(v0),
+                "view_source_root": source.root,
+                "view_dims": json.dumps(list(dims)),
+                "view_aggs": json.dumps({k: list(v) for k, v in aggs.items()}),
+            })
+        view = cls(spark, source, table)
+        init = src.groupBy(*[F.col(d) for d in dims]).agg(
+            F.count(F.lit(1)).alias(_ROWCNT), *view._full_agg_exprs())
+        table.merge(
+            init.withColumn(OP_COL, F.lit("INSERT"))
+                .withColumn(GTID_COL, F.lit(v0).cast("bigint")),
+            batch_id=v0, mode="mor",
+            extra_properties={"view_source_version": str(v0)})
+        return view
+
+    @classmethod
+    def load(cls, spark: SparkSession, source: LakeTable, root: str) -> "IncrementalAggView":
+        return cls(spark, source, LakeTable.load(spark, root))
+
+    @staticmethod
+    def _validate(aggs: dict[str, tuple]) -> None:
+        if not aggs:
+            raise ValueError("aggs must not be empty")
+        for name, spec in aggs.items():
+            kind = spec[0]
+            if kind in ("min", "max"):
+                raise ValueError(
+                    f"{name}: {kind} has no inverse under DELETE and cannot "
+                    "be maintained incrementally — recompute it from "
+                    "source.read() (or keep a count-per-value sketch upstream)")
+            if kind not in ("count", "sum", "avg"):
+                raise ValueError(f"{name}: unknown agg kind {kind!r}")
+            if kind in ("sum", "avg") and len(spec) != 2:
+                raise ValueError(f"{name}: {kind} takes exactly one expression")
+
+    @staticmethod
+    def _storage_cols(name: str, spec: tuple, src: DataFrame) -> list[tuple[str, str]]:
+        kind = spec[0]
+        if kind == "count":
+            return []  # rides the hidden _rowcnt
+        st = _storage_type(src, spec[1])
+        if kind == "sum":
+            return [(name, st)]
+        return [(f"_sum_{name}", "double"), (f"_nn_{name}", "bigint")]
+
+    # ------------------------------------------------------------- refresh
+
+    def refresh(self, mode: str = "auto") -> dict:
+        """Advance the view to the source's current version.
+
+        One ``changes()`` scan, one group-delta aggregate, one join
+        against current view state, one keyed merge. Re-running after a
+        crash is a no-op (batch_id gate); ``mode`` is passed through to
+        ``changes()`` ('auto' picks the O(changes) plan when the window
+        is sound, full diff otherwise)."""
+        from_v = int(self.table.snapshot.properties["view_source_version"])
+        to_v = self.source.snapshot.version
+        if to_v <= from_v:
+            return {"skipped": True, "from_version": from_v, "to_version": to_v}
+
+        keys = self.source.snapshot.key_names
+        val_cols = [c.name for c in self.source.snapshot.columns
+                    if c.name not in keys]
+        ch = self.source.changes(from_v, to_v, mode=mode, with_before=True)
+        ct = F.col("_change_type")
+
+        cols = keys + val_cols
+        after = (ch.filter(ct != "DELETE")
+                 .select(*cols).withColumn(_SIGN, F.lit(1)))
+        before_u = (ch.filter(ct == "UPDATE")
+                    .select(*[F.col(k) for k in keys],
+                            *[F.col(f"_before.{v}").alias(v) for v in val_cols])
+                    .withColumn(_SIGN, F.lit(-1)))
+        before_d = (ch.filter(ct == "DELETE")  # DELETE carries the before image
+                    .select(*cols).withColumn(_SIGN, F.lit(-1)))
+        contrib = after.unionByName(before_u).unionByName(before_d)
+
+        sign = F.col(_SIGN)
+        d_aggs = [F.coalesce(F.sum(sign), F.lit(0)).cast("bigint").alias("_d" + _ROWCNT)]
+        for name, spec in self.aggs.items():
+            kind = spec[0]
+            if kind == "count":
+                continue
+            e = F.expr(spec[1])
+            if kind == "sum":
+                st = dict(self._view_schema())[name]
+                d_aggs.append(F.coalesce(F.sum(e * sign), F.lit(0))
+                              .cast(st).alias(f"_d{name}"))
+            else:  # avg
+                d_aggs.append(F.coalesce(F.sum(e * sign), F.lit(0))
+                              .cast("double").alias(f"_d_sum_{name}"))
+                d_aggs.append(F.coalesce(
+                    F.sum(F.when(e.isNotNull(), sign)), F.lit(0))
+                    .cast("bigint").alias(f"_d_nn_{name}"))
+        deltas = contrib.groupBy(*[F.col(d) for d in self.dims]).agg(*d_aggs)
+
+        # join group deltas against current state — null-safe on dims
+        # (NULL is a legal group). deltas is O(changed groups).
+        cur = self.table.read().alias("cur")
+        dl = deltas.alias("dl")
+        cond = None
+        for d in self.dims:
+            c = F.col(f"dl.{d}").eqNullSafe(F.col(f"cur.{d}"))
+            cond = c if cond is None else (cond & c)
+        j = dl.join(cur, on=cond, how="left")
+
+        new_cnt = (F.coalesce(F.col(f"cur.{_ROWCNT}"), F.lit(0))
+                   + F.col(f"dl._d{_ROWCNT}"))
+        sel = [F.col(f"dl.{d}").alias(d) for d in self.dims]
+        for st_col, st_type in self._storage_pairs():
+            sel.append((F.coalesce(F.col(f"cur.{st_col}"),
+                                   F.lit(0).cast(st_type))
+                        + F.col(f"dl._d{st_col}")).cast(st_type).alias(st_col))
+        sel.append(new_cnt.cast("bigint").alias(_ROWCNT))
+        sel.append(F.when(new_cnt <= 0, F.lit("DELETE"))
+                   .otherwise(F.lit("UPDATE")).alias(OP_COL))
+        rows = j.select(*sel).withColumn(GTID_COL, F.lit(to_v).cast("bigint"))
+
+        m = self.table.merge(
+            rows, batch_id=to_v, mode="mor",
+            extra_properties={"view_source_version": str(to_v)})
+        m.update({"from_version": from_v, "to_version": to_v})
+        return m
+
+    def _storage_pairs(self) -> list[tuple[str, str]]:
+        schema = dict(self._view_schema())
+        out = []
+        for name, spec in self.aggs.items():
+            kind = spec[0]
+            if kind == "sum":
+                out.append((name, schema[name]))
+            elif kind == "avg":
+                out.append((f"_sum_{name}", "double"))
+                out.append((f"_nn_{name}", "bigint"))
+        return out
+
+    def _view_schema(self) -> list[tuple[str, str]]:
+        return [(c.name, c.type) for c in self.table.snapshot.columns]
+
+    def _full_agg_exprs(self) -> list:
+        out = []
+        for name, spec in self.aggs.items():
+            kind = spec[0]
+            if kind == "count":
+                continue
+            e = F.expr(spec[1])
+            if kind == "sum":
+                st = dict(self._view_schema())[name]
+                out.append(F.coalesce(F.sum(e), F.lit(0)).cast(st).alias(name))
+            else:
+                out.append(F.coalesce(F.sum(e), F.lit(0)).cast("double")
+                           .alias(f"_sum_{name}"))
+                out.append(F.count(e).alias(f"_nn_{name}"))
+        return out
+
+    # ------------------------------------------------------------- read
+
+    def read(self, snapshot=None) -> DataFrame:
+        """The user-facing aggregate: dims + one column per agg. count
+        exposes the liveness count; avg divides its (sum, non-null
+        count) pair — NULL for all-NULL groups, like SQL ``avg``."""
+        raw = self.table.read(snapshot=snapshot)
+        sel = [F.col(d) for d in self.dims]
+        for name, spec in self.aggs.items():
+            kind = spec[0]
+            if kind == "count":
+                sel.append(F.col(_ROWCNT).alias(name))
+            elif kind == "sum":
+                sel.append(F.col(name))
+            else:
+                sel.append((F.col(f"_sum_{name}")
+                            / F.nullif(F.col(f"_nn_{name}"), F.lit(0))
+                            ).alias(name))
+        return raw.select(*sel)
+
+    @property
+    def source_version(self) -> int:
+        return int(self.table.snapshot.properties["view_source_version"])
