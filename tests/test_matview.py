@@ -205,3 +205,62 @@ def test_view_randomized_against_recompute(spark, tmp_path):
         else:
             view.refresh()
         _assert_view_matches(view, t)
+
+
+def test_refresh_plan_prunes_view_to_touched_buckets(spark, tmp_path):
+    """The refresh join reads ONLY the view buckets the changed groups
+    hash to — a one-group change on a many-group view must not open the
+    other buckets' files."""
+    t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                         ["repo", "path"], num_buckets=2)
+    rows = [(f"r{i}", f"f{i}", f"l{i % 16}", i, "INSERT", i + 1)
+            for i in range(64)]  # 16 lang groups across 8 view buckets
+    t.merge(_batch(spark, rows), batch_id=1, mode="mor")
+    view = IncrementalAggView.create(spark, t, str(tmp_path / "v"),
+                                     dims=["lang"], aggs=AGGS, num_buckets=8)
+    view.table.compact()
+
+    t.merge(_batch(spark, [("r0", "f0", "l0", 99, "UPDATE", 100)]),
+            batch_id=2, mode="mor")
+    from_v = view.source_version
+    plan, cleanup = view._refresh_plan(from_v, t.snapshot.version, "auto")
+    try:
+        vroot = str(tmp_path / "v")
+        vfiles = [p for p in plan.inputFiles() if vroot in p]
+        by_path = {fi["path"]: fi["bucket"] for fi in view.table.snapshot.files}
+        touched = {b for p, b in by_path.items() if any(p in f for f in vfiles)}
+        assert len(touched) == 1  # only l0's bucket
+        assert len({b for b in by_path.values()}) > 1  # prune was non-trivial
+    finally:
+        cleanup()
+    view.refresh()
+    _assert_view_matches(view, t)
+
+
+def test_view_multi_dim(spark, tmp_path):
+    """Two-dim view (lang, repo): dim tuples group/merge/delete
+    correctly and match the recompute."""
+    t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                         ["repo", "path"], num_buckets=2)
+    t.merge(_batch(spark, [
+        ("r1", "a", "py", 10, "INSERT", 1),
+        ("r1", "b", "py", 20, "INSERT", 2),
+        ("r2", "c", "py", 30, "INSERT", 3),
+        ("r2", "d", "go", 40, "INSERT", 4),
+    ]), batch_id=1, mode="mor")
+    view = IncrementalAggView.create(
+        spark, t, str(tmp_path / "v"), dims=["lang", "repo"],
+        aggs={"n": ("count",), "s": ("sum", "size")}, num_buckets=2)
+    t.merge(_batch(spark, [
+        ("r1", "a", "go", 11, "UPDATE", 5),   # moves (py,r1) -> (go,r1)
+        ("r2", "c", None, None, "DELETE", 6),  # (py,r2) -> zero
+    ]), batch_id=2, mode="mor")
+    view.refresh()
+    got = {(r["lang"], r["repo"]): (r["n"], r["s"])
+           for r in view.read().collect()}
+    want = {(r["lang"], r["repo"]): (r["n"], r["s"])
+            for r in t.read().groupBy("lang", "repo")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("size").cast("bigint").alias("s")).collect()}
+    assert got == want
+    assert ("py", "r2") not in got and ("go", "r1") in got

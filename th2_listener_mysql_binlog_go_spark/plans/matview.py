@@ -13,8 +13,10 @@ Scale shape of one refresh at 100 TB:
   * ``changes(from_v)`` — the O(changes) incremental plan when sound
     (window delta files + touched-bucket join), else the full diff;
   * one groupBy over the O(changes) contribution rows;
-  * one join of those group deltas against the view state (the view is
-    O(#groups), orders of magnitude below the source);
+  * one join of those group deltas against the view state, pruned to
+    the BUCKETS the changed groups hash to (the CoW-merge trick — a
+    num_buckets-bounded driver collect): even a view with a billion
+    groups reads only the touched buckets' files;
   * one keyed LakeTable.merge into the view — O(touched groups).
 Nothing scans the source table on the incremental path.
 
@@ -164,7 +166,19 @@ class IncrementalAggView:
         to_v = self.source.snapshot.version
         if to_v <= from_v:
             return {"skipped": True, "from_version": from_v, "to_version": to_v}
+        rows, cleanup = self._refresh_plan(from_v, to_v, mode)
+        try:
+            m = self.table.merge(
+                rows, batch_id=to_v, mode="mor",
+                extra_properties={"view_source_version": str(to_v)})
+        finally:
+            cleanup()
+        m.update({"from_version": from_v, "to_version": to_v})
+        return m
 
+    def _refresh_plan(self, from_v: int, to_v: int, mode: str):
+        """The refresh DataFrame (merge-ready rows) plus a cleanup
+        thunk. Separated so tests can audit the plan's file set."""
         keys = self.source.snapshot.key_names
         val_cols = [c.name for c in self.source.snapshot.columns
                     if c.name not in keys]
@@ -201,9 +215,24 @@ class IncrementalAggView:
                     .cast("bigint").alias(f"_d_nn_{name}"))
         deltas = contrib.groupBy(*[F.col(d) for d in self.dims]).agg(*d_aggs)
 
+        # The deltas frame drives BOTH the bucket discovery and the join;
+        # persist so the O(changes) contribution scan runs once.
+        deltas = deltas.persist()
+
+        # Prune the view side to the buckets the changed groups hash to —
+        # the CoW-merge trick (num_buckets-bounded collect): refresh cost
+        # is O(changes + touched view buckets), so a million-group view
+        # touched in 3 groups reads ~3 buckets' files, never the view.
+        vsnap = self.table.snapshot
+        touched = {
+            r[0] for r in deltas.select(
+                self.table.bucket_expr(self.dims).alias("b")).distinct().collect()
+        }
+        sub = vsnap.sub([fi for fi in vsnap.files if fi["bucket"] in touched])
+
         # join group deltas against current state — null-safe on dims
         # (NULL is a legal group). deltas is O(changed groups).
-        cur = self.table.read().alias("cur")
+        cur = self.table.read(snapshot=sub).alias("cur")
         dl = deltas.alias("dl")
         cond = None
         for d in self.dims:
@@ -222,12 +251,7 @@ class IncrementalAggView:
         sel.append(F.when(new_cnt <= 0, F.lit("DELETE"))
                    .otherwise(F.lit("UPDATE")).alias(OP_COL))
         rows = j.select(*sel).withColumn(GTID_COL, F.lit(to_v).cast("bigint"))
-
-        m = self.table.merge(
-            rows, batch_id=to_v, mode="mor",
-            extra_properties={"view_source_version": str(to_v)})
-        m.update({"from_version": from_v, "to_version": to_v})
-        return m
+        return rows, lambda: deltas.unpersist()
 
     def _storage_pairs(self) -> list[tuple[str, str]]:
         schema = dict(self._view_schema())
