@@ -169,3 +169,55 @@ def test_spark_submit_catalog_replay_resume(spark, tmp_path):
         got = df_fingerprint(
             [r.asDict() for r in cat.get("repos", t).read().collect()])
         assert got == expected, t
+
+
+def test_spark_submit_view_lifecycle(spark, tmp_path):
+    """Materialized-view surface as real spark-submit child processes:
+    create over a replayed table, advance the source in another process,
+    refresh in a THIRD process (watermark persisted across processes),
+    and the shown groups match a recompute."""
+    from pyspark.sql import functions as F
+
+    zpath = _zip_pkg(str(tmp_path))
+    script = str(tmp_path / "run_cdc.py")
+    with open(script, "w") as f:
+        f.write(RUNNER)
+
+    src = str(tmp_path / "events")
+    stream = synthetic_changestream(spark, 1500, n_repos=20, n_paths=40,
+                                    truncate_per_10k=0)
+    stream.write.parquet(src)
+    table_dir = str(tmp_path / "t")
+    view_dir = str(tmp_path / "view")
+
+    _submit(zpath, script, "create", "--table", table_dir,
+            "--schema", "repo string, path string, commit string, lang string, content string",
+            "--keys", "repo,path", "--num-buckets", "8")
+    _submit(zpath, script, "replay", "--table", table_dir,
+            "--source", src, "--batch-span", "500", "--max-batches", "1")
+    created = _submit(
+        zpath, script, "view-create", "--source", table_dir,
+        "--view", view_dir, "--dims", "lang",
+        "--agg", "n_files=count", "--agg", "total_len=sum:length(content)",
+        "--num-buckets", "4")
+    assert created["groups"] > 0
+
+    _submit(zpath, script, "replay", "--table", table_dir,
+            "--source", src, "--batch-span", "500")
+    refreshed = _submit(zpath, script, "view-refresh",
+                        "--source", table_dir, "--view", view_dir)
+    assert refreshed["to_version"] > refreshed["from_version"]
+    again = _submit(zpath, script, "view-refresh",
+                    "--source", table_dir, "--view", view_dir)
+    assert again["skipped"] is True
+
+    shown = _submit(zpath, script, "view-show", "--source", table_dir,
+                    "--view", view_dir, "--limit", "100")
+    got = {r["lang"]: (r["n_files"], r["total_len"]) for r in shown["rows"]}
+    want = {r["lang"]: (r["n"], r["s"])
+            for r in LakeTable.load(spark, table_dir).read()
+            .groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("content")).cast("bigint").alias("s")).collect()}
+    assert got == want
+    shutil.rmtree(src, ignore_errors=True)

@@ -331,6 +331,57 @@ def cmd_changes(args) -> dict:
             "rows": n, "out": args.out}
 
 
+def cmd_view_create(args) -> dict:
+    """Materialize a GROUP BY aggregate view over a lake table; refresh
+    it incrementally with ``view-refresh``. --agg takes
+    name=count | name=sum:EXPR | name=avg:EXPR (repeatable)."""
+    from .plans.lake import LakeTable
+    from .plans.matview import IncrementalAggView
+
+    spark = _spark("cdc-view-create")
+    src = LakeTable.load(spark, args.source)
+    aggs = {}
+    for spec in args.agg:
+        name, _, rest = spec.partition("=")
+        kind, _, expr = rest.partition(":")
+        aggs[name] = (kind,) if kind == "count" else (kind, expr)
+    v = IncrementalAggView.create(spark, src, args.view,
+                                  dims=args.dims.split(","), aggs=aggs,
+                                  num_buckets=args.num_buckets)
+    return {"view": args.view, "source": args.source, "dims": v.dims,
+            "aggs": {k: list(s) for k, s in v.aggs.items()},
+            "source_version": v.source_version,
+            "groups": v.read().count()}
+
+
+def cmd_view_refresh(args) -> dict:
+    """Advance a materialized view to the source's current version —
+    O(changes + touched groups), idempotent under crash-replay."""
+    from .plans.lake import LakeTable
+    from .plans.matview import IncrementalAggView
+
+    spark = _spark("cdc-view-refresh")
+    src = LakeTable.load(spark, args.source)
+    v = IncrementalAggView.load(spark, src, args.view)
+    m = v.refresh(mode=args.mode)
+    out = {"view": args.view, "source": args.source}
+    out.update({k: m[k] for k in ("skipped", "from_version", "to_version")
+                if k in m})
+    return out
+
+
+def cmd_view_show(args) -> dict:
+    from .plans.lake import LakeTable
+    from .plans.matview import IncrementalAggView
+
+    spark = _spark("cdc-view-show")
+    src = LakeTable.load(spark, args.source)
+    v = IncrementalAggView.load(spark, src, args.view)
+    rows = [r.asDict() for r in v.read().limit(args.limit).collect()]
+    return {"view": args.view, "dims": v.dims,
+            "source_version": v.source_version, "rows": rows}
+
+
 def cmd_show(args) -> dict:
     from .plans.lake import LakeTable
 
@@ -546,6 +597,30 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--include-meta", action="store_true")
     sp.add_argument("--out", required=True, help="parquet output directory")
     sp.set_defaults(fn=cmd_changes)
+
+    sp = sub.add_parser("view-create")
+    sp.add_argument("--source", required=True, help="source lake table root")
+    sp.add_argument("--view", required=True, help="view table root to create")
+    sp.add_argument("--dims", required=True,
+                    help="comma-separated group-by columns")
+    sp.add_argument("--agg", action="append", required=True,
+                    help="name=count | name=sum:EXPR | name=avg:EXPR "
+                         "(repeatable)")
+    sp.add_argument("--num-buckets", type=int, default=16, dest="num_buckets")
+    sp.set_defaults(fn=cmd_view_create)
+
+    sp = sub.add_parser("view-refresh")
+    sp.add_argument("--source", required=True)
+    sp.add_argument("--view", required=True)
+    sp.add_argument("--mode", choices=["auto", "incremental", "diff"],
+                    default="auto")
+    sp.set_defaults(fn=cmd_view_refresh)
+
+    sp = sub.add_parser("view-show")
+    sp.add_argument("--source", required=True)
+    sp.add_argument("--view", required=True)
+    sp.add_argument("--limit", type=int, default=50)
+    sp.set_defaults(fn=cmd_view_show)
 
     args = p.parse_args(argv)
     print(json.dumps(args.fn(args)))
