@@ -264,3 +264,24 @@ def test_view_multi_dim(spark, tmp_path):
                  F.sum("size").cast("bigint").alias("s")).collect()}
     assert got == want
     assert ("py", "r2") not in got and ("go", "r1") in got
+
+
+def test_view_survives_source_truncate_via_diff_fallback(spark, tmp_path):
+    """A TRUNCATE in the refresh window (gate: truncate_gtid changed)
+    forces the diff plan; every pre-truncate group must drop out of the
+    view and post-truncate rows re-aggregate from scratch."""
+    t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                         ["repo", "path"], num_buckets=2)
+    t.merge(_batch(spark, [("r1", "a", "py", 10, "INSERT", 1),
+                           ("r2", "b", "go", 20, "INSERT", 2)]),
+            batch_id=1, mode="mor")
+    view = IncrementalAggView.create(spark, t, str(tmp_path / "v"),
+                                     dims=["lang"], aggs=AGGS)
+    t.truncate()
+    t.merge(_batch(spark, [("r3", "c", "rs", 30, "INSERT", 3)]),
+            batch_id=2, mode="mor")
+    assert t.changes_plan(view.source_version) == "diff"
+    view.refresh()
+    _assert_view_matches(view, t)
+    langs = {r["lang"] for r in view.read().collect()}
+    assert langs == {"rs"}
