@@ -285,3 +285,50 @@ def test_view_survives_source_truncate_via_diff_fallback(spark, tmp_path):
     _assert_view_matches(view, t)
     langs = {r["lang"] for r in view.read().collect()}
     assert langs == {"rs"}
+
+
+def test_view_rebuild_after_watermark_expiry(spark, tmp_path):
+    """When the source expires the view's watermark version, refresh()
+    raises (the changes window is gone); rebuild() recovers with a full
+    recompute in ONE atomic commit — a truncate marker kills every old
+    group row in the same snapshot that adds the recomputed ones."""
+    t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                         ["repo", "path"], num_buckets=2)
+    t.merge(_batch(spark, [("r1", "a", "py", 10, "INSERT", 1),
+                           ("r2", "b", "go", 20, "INSERT", 2)]),
+            batch_id=1, mode="mor")
+    view = IncrementalAggView.create(spark, t, str(tmp_path / "v"),
+                                     dims=["lang"], aggs=AGGS)
+    for i in range(2, 8):   # advance the source well past the watermark
+        t.merge(_batch(spark, [
+            (f"r{i}", "c", "rs", i, "INSERT", i + 10),
+            ("r2", "b", None, None, "DELETE", 100) if i == 4
+            else (f"r{i}", "d", "py", i, "INSERT", i + 200),
+        ]), batch_id=i, mode="mor")
+    t.expire_snapshots(keep_last=2)
+    with pytest.raises(ValueError, match="expired"):
+        view.refresh()
+    m = view.rebuild()
+    assert m.get("rebuilt") and m["to_version"] == t.snapshot.version
+    _assert_view_matches(view, t)
+    assert "go" not in {r["lang"] for r in view.read().collect()}
+    # idempotent: a replayed rebuild is a no-op
+    assert view.rebuild().get("skipped")
+    # and incremental refresh resumes from the rebuilt watermark
+    t.merge(_batch(spark, [("rz", "z", "zig", 1, "INSERT", 300)]),
+            batch_id=9, mode="mor")
+    view.refresh()
+    _assert_view_matches(view, t)
+
+
+def test_view_agg_name_collision_rejected(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                         ["repo", "path"], num_buckets=2)
+    with pytest.raises(ValueError, match="collides"):
+        IncrementalAggView.create(spark, t, str(tmp_path / "v"),
+                                  dims=["lang"],
+                                  aggs={"lang": ("count",)})
+    with pytest.raises(ValueError, match="collides"):
+        IncrementalAggView.create(spark, t, str(tmp_path / "v2"),
+                                  dims=["lang"],
+                                  aggs={"_rowcnt": ("count",)})

@@ -90,7 +90,7 @@ class IncrementalAggView:
                num_buckets: int = 16) -> "IncrementalAggView":
         """Full initial compute at the source's CURRENT version, then
         incremental forever (``refresh``)."""
-        cls._validate(aggs)
+        cls._validate(aggs, dims)
         src_cols = {c.name: c.type for c in source.snapshot.columns}
         for d in dims:
             if d not in src_cols:
@@ -127,9 +127,20 @@ class IncrementalAggView:
         return cls(spark, source, LakeTable.load(spark, root))
 
     @staticmethod
-    def _validate(aggs: dict[str, tuple]) -> None:
+    def _validate(aggs: dict[str, tuple], dims: list[str] | None = None) -> None:
         if not aggs:
             raise ValueError("aggs must not be empty")
+        dims = dims or []
+        if len(set(dims)) != len(dims):
+            raise ValueError(f"duplicate dim in {dims}")
+        reserved = set(dims) | {_ROWCNT}
+        for name, spec in aggs.items():
+            if name in reserved:
+                raise ValueError(
+                    f"agg name {name!r} collides with a dim or reserved column")
+            if spec[0] == "avg":
+                reserved |= {f"_sum_{name}", f"_nn_{name}"}
+            reserved.add(name)
         for name, spec in aggs.items():
             kind = spec[0]
             if kind in ("min", "max"):
@@ -252,6 +263,34 @@ class IncrementalAggView:
                    .otherwise(F.lit("UPDATE")).alias(OP_COL))
         rows = j.select(*sel).withColumn(GTID_COL, F.lit(to_v).cast("bigint"))
         return rows, lambda: deltas.unpersist()
+
+    def rebuild(self) -> dict:
+        """Full recompute in ONE atomic commit — the recovery path when
+        the refresh watermark fell out of the source's retained snapshot
+        history (``changes()`` raises "unknown or expired"; the feed-
+        publisher analogue raises too — but a view, unlike a DELETE
+        stream, CAN be safely rebuilt from current state).
+
+        All previous group rows die via a ``truncate_gtid = v−1`` marker
+        committed atomically WITH the recomputed rows (written at
+        ``_gtid = v``): readers never see a half-rebuilt view, a crash
+        before the commit changes nothing, and the old delta files'
+        stamped gtid envelopes fall at or below the marker so subsequent
+        scans plan them out entirely."""
+        v = self.source.snapshot.version
+        from_v = int(self.table.snapshot.properties["view_source_version"])
+        if v <= from_v:
+            return {"skipped": True, "from_version": from_v, "to_version": v}
+        init = self.source.read().groupBy(*[F.col(d) for d in self.dims]).agg(
+            F.count(F.lit(1)).alias(_ROWCNT), *self._full_agg_exprs())
+        rows = (init.withColumn(OP_COL, F.lit("INSERT"))
+                .withColumn(GTID_COL, F.lit(v).cast("bigint")))
+        m = self.table.merge(
+            rows, batch_id=v, mode="mor",
+            extra_properties={"view_source_version": str(v),
+                              "truncate_gtid": str(v - 1)})
+        m.update({"from_version": from_v, "to_version": v, "rebuilt": True})
+        return m
 
     def _storage_pairs(self) -> list[tuple[str, str]]:
         schema = dict(self._view_schema())
