@@ -1,0 +1,90 @@
+"""changes() keyset pushdown: the incremental plan's old-state read is
+prefiltered to the window's changed keys — identical results to the
+unfiltered plan, with the key predicate pushed into the old-side scans."""
+
+from pyspark.sql import functions as F
+
+from th2_listener_mysql_binlog_go_spark.plans.lake import LakeTable
+
+SCHEMA = [("repo", "string"), ("path", "string"), ("content", "string")]
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, content string, _op string, _gtid long")
+
+
+def _norm(df):
+    return sorted(
+        [tuple(r) for r in df.collect()],
+        key=lambda t: tuple((v is None, v) for v in t))
+
+
+def test_keyset_prefilter_matches_unfiltered_and_pushes_down(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], num_buckets=4)
+    rows = [(f"r{i % 20}", f"f{i}", f"v{i}", "INSERT", i + 1) for i in range(200)]
+    t.merge(_batch(spark, rows), batch_id=1, mode="mor")
+    v0 = t.snapshot.version
+    t.merge(_batch(spark, [
+        ("r3", "f3", "v3b", "UPDATE", 500),
+        ("r5", "f5", None, "DELETE", 501),
+        ("rX", "fX", "new", "INSERT", 502),
+        ("r7", "f7", "v7", "UPDATE", 503),   # no-op rewrite: must not emit
+    ]), batch_id=2, mode="mor")
+
+    assert t.changes_plan(v0) == "incremental"
+    fast = t.changes(v0)                                # prefilter on (default)
+    slow = t.changes(v0, keyset_pushdown_max=0)         # prefilter off
+    diff = t.changes(v0, mode="diff")
+    assert _norm(fast) == _norm(slow) == _norm(diff)
+
+    # the changed-key predicate reached the old-side parquet scan
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "In(repo, " in plan or "In(path, " in plan, plan
+
+    # with_before parity under the prefilter
+    fb = t.changes(v0, with_before=True).select(
+        "repo", "path", "_change_type", F.col("_before.content").alias("bc"))
+    sb = t.changes(v0, with_before=True, keyset_pushdown_max=0).select(
+        "repo", "path", "_change_type", F.col("_before.content").alias("bc"))
+    assert _norm(fb) == _norm(sb)
+    before = {(r["repo"], r["path"]): r["bc"] for r in fb.collect()}
+    assert before[("r3", "f3")] == "v3"     # UPDATE carries the old value
+    assert before[("rX", "fX")] is None     # INSERT has no before image
+
+
+def test_keyset_prefilter_handles_null_key_components(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], num_buckets=2)
+    t.merge(_batch(spark, [
+        ("r1", None, "a", "INSERT", 1),     # NULL key component
+        ("r1", "p1", "b", "INSERT", 2),
+        ("r2", "p2", "c", "INSERT", 3),
+    ]), batch_id=1, mode="mor")
+    v0 = t.snapshot.version
+    t.merge(_batch(spark, [
+        ("r1", None, "a2", "UPDATE", 10),   # must find its before image
+        ("r2", "p2", None, "DELETE", 11),
+    ]), batch_id=2, mode="mor")
+    fast = t.changes(v0)
+    slow = t.changes(v0, keyset_pushdown_max=0)
+    assert _norm(fast) == _norm(slow)
+    got = {(r["repo"], r["path"]): r["_change_type"] for r in fast.collect()}
+    assert got == {("r1", None): "UPDATE", ("r2", "p2"): "DELETE"}
+
+
+def test_keyset_prefilter_disengages_over_cap(spark, tmp_path):
+    """More changed keys than the cap: the bounded probe gives up and the
+    unfiltered plan runs — results identical."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], num_buckets=2)
+    rows = [(f"r{i}", f"f{i}", f"v{i}", "INSERT", i + 1) for i in range(50)]
+    t.merge(_batch(spark, rows), batch_id=1, mode="mor")
+    v0 = t.snapshot.version
+    upd = [(f"r{i}", f"f{i}", f"u{i}", "UPDATE", 100 + i) for i in range(50)]
+    t.merge(_batch(spark, upd), batch_id=2, mode="mor")
+    capped = t.changes(v0, keyset_pushdown_max=10)   # 50 keys > cap
+    full = t.changes(v0, keyset_pushdown_max=0)
+    assert _norm(capped) == _norm(full)
+    assert capped.count() == 50

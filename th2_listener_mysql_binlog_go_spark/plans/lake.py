@@ -709,7 +709,8 @@ class LakeTable:
 
     def changes(self, from_version: int | str, to_version: int | str | None = None,
                 mode: str = "auto", include_meta: bool = False,
-                with_before: bool = False) -> DataFrame:
+                with_before: bool = False,
+                keyset_pushdown_max: int = 4096) -> DataFrame:
         """Row-level net changes between two snapshots — the lake as a CDC
         *source* (Iceberg's changelog scan / Delta CDF analogue): the
         binlog fed the table; ``changes()`` re-publishes the table's own
@@ -737,7 +738,20 @@ class LakeTable:
         ``with_before`` adds a ``_before`` struct of the non-key columns'
         prior values (NULL for INSERT) — the Update bean's Before image
         (update.go:23-31), free in both plans since each already joins
-        the old state."""
+        the old state.
+
+        ``keyset_pushdown_max``: on the incremental plan, when the
+        window's distinct changed keys number at most this (one bounded
+        driver job, ``limit(max+1)`` — never an unbounded collect), a
+        per-column ``isin`` prefilter narrows the old-state read to the
+        changed keys BEFORE its LWW window (safe: the window partitions
+        by exactly those keys, so whole key groups pass or fail together,
+        and per-column sets are a superset of the exact tuples — the join
+        applies exact equality). Catalyst pushes the filter through the
+        window into the parquet scans, collapsing the touched-bucket
+        resolve's shuffle/window volume from O(bucket rows) to ~O(changed
+        keys) — the lever for uniformly-spread small batches, whose
+        touched buckets are the whole table. 0 disables."""
         if mode not in ("auto", "incremental", "diff"):
             raise ValueError(f"unknown mode {mode!r}")
         from_snap = self.snapshot_at(from_version)
@@ -791,11 +805,17 @@ class LakeTable:
             old_state = self.read(snapshot=self._hybrid_snapshot(
                 [fi for fi in from_snap.files if fi["bucket"] in touched],
                 from_snap.properties, from_snap.num_buckets))
+            kf = self._keyset_prefilter(new_rows, keys, keyset_pushdown_max)
+            if kf is not None:
+                old_state = old_state.filter(kf)
+            # null-safe key join: an equality `on=keys` would never match
+            # a NULL key component, misreading its UPDATE as an INSERT
             old = old_state.select(
-                *[F.col(k) for k in keys],
+                *[F.col(k).alias(f"_oldk_{k}") for k in keys],
                 *[F.col(v).alias(f"_old_{v}") for v in val_cols],
             ).withColumn("_old_exists", F.lit(True))
-            j = net.join(old, on=keys, how="left")
+            j = net.join(old, on=self._nullsafe_key_cond(keys), how="left"
+                         ).drop(*[f"_oldk_{k}" for k in keys])
             is_del = F.col(OP_COL) == "DELETE"
             exists = F.col("_old_exists").isNotNull()
             # net semantics, same as the diff plan: a rewrite to identical
@@ -825,12 +845,13 @@ class LakeTable:
                 from_snap.files, from_snap.properties, from_snap.num_buckets))
         new_full = self.read(include_meta=include_meta, snapshot=to_snap)
         o = old_full.select(
-            *[F.col(k) for k in keys],
+            *[F.col(k).alias(f"_oldk_{k}") for k in keys],
             *[F.col(c).alias(f"_old_{c}") for c in val_cols + meta_cols],
         ).withColumn("_old_exists", F.lit(True))
         n = new_full.select(
             keys + val_cols + meta_cols).withColumn("_new_exists", F.lit(True))
-        j = n.join(o, on=keys, how="full_outer")
+        # null-safe key join (NULL key components must pair across sides)
+        j = n.join(o, on=self._nullsafe_key_cond(keys), how="full_outer")
         new_ex = F.col("_new_exists").isNotNull()
         old_ex = F.col("_old_exists").isNotNull()
         same = F.struct(*[F.col(v) for v in val_cols]).eqNullSafe(
@@ -841,7 +862,12 @@ class LakeTable:
                         F.when(new_ex & old_ex, "UPDATE")
                         .when(new_ex, "INSERT").otherwise("DELETE"))
         )
-        sel = [F.col(k) for k in keys] + [
+        sel = [
+            # DELETE rows have no n side; new_ex (not coalesce) picks the
+            # side, since a matched key component may be legitimately NULL
+            F.when(new_ex, F.col(k)).otherwise(F.col(f"_oldk_{k}")).alias(k)
+            for k in keys
+        ] + [
             F.when(F.col("_change_type") == "DELETE", F.col(f"_old_{v}"))
             .otherwise(F.col(v)).alias(v)
             for v in val_cols
@@ -853,6 +879,38 @@ class LakeTable:
         if with_before:
             sel.append(self._before_struct(val_cols, old_ex).alias("_before"))
         return out.select(*sel)
+
+    @staticmethod
+    def _nullsafe_key_cond(keys: list[str]):
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"_oldk_{k}"))
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    @staticmethod
+    def _keyset_prefilter(new_rows: DataFrame, keys: list[str], cap: int):
+        """Per-column membership condition over the window's changed keys
+        (None when the key set exceeds ``cap`` or is empty). The distinct
+        keys of the window's raw rows equal the net winners' keys (one
+        winner per key), so no window is needed to enumerate them; the
+        driver job is bounded by ``limit(cap + 1)``. NULL key components
+        get an explicit isNull arm (``isin`` never matches NULL)."""
+        if cap <= 0:
+            return None
+        rows = new_rows.select(*keys).distinct().limit(cap + 1).collect()
+        if not rows or len(rows) > cap:
+            return None
+        cond = None
+        for k in keys:
+            vals = {r[k] for r in rows}
+            has_null = None in vals
+            vals.discard(None)
+            c = F.col(k).isin(*vals) if vals else F.lit(False)
+            if has_null:
+                c = c | F.col(k).isNull()
+            cond = c if cond is None else (cond & c)
+        return cond
 
     @staticmethod
     def _before_struct(val_cols: list[str], old_exists):
