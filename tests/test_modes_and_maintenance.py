@@ -205,3 +205,81 @@ def test_snapshot_metadata_stays_bounded(spark, tmp_path):
                  config=ApplyConfig(files_per_bucket=fpb,
                                     auto_compact_deltas="auto")).run(more)
     assert len(t.snapshot.files) <= bound
+
+
+def test_compact_sort_by_clusters_files_without_extra_exchange(spark, tmp_path):
+    """compact(sort_by=[...]): each written file's rows are clustered by
+    the sort columns (row-group min/max pruning at real file sizes), the
+    final state is unchanged, the plan gains NO extra exchange, and the
+    durable compact_sort_by property drives later compactions."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from th2_listener_mysql_binlog_go_spark.plans.lake import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        [("repo", "string"), ("path", "string"), ("lang", "string"),
+         ("content", "string")],
+        ["repo", "path"], num_buckets=4)
+    rows = [(f"r{i % 7}", f"f{i}", ["py", "go", "rs"][i % 3], f"v{i}",
+             "INSERT", i + 1) for i in range(300)]
+    t.merge(spark.createDataFrame(
+        rows, "repo string, path string, lang string, content string, "
+              "_op string, _gtid long"), batch_id=1, mode="mor")
+    before = sorted([tuple(r) for r in t.read().collect()])
+
+    n = t.compact(sort_by=["lang"])
+    assert n > 0
+    t2 = LakeTable.load(spark, str(tmp_path / "t"))
+    assert sorted([tuple(r) for r in t2.read().collect()]) == before
+
+    # every data file is clustered: langs appear in runs, not interleaved
+    import os as _os
+    files = [fi for fi in t2.snapshot.files]
+    assert files
+    for fi in files:
+        langs = pq.read_table(_os.path.join(str(tmp_path / "t"), fi["path"]),
+                              columns=["lang"])["lang"].to_pylist()
+        runs = 1 + sum(1 for a, b in zip(langs, langs[1:]) if a != b)
+        assert runs <= 3, (fi["path"], runs)  # one run per distinct lang
+
+    # unknown column rejected
+    try:
+        t2.compact(sort_by=["nope"])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+    # the sort adds NO exchange: identical job/stage counts for a
+    # sorted vs plain compaction of identical fresh tables
+    def _compact_stages(root, sb):
+        tt = LakeTable.create(
+            spark, root,
+            [("repo", "string"), ("path", "string"), ("lang", "string"),
+             ("content", "string")], ["repo", "path"], num_buckets=4)
+        tt.merge(spark.createDataFrame(
+            rows, "repo string, path string, lang string, content string, "
+                  "_op string, _gtid long"), batch_id=1, mode="mor")
+        tr0 = spark.sparkContext.statusTracker()
+        before_jobs = set(tr0.getJobIdsForGroup(None) or [])
+        tt.compact(sort_by=sb)
+        tr = spark.sparkContext.statusTracker()
+        jobs = [j for j in (tr.getJobIdsForGroup(None) or [])
+                if j not in before_jobs]
+        return sum(len(tr.getJobInfo(j).stageIds) for j in jobs
+                   if tr.getJobInfo(j))
+    assert (_compact_stages(str(tmp_path / "p1"), None)
+            == _compact_stages(str(tmp_path / "p2"), ["lang"]))
+
+    # durable policy: the property drives a later compaction
+    t2.set_properties({"compact_sort_by": "lang"})
+    t2.merge(spark.createDataFrame(
+        [("r1", "f1", "go", "v1b", "UPDATE", 1000)],
+        "repo string, path string, lang string, content string, "
+        "_op string, _gtid long"), batch_id=2, mode="mor")
+    t3 = LakeTable.load(spark, str(tmp_path / "t"))
+    assert t3.compact() > 0
+    t4 = LakeTable.load(spark, str(tmp_path / "t"))
+    got = {(r["repo"], r["path"]): r["lang"] for r in t4.read().collect()}
+    assert got[("r1", "f1")] == "go"

@@ -33,6 +33,9 @@ the persisted watermark):
   tag             pin/move/drop a named tag on a snapshot version
   lookup          bucket-pruned point read of one key
   changes         net row-level changes between two snapshots -> parquet
+  view-create     materialize a GROUP BY aggregate view over a table
+  view-refresh    advance a view from the source changelog (incremental)
+  view-show       print a view's groups
 
 Example (single table, create + replay + compact):
 
@@ -239,7 +242,8 @@ def cmd_compact(args) -> dict:
 
     spark = _spark("cdc-compact")
     t = LakeTable.load(spark, args.table)
-    n = t.compact(files_per_bucket=args.files_per_bucket)
+    sort_by = args.sort_by.split(",") if args.sort_by else None
+    n = t.compact(files_per_bucket=args.files_per_bucket, sort_by=sort_by)
     return {"table": args.table, "compacted_buckets": n, "version": t.snapshot.version}
 
 
@@ -528,6 +532,9 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("compact")
     sp.add_argument("--table", required=True)
     sp.add_argument("--files-per-bucket", type=int, default=1)
+    sp.add_argument("--sort-by", default=None, dest="sort_by",
+                    help="comma-separated columns to cluster each written "
+                         "file by (Iceberg sort-order analogue)")
     sp.set_defaults(fn=cmd_compact)
 
     sp = sub.add_parser("rebucket")

@@ -1629,7 +1629,8 @@ class LakeTable:
         return new_num_buckets
 
     def compact(self, target_buckets: list[int] | None = None,
-                files_per_bucket: int = 1) -> int:
+                files_per_bucket: int = 1,
+                sort_by: list[str] | None = None) -> int:
         """Fold deltas into base and coalesce fragmented buckets: rewrite
         every bucket that has delta files, or base files from more than
         one commit, into fresh single-commit base files (idempotent — a
@@ -1653,8 +1654,26 @@ class LakeTable:
         floor bounds any task's external sort to a few input files'
         bytes, and when few buckets are dirty the salt cardinality is
         RAISED (``fpb_eff``) so parallelism never caps at the dirty-bucket
-        count."""
+        count.
+
+        ``sort_by`` (or the durable ``compact_sort_by`` table property,
+        comma-separated) re-clusters each written file by the given
+        columns — the Iceberg sort-order analogue for NON-key predicates:
+        a read filtered on a clustered column skips whole parquet row
+        groups by min/max stats. One extra in-partition sort, NO extra
+        exchange (asserted by test). Trade disclosed: the default
+        (no sort_by) leaves files key-sorted, which is what gives
+        ``lookup()`` its row-group pruning — cluster by what the
+        workload filters on."""
         snap = self.snapshot
+        if sort_by is None:
+            sort_by = [c for c in
+                       snap.properties.get("compact_sort_by", "").split(",") if c]
+        if sort_by:
+            known = {c.name for c in snap.columns}
+            bad = [c for c in sort_by if c not in known]
+            if bad:
+                raise ValueError(f"sort_by columns not in table: {bad}")
 
         # A bucket needs work when it holds deltas, or base files from MORE
         # THAN ONE commit (several CoW merges / an interrupted history).
@@ -1750,6 +1769,14 @@ class LakeTable:
             out.withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") == 1) & (F.col(OP_COL) != "DELETE"))
         )
+        if sort_by:
+            # In-partition sort, no new shuffle — and it must LEAD with
+            # the bucket column: the partitioned write requires ordering
+            # by its partition column and would otherwise insert its own
+            # (non-stable) sort on _bucket_p alone, destroying the
+            # clustering; with the bucket as prefix (alias-aware ordering
+            # survives the projection) the writer reuses this sort.
+            winners = winners.sortWithinPartitions(BUCKET_COL, *sort_by)
         cols = self._physical_out_cols(snap) + [F.col(GTID_COL), F.col(SEQ_COL), F.col(BUCKET_COL)]
         new_version = snap.version + 1
         commit_dir_rel = os.path.join("data", f"k{new_version:012d}-{uuid.uuid4().hex[:8]}")
