@@ -332,3 +332,56 @@ def test_view_agg_name_collision_rejected(spark, tmp_path):
         IncrementalAggView.create(spark, t, str(tmp_path / "v2"),
                                   dims=["lang"],
                                   aggs={"_rowcnt": ("count",)})
+
+
+def test_view_refresh_across_source_schema_evolution(spark, tmp_path):
+    """An ADD COLUMN lands inside the refresh window: the changelog's
+    hybrid read maps old files to head's column ids, contributions carry
+    the new column (NULL for pre-evolution winners), and the view still
+    equals the recompute."""
+    t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                         ["repo", "path"], num_buckets=2)
+    t.merge(_batch(spark, [("r1", "a", "py", 10, "INSERT", 1),
+                           ("r2", "b", "go", 20, "INSERT", 2)]),
+            batch_id=1, mode="mor")
+    view = IncrementalAggView.create(spark, t, str(tmp_path / "v"),
+                                     dims=["lang"], aggs=AGGS)
+    t.add_column("stars", "int")
+    wide = spark.createDataFrame(
+        [("r3", "c", "py", 30, 5, "INSERT", 3),
+         ("r1", "a", "py", 11, 2, "UPDATE", 4)],
+        "repo string, path string, lang string, size int, stars int, "
+        "_op string, _gtid long")
+    t.merge(wide, batch_id=2, mode="mor")
+    view.refresh()
+    _assert_view_matches(view, t)
+
+    # a NEW view over the evolved schema can aggregate the new column
+    v2 = IncrementalAggView.create(
+        spark, t, str(tmp_path / "v2"), dims=["lang"],
+        aggs={"n": ("count",), "s_stars": ("sum", "coalesce(stars, 0)")})
+    got = {r["lang"]: r["s_stars"] for r in v2.read().collect()}
+    assert got == {"py": 7, "go": 0}
+
+
+def test_view_changes_feeds_downstream(spark, tmp_path):
+    """The view is itself a changelog source: after a refresh, the view
+    table's changes() emits exactly the changed GROUPS (group-level
+    CDC-out — the next consumer down the chain)."""
+    t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                         ["repo", "path"], num_buckets=2)
+    t.merge(_batch(spark, [("r1", "a", "py", 10, "INSERT", 1),
+                           ("r2", "b", "go", 20, "INSERT", 2),
+                           ("r3", "c", "rs", 30, "INSERT", 3)]),
+            batch_id=1, mode="mor")
+    view = IncrementalAggView.create(spark, t, str(tmp_path / "v"),
+                                     dims=["lang"], aggs=AGGS)
+    v_before = view.table.snapshot.version
+    t.merge(_batch(spark, [
+        ("r1", "a2", "py", 5, "INSERT", 4),          # py group changes
+        ("r2", "b", None, None, "DELETE", 5),         # go group -> zero
+    ]), batch_id=2, mode="mor")
+    view.refresh()
+    ch = view.table.changes(v_before)
+    got = {(r["lang"], r["_change_type"]) for r in ch.collect()}
+    assert got == {("py", "UPDATE"), ("go", "DELETE")}  # rs untouched
