@@ -24,12 +24,18 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 def _bulk(spark, n, gtid0, op="INSERT"):
-    # deterministic keyed rows: ~n distinct (repo, path) keys, 7 langs
+    # deterministic keyed rows: ~n distinct (repo, path) keys, 7 langs.
+    # UPDATE batches salt the commit with the gtid base so the rewrite
+    # actually changes a value column — net-semantics changes() drops
+    # identical rewrites, which would turn the refresh into a no-op.
+    commit_seed = (F.col("id").cast("string") if op == "INSERT"
+                   else F.concat(F.col("id").cast("string"),
+                                 F.lit(f"u{gtid0}")))
     return (spark.range(n)
             .select(
                 F.concat(F.lit("org"), (F.col("id") % 97).cast("string")).alias("repo"),
                 F.concat(F.lit("f"), F.col("id").cast("string")).alias("path"),
-                F.md5(F.col("id").cast("string")).alias("commit"),
+                F.md5(commit_seed).alias("commit"),
                 F.element_at(F.array(*[F.lit(x) for x in
                              ["py", "go", "java", "ts", "rs", "sql", "md"]]),
                              ((F.col("id") % 7) + 1).cast("int")).alias("lang"),

@@ -88,3 +88,22 @@ def test_keyset_prefilter_disengages_over_cap(spark, tmp_path):
     full = t.changes(v0, keyset_pushdown_max=0)
     assert _norm(capped) == _norm(full)
     assert capped.count() == 50
+
+
+def test_keyset_prefilter_falls_back_on_binary_keys(spark, tmp_path):
+    """bytearray key values are unhashable via Row; the prefilter must
+    disengage (not crash) and the incremental plan still answers."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        [("kid", "binary"), ("content", "string")], ["kid"], num_buckets=2)
+
+    def _b(rows):
+        return spark.createDataFrame(
+            rows, "kid binary, content string, _op string, _gtid long")
+    t.merge(_b([(bytes([1, i]), f"v{i}", "INSERT", i + 1) for i in range(8)]),
+            batch_id=1, mode="mor")
+    v0 = t.snapshot.version
+    t.merge(_b([(bytes([1, 3]), "v3b", "UPDATE", 100)]), batch_id=2, mode="mor")
+    ch = t.changes(v0).collect()   # default prefilter path: must not raise
+    assert len(ch) == 1 and ch[0]["_change_type"] == "UPDATE"
+    assert bytes(ch[0]["kid"]) == bytes([1, 3])

@@ -22,7 +22,7 @@ def _batch(spark, rows):
 def _recompute(source):
     return (source.read().groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_files"),
-                 F.coalesce(F.sum("size"), F.lit(0)).cast("bigint").alias("total_size"),
+                 F.sum("size").cast("bigint").alias("total_size"),  # SQL sum: NULL for all-NULL
                  (F.sum("size").cast("double") /
                   F.nullif(F.count("size"), F.lit(0))).alias("mean_size")))
 
@@ -385,3 +385,47 @@ def test_view_changes_feeds_downstream(spark, tmp_path):
     ch = view.table.changes(v_before)
     got = {(r["lang"], r["_change_type"]) for r in ch.collect()}
     assert got == {("py", "UPDATE"), ("go", "DELETE")}  # rs untouched
+
+
+def test_view_rejects_wrong_source_and_storage_collisions(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                         ["repo", "path"], num_buckets=2)
+    t.merge(_batch(spark, [("r1", "a", "py", 10, "INSERT", 1)]),
+            batch_id=1, mode="mor")
+    view = IncrementalAggView.create(spark, t, str(tmp_path / "v"),
+                                     dims=["lang"], aggs=AGGS)
+    # a DIFFERENT table with the same schema must not be accepted as the
+    # source — a refresh against it would corrupt the view silently
+    other = LakeTable.create(spark, str(tmp_path / "other"), SCHEMA,
+                             ["repo", "path"], num_buckets=2)
+    with pytest.raises(ValueError, match="tracks source"):
+        IncrementalAggView.load(spark, other, str(tmp_path / "v"))
+    # order-independent storage-column collision: both dict orders raise
+    for aggs in ({"_sum_x": ("sum", "size"), "x": ("avg", "size")},
+                 {"x": ("avg", "size"), "_sum_x": ("sum", "size")}):
+        with pytest.raises(ValueError, match="collides"):
+            IncrementalAggView.create(spark, t, str(tmp_path / "vx"),
+                                      dims=["lang"], aggs=aggs)
+    del view
+
+
+def test_view_sum_is_null_for_all_null_group(spark, tmp_path):
+    """SQL sum semantics: a group whose measure is NULL in every row
+    reads back NULL (not the monoid's 0) — and flips to a value / back
+    under incremental refresh."""
+    t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                         ["repo", "path"], num_buckets=2)
+    t.merge(_batch(spark, [("r1", "a", "py", None, "INSERT", 1),
+                           ("r2", "b", "go", 5, "INSERT", 2)]),
+            batch_id=1, mode="mor")
+    view = IncrementalAggView.create(spark, t, str(tmp_path / "v"),
+                                     dims=["lang"], aggs=AGGS)
+    row = {r["lang"]: r for r in view.read().collect()}
+    assert row["py"]["total_size"] is None and row["py"]["n_files"] == 1
+    assert row["go"]["total_size"] == 5
+    t.merge(_batch(spark, [("r1", "a", "py", 7, "UPDATE", 3)]),
+            batch_id=2, mode="mor")
+    view.refresh()
+    _assert_view_matches(view, t)
+    row = {r["lang"]: r for r in view.read().collect()}
+    assert row["py"]["total_size"] == 7

@@ -903,7 +903,13 @@ class LakeTable:
             return None
         cond = None
         for k in keys:
-            vals = {r[k] for r in rows}
+            try:
+                vals = {bytes(r[k]) if isinstance(r[k], bytearray) else r[k]
+                        for r in rows}
+            except TypeError:
+                # non-hashable key type (array/map) — the prefilter is an
+                # optimization; fall back to the unfiltered plan
+                return None
             has_null = None in vals
             vals.discard(None)
             c = F.col(k).isin(*vals) if vals else F.lit(False)

@@ -25,10 +25,11 @@ rows (+after for INSERT/UPDATE, −before for UPDATE/DELETE; UPDATE before
 images come from ``_before``, DELETE rows already carry theirs). count
 and sum are abelian-group aggregates, so the signed fold equals a full
 recompute EXACTLY for integer measures (float sums may differ in
-rounding by addition order — disclosed, tested with tolerance). avg is
-maintained as (sum, non-null count) and divided at read, matching SQL
-``avg``'s NULL handling. min/max are NOT groups (no inverse under
-deletion) and are rejected with a pointer at full recompute.
+rounding by addition order — disclosed, tested with tolerance). sum and
+avg each keep a non-null count alongside their accumulator, so an
+all-NULL group reads back as NULL — SQL ``sum``/``avg`` semantics, not
+the monoid's 0. min/max are NOT groups (no inverse under deletion) and
+are rejected with a pointer at full recompute.
 
 Idempotence / crash safety ride the lake's own machinery: the refresh
 merges with ``batch_id = source_version``, so a crashed-and-replayed
@@ -40,6 +41,7 @@ apply, or apply one it didn't record.
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -81,6 +83,17 @@ class IncrementalAggView:
         self.dims: list[str] = json.loads(props["view_dims"])
         self.aggs: dict[str, tuple] = {
             k: tuple(v) for k, v in json.loads(props["view_aggs"]).items()}
+        # A refresh against the wrong source would merge foreign deltas
+        # AND advance the watermark — permanently corrupting the view
+        # even after re-pointing. Reject up front; a deliberately moved
+        # source re-points via set_properties({'view_source_root': ...}).
+        want = props.get("view_source_root")
+        if want is not None and os.path.realpath(source.root) != os.path.realpath(want):
+            raise ValueError(
+                f"view at {table.root} tracks source {want!r}, "
+                f"got {source.root!r} — re-point with "
+                "table.set_properties({'view_source_root': ...}) if the "
+                "source genuinely moved")
 
     # ------------------------------------------------------------- lifecycle
 
@@ -133,14 +146,6 @@ class IncrementalAggView:
         dims = dims or []
         if len(set(dims)) != len(dims):
             raise ValueError(f"duplicate dim in {dims}")
-        reserved = set(dims) | {_ROWCNT}
-        for name, spec in aggs.items():
-            if name in reserved:
-                raise ValueError(
-                    f"agg name {name!r} collides with a dim or reserved column")
-            if spec[0] == "avg":
-                reserved |= {f"_sum_{name}", f"_nn_{name}"}
-            reserved.add(name)
         for name, spec in aggs.items():
             kind = spec[0]
             if kind in ("min", "max"):
@@ -152,6 +157,25 @@ class IncrementalAggView:
                 raise ValueError(f"{name}: unknown agg kind {kind!r}")
             if kind in ("sum", "avg") and len(spec) != 2:
                 raise ValueError(f"{name}: {kind} takes exactly one expression")
+        # Collision check over the COMPLETE produced-column set (agg
+        # names + every hidden storage column), order-independently: a
+        # dict-order-dependent check would let {"_sum_x": sum, "x": avg}
+        # slip through while the reverse order raised.
+        produced: list[str] = []
+        for name, spec in aggs.items():
+            produced.append(name)
+            if spec[0] == "sum":
+                produced.append(f"_nn_{name}")
+            elif spec[0] == "avg":
+                produced += [f"_sum_{name}", f"_nn_{name}"]
+        all_cols = list(dims) + [_ROWCNT] + produced
+        seen: set[str] = set()
+        for c in all_cols:
+            if c in seen:
+                raise ValueError(
+                    f"agg column {c!r} collides with a dim, a reserved "
+                    "column, or another agg's storage column")
+            seen.add(c)
 
     @staticmethod
     def _storage_cols(name: str, spec: tuple, src: DataFrame) -> list[tuple[str, str]]:
@@ -160,7 +184,9 @@ class IncrementalAggView:
             return []  # rides the hidden _rowcnt
         st = _storage_type(src, spec[1])
         if kind == "sum":
-            return [(name, st)]
+            # the non-null count lets read() return NULL for an all-NULL
+            # group — SQL sum semantics, not the monoid's 0
+            return [(name, st), (f"_nn_{name}", "bigint")]
         return [(f"_sum_{name}", "double"), (f"_nn_{name}", "bigint")]
 
     # ------------------------------------------------------------- refresh
@@ -193,7 +219,11 @@ class IncrementalAggView:
         keys = self.source.snapshot.key_names
         val_cols = [c.name for c in self.source.snapshot.columns
                     if c.name not in keys]
-        ch = self.source.changes(from_v, to_v, mode=mode, with_before=True)
+        # contrib reads ch THREE times (after / before_u / before_d) and
+        # Catalyst does not dedup common subtrees — persist the changes
+        # scan so the O(changes) plan (and its old-state join) runs once
+        ch = self.source.changes(from_v, to_v, mode=mode,
+                                 with_before=True).persist()
         ct = F.col("_change_type")
 
         cols = keys + val_cols
@@ -218,6 +248,9 @@ class IncrementalAggView:
                 st = dict(self._view_schema())[name]
                 d_aggs.append(F.coalesce(F.sum(e * sign), F.lit(0))
                               .cast(st).alias(f"_d{name}"))
+                d_aggs.append(F.coalesce(
+                    F.sum(F.when(e.isNotNull(), sign)), F.lit(0))
+                    .cast("bigint").alias(f"_d_nn_{name}"))
             else:  # avg
                 d_aggs.append(F.coalesce(F.sum(e * sign), F.lit(0))
                               .cast("double").alias(f"_d_sum_{name}"))
@@ -262,7 +295,11 @@ class IncrementalAggView:
         sel.append(F.when(new_cnt <= 0, F.lit("DELETE"))
                    .otherwise(F.lit("UPDATE")).alias(OP_COL))
         rows = j.select(*sel).withColumn(GTID_COL, F.lit(to_v).cast("bigint"))
-        return rows, lambda: deltas.unpersist()
+
+        def _cleanup():
+            deltas.unpersist()
+            ch.unpersist()
+        return rows, _cleanup
 
     def rebuild(self) -> dict:
         """Full recompute in ONE atomic commit — the recovery path when
@@ -299,6 +336,7 @@ class IncrementalAggView:
             kind = spec[0]
             if kind == "sum":
                 out.append((name, schema[name]))
+                out.append((f"_nn_{name}", "bigint"))
             elif kind == "avg":
                 out.append((f"_sum_{name}", "double"))
                 out.append((f"_nn_{name}", "bigint"))
@@ -317,6 +355,7 @@ class IncrementalAggView:
             if kind == "sum":
                 st = dict(self._view_schema())[name]
                 out.append(F.coalesce(F.sum(e), F.lit(0)).cast(st).alias(name))
+                out.append(F.count(e).alias(f"_nn_{name}"))
             else:
                 out.append(F.coalesce(F.sum(e), F.lit(0)).cast("double")
                            .alias(f"_sum_{name}"))
@@ -327,8 +366,8 @@ class IncrementalAggView:
 
     def read(self, snapshot=None) -> DataFrame:
         """The user-facing aggregate: dims + one column per agg. count
-        exposes the liveness count; avg divides its (sum, non-null
-        count) pair — NULL for all-NULL groups, like SQL ``avg``."""
+        exposes the liveness count; sum and avg consult their non-null
+        counts so an all-NULL group reads as NULL — SQL semantics."""
         raw = self.table.read(snapshot=snapshot)
         sel = [F.col(d) for d in self.dims]
         for name, spec in self.aggs.items():
@@ -336,7 +375,8 @@ class IncrementalAggView:
             if kind == "count":
                 sel.append(F.col(_ROWCNT).alias(name))
             elif kind == "sum":
-                sel.append(F.col(name))
+                sel.append(F.when(F.col(f"_nn_{name}") > 0, F.col(name))
+                           .alias(name))
             else:
                 sel.append((F.col(f"_sum_{name}")
                             / F.nullif(F.col(f"_nn_{name}"), F.lit(0))
