@@ -107,3 +107,40 @@ def test_keyset_prefilter_falls_back_on_binary_keys(spark, tmp_path):
     ch = t.changes(v0).collect()   # default prefilter path: must not raise
     assert len(ch) == 1 and ch[0]["_change_type"] == "UPDATE"
     assert bytes(ch[0]["kid"]) == bytes([1, 3])
+
+
+def test_changes_plan_rejects_interleaved_gtid_commits(spark, tmp_path):
+    """Soundness (found by the streaming-view test): a later MOR commit
+    can carry OLDER gtids than an earlier one (file-paced streaming
+    epochs). The incremental plan would let the window's winner override
+    the old state even though read-time LWW keeps the newer value — the
+    gate must detect the interleaving from the stamped gtid envelopes
+    and fall back to the diff plan, whose answer matches the table."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], num_buckets=2)
+    t.merge(_batch(spark, [("r1", "f1", "NEW", "INSERT", 100)]),
+            batch_id=1, mode="mor")
+    v0 = t.snapshot.version
+    # the out-of-order commit: an OLDER event for the same key
+    t.merge(_batch(spark, [("r1", "f1", "OLD", "UPDATE", 50),
+                           ("r2", "f2", "x", "INSERT", 51)]),
+            batch_id=2, mode="mor")
+
+    # read-time LWW keeps the newer value
+    state = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
+    assert state[("r1", "f1")] == "NEW"
+
+    assert t.changes_plan(v0) == "diff"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsound"):
+        t.changes(v0, mode="incremental")
+    ch = {(r["repo"], r["path"]): r["_change_type"]
+          for r in t.changes(v0).collect()}
+    # only the genuinely-new key changed; r1/f1's stale event is NOT an update
+    assert ch == {("r2", "f2"): "INSERT"}
+
+    # a monotone follow-up window is incremental again
+    v1 = t.snapshot.version
+    t.merge(_batch(spark, [("r3", "f3", "y", "INSERT", 200)]),
+            batch_id=3, mode="mor")
+    assert t.changes_plan(v1) == "incremental"

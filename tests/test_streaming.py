@@ -301,3 +301,54 @@ def test_wire_redelivery_converges(spark, tmp_path):
     q2.awaitTermination(300)
     again = df_fingerprint([r.asDict() for r in LakeTable.load(spark, table.root).read().collect()])
     assert again == expected
+
+
+def test_streaming_maintains_views_per_epoch(spark, tmp_path):
+    """Continuous-aggregate maintenance: views passed to StreamingApplier
+    refresh after EVERY micro-batch commit — mid-stream the view is as
+    fresh as the table, and a crash between commit and refresh self-heals
+    because refresh windows are version-based, not epoch-based."""
+    from pyspark.sql import functions as F
+
+    from th2_listener_mysql_binlog_go_spark.plans.matview import IncrementalAggView
+
+    src = str(tmp_path / "events")
+    full = synthetic_changestream(spark, 2000, n_repos=30, n_paths=50,
+                                  truncate_per_10k=0)
+    full.repartition(6).write.parquet(src)
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                             ["repo", "path"], num_buckets=4)
+    view = IncrementalAggView.create(
+        spark, table, str(tmp_path / "v"), dims=["lang"],
+        aggs={"n": ("count",), "s": ("sum", "length(content)")},
+        num_buckets=2)
+    v_start = view.table.snapshot.version
+
+    sa = StreamingApplier(spark, table, views=[view])
+    q = sa.start(src, str(tmp_path / "ckpt"), CHANGE_SCHEMA,
+                 available_now=True, max_files_per_trigger=2)
+    q.awaitTermination(300)
+
+    # the view matched EVERY epoch, not just the last: one refresh commit
+    # per non-empty micro-batch landed in the view's own history
+    assert view.table.snapshot.version - v_start >= 2
+    assert view.source_version == table.snapshot.version
+    got = sorted([tuple(r) for r in view.read().collect()])
+    want = sorted([tuple(r) for r in table.read().groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("content")).cast("bigint").alias("s")).collect()])
+    assert got == want
+
+    # crash analogue: a refresh skipped for one epoch is covered by the
+    # next refresh (version-windowed) — simulate by advancing the table
+    # directly and refreshing once
+    t2 = LakeTable.load(spark, table.root)
+    t2.merge(spark.createDataFrame(
+        [("rz", "z", "c", "zig", "xx", "INSERT", 99991)],
+        "repo string, path string, commit string, lang string, "
+        "content string, _op string, _gtid long"), batch_id=90000, mode="mor")
+    view2 = IncrementalAggView.load(spark, t2, str(tmp_path / "v"))
+    view2.refresh()
+    langs = {r["lang"] for r in view2.read().collect()}
+    assert "zig" in langs

@@ -688,11 +688,20 @@ class LakeTable:
         comparison — O(table), the always-correct fallback).
 
         The incremental path is sound exactly when the endpoint file sets
-        prove the window was append-only MOR commits: every ``from`` file
-        survives into ``to`` (no compaction/rebucket/CoW rewrite), every
-        added file is a delta, bucketing and the TRUNCATE marker are
-        unchanged. Endpoints suffice — snapshot state is purely (files,
-        properties, schema), and data files are immutable."""
+        prove the window was append-only MOR commits of STRICTLY NEWER
+        events: every ``from`` file survives into ``to`` (no compaction/
+        rebucket/CoW rewrite), every added file is a delta, bucketing and
+        the TRUNCATE marker are unchanged, AND every added file's stamped
+        gtid envelope sits strictly above every ``from`` file's — the
+        incremental plan lets the window's per-key winners override the
+        old state, which is only the read-time LWW answer when the
+        window's gtids beat the old state's. A gtid-ranged replay always
+        satisfies this; a file-paced streaming tail can commit epochs
+        with interleaved gtid ranges (a later epoch carrying an OLDER
+        event that read-time LWW correctly ignores), and must fall back.
+        Unstamped files can't prove the ordering and also fall back.
+        Endpoints suffice — snapshot state is purely (files, properties,
+        schema), and data files are immutable."""
         from_snap = self.snapshot_at(from_version)
         to_snap = (self.snapshot if to_version is None
                    else self.snapshot_at(to_version))
@@ -705,6 +714,11 @@ class LakeTable:
             and len(from_paths - {fi["path"] for fi in to_snap.files}) == 0
             and all(fi.get("kind") == "delta" for fi in added)
         )
+        if ok and added and from_snap.files:
+            from_his = [fi.get("gtid_hi") for fi in from_snap.files]
+            added_los = [fi.get("gtid_lo") for fi in added]
+            ok = (all(v is not None for v in from_his + added_los)
+                  and min(added_los) > max(from_his))
         return "incremental" if ok else "diff"
 
     def changes(self, from_version: int | str, to_version: int | str | None = None,
@@ -764,8 +778,9 @@ class LakeTable:
         if mode == "incremental" and plan != "incremental":
             raise ValueError(
                 "incremental changes are unsound for this window (a "
-                "compaction, rebucket, CoW rewrite or TRUNCATE intervened); "
-                "use mode='diff' or 'auto'"
+                "compaction, rebucket, CoW rewrite or TRUNCATE intervened, "
+                "or a commit carries gtids at or below an earlier commit's "
+                "— e.g. file-paced streaming epochs); use mode='diff' or 'auto'"
             )
         use = plan if mode == "auto" else mode
 

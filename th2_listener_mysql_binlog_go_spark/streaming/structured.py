@@ -37,11 +37,21 @@ class StreamingApplier:
         table: LakeTable,
         config: ApplyConfig | None = None,
         lineage_dir: str | None = None,
+        views: list | None = None,
     ):
+        """``views``: IncrementalAggViews over ``table`` to maintain
+        INSIDE the micro-batch loop — each epoch's commit is followed by
+        an incremental ``refresh()``, so rollups stay fresh while the
+        tail runs (continuous-aggregate maintenance). Crash-safe by
+        construction: a crash between the table commit and a view
+        refresh self-heals, because the next epoch's refresh advances
+        from the view's own persisted watermark (snapshot versions, not
+        epoch ids) and therefore covers the missed window."""
         self.spark = spark
         self.table = table
         self.applier = BatchApplier(table, config)
         self.lineage = LineageWriter(lineage_dir) if lineage_dir else None
+        self.views = list(views or [])
 
     def start(
         self,
@@ -85,6 +95,8 @@ class StreamingApplier:
                     for b, n in m.get("partitions", [])
                 ]
                 self.lineage.write(rows)
+            for v in self.views:
+                v.refresh()
 
         writer = (
             stream.writeStream.foreachBatch(handle)
