@@ -429,3 +429,31 @@ def test_view_sum_is_null_for_all_null_group(spark, tmp_path):
     _assert_view_matches(view, t)
     row = {r["lang"]: r for r in view.read().collect()}
     assert row["py"]["total_size"] == 7
+
+
+def test_cli_view_refresh_rebuild_flag(spark, tmp_path):
+    """view-refresh --rebuild drives rebuild() through the CLI (in-process
+    main(); the spark-submit surface is covered by the lifecycle test)."""
+    import json as _json
+
+    from th2_listener_mysql_binlog_go_spark.__main__ import main
+
+    t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                         ["repo", "path"], num_buckets=2)
+    t.merge(_batch(spark, [("r1", "a", "py", 10, "INSERT", 1)]),
+            batch_id=1, mode="mor")
+    IncrementalAggView.create(spark, t, str(tmp_path / "v"),
+                              dims=["lang"], aggs=AGGS)
+    t.merge(_batch(spark, [("r2", "b", "go", 20, "INSERT", 2)]),
+            batch_id=2, mode="mor")
+    import io
+    import contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["view-refresh", "--source", str(tmp_path / "src"),
+                   "--view", str(tmp_path / "v"), "--rebuild"])
+    assert rc == 0
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["rebuilt"] is True
+    v = IncrementalAggView.load(spark, t, str(tmp_path / "v"))
+    _assert_view_matches(v, t)

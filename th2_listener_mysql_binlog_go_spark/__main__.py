@@ -367,10 +367,10 @@ def cmd_view_refresh(args) -> dict:
     spark = _spark("cdc-view-refresh")
     src = LakeTable.load(spark, args.source)
     v = IncrementalAggView.load(spark, src, args.view)
-    m = v.refresh(mode=args.mode)
+    m = v.rebuild() if args.rebuild else v.refresh(mode=args.mode)
     out = {"view": args.view, "source": args.source}
-    out.update({k: m[k] for k in ("skipped", "from_version", "to_version")
-                if k in m})
+    out.update({k: m[k] for k in ("skipped", "from_version", "to_version",
+                                  "rebuilt") if k in m})
     return out
 
 
@@ -621,6 +621,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--view", required=True)
     sp.add_argument("--mode", choices=["auto", "incremental", "diff"],
                     default="auto")
+    sp.add_argument("--rebuild", action="store_true",
+                    help="full recompute in one atomic commit — the "
+                         "recovery path when the view's watermark version "
+                         "was expired from the source's history")
     sp.set_defaults(fn=cmd_view_refresh)
 
     sp = sub.add_parser("view-show")
