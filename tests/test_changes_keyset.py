@@ -90,9 +90,12 @@ def test_keyset_prefilter_disengages_over_cap(spark, tmp_path):
     assert capped.count() == 50
 
 
-def test_keyset_prefilter_falls_back_on_binary_keys(spark, tmp_path):
-    """bytearray key values are unhashable via Row; the prefilter must
-    disengage (not crash) and the incremental plan still answers."""
+def test_keyset_prefilter_engages_on_binary_keys(spark, tmp_path):
+    """bytearray key values (how Spark returns binary) are normalized to
+    hashable bytes, so the prefilter ENGAGES on binary-keyed tables — and
+    the binary membership predicate reaches the scan (a single changed
+    key folds isin -> EqualTo; either spelling proves engagement). (The
+    TypeError arm covers genuinely unhashable key types like arrays.)"""
     t = LakeTable.create(
         spark, str(tmp_path / "t"),
         [("kid", "binary"), ("content", "string")], ["kid"], num_buckets=2)
@@ -104,7 +107,13 @@ def test_keyset_prefilter_falls_back_on_binary_keys(spark, tmp_path):
             batch_id=1, mode="mor")
     v0 = t.snapshot.version
     t.merge(_b([(bytes([1, 3]), "v3b", "UPDATE", 100)]), batch_id=2, mode="mor")
-    ch = t.changes(v0).collect()   # default prefilter path: must not raise
+    df = t.changes(v0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert any("kid" in ln and ("In(" in ln or " IN " in ln or "INSET" in ln.upper()
+                                or "EqualTo(kid" in ln or "kid#" in ln and " = 0x" in ln)
+               for ln in plan.splitlines()
+               if "Filter" in ln or "FileScan" in ln), plan
+    ch = df.collect()
     assert len(ch) == 1 and ch[0]["_change_type"] == "UPDATE"
     assert bytes(ch[0]["kid"]) == bytes([1, 3])
 

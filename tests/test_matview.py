@@ -457,3 +457,19 @@ def test_cli_view_refresh_rebuild_flag(spark, tmp_path):
     assert out["rebuilt"] is True
     v = IncrementalAggView.load(spark, t, str(tmp_path / "v"))
     _assert_view_matches(v, t)
+
+
+def test_view_format_stamp_guards_layout_drift(spark, tmp_path):
+    """A view stamped with a different (or missing) storage-layout
+    generation refuses to load — the SEQ_ENCODING precedent: a silent
+    read would miss or misinterpret hidden storage columns."""
+    t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                         ["repo", "path"], num_buckets=2)
+    view = IncrementalAggView.create(
+        spark, t, str(tmp_path / "v"), dims=["lang"], aggs=AGGS,
+        num_buckets=2)
+    assert IncrementalAggView.load(spark, t, str(tmp_path / "v"))  # current
+
+    view.table.set_properties({"view_format": "1"})
+    with pytest.raises(ValueError, match="storage layout"):
+        IncrementalAggView.load(spark, t, str(tmp_path / "v"))

@@ -283,3 +283,41 @@ def test_compact_sort_by_clusters_files_without_extra_exchange(spark, tmp_path):
     t4 = LakeTable.load(spark, str(tmp_path / "t"))
     got = {(r["repo"], r["path"]): r["lang"] for r in t4.read().collect()}
     assert got[("r1", "f1")] == "go"
+
+
+def test_compact_sort_by_property_hygiene(spark, tmp_path):
+    """A durable compact_sort_by property with whitespace or stale
+    (dropped/unknown) columns must not brick auto-compaction inside
+    merge(): property-sourced names are stripped and unknown ones
+    skipped; an explicit sort_by=[] overrides the property with 'no
+    clustering' (the CLI's --sort-by none)."""
+    from th2_listener_mysql_binlog_go_spark.plans.lake import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        [("repo", "string"), ("path", "string"), ("lang", "string")],
+        ["repo", "path"], num_buckets=2)
+    rows = [(f"r{i % 3}", f"f{i}", ["py", "go"][i % 2], "INSERT", i + 1)
+            for i in range(40)]
+    t.merge(spark.createDataFrame(
+        rows, "repo string, path string, lang string, _op string, _gtid long"),
+        batch_id=1, mode="mor")
+    before = sorted([tuple(r) for r in t.read().collect()])
+
+    # " lang , nope " → strip, keep lang, skip unknown 'nope' — no raise
+    t.set_properties({"compact_sort_by": " lang , nope "})
+    assert t.compact() > 0
+    assert sorted([tuple(r) for r in t.read().collect()]) == before
+
+    # explicit [] (CLI --sort-by none) overrides the property: no raise,
+    # state unchanged, and the explicit-path validation stays strict
+    t.merge(spark.createDataFrame(
+        [("r0", "f0", "rs", "UPDATE", 1000)],
+        "repo string, path string, lang string, _op string, _gtid long"),
+        batch_id=2, mode="mor")
+    assert t.compact(sort_by=[]) > 0
+    try:
+        t.compact(sort_by=["nope"])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

@@ -352,3 +352,75 @@ def test_streaming_maintains_views_per_epoch(spark, tmp_path):
     view2.refresh()
     langs = {r["lang"] for r in view2.read().collect()}
     assert "zig" in langs
+
+
+def test_streaming_applier_rebinds_view_source(spark, tmp_path):
+    """A view constructed over a DIFFERENT LakeTable instance of the same
+    root is rebound to the applier's live handle (a frozen handle would
+    watch a stale snapshot and silently skip every refresh); a view over
+    a genuinely different table is rejected outright."""
+    from th2_listener_mysql_binlog_go_spark.plans.matview import IncrementalAggView
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                             ["repo", "path"], num_buckets=2)
+    IncrementalAggView.create(
+        spark, table, str(tmp_path / "v"), dims=["lang"],
+        aggs={"n": ("count",)}, num_buckets=2)
+
+    # same root, separate instance: rebound to the applier's handle
+    frozen = LakeTable.load(spark, str(tmp_path / "t"))
+    view = IncrementalAggView.load(spark, frozen, str(tmp_path / "v"))
+    sa = StreamingApplier(spark, table, views=[view])
+    assert view.source is table
+
+    # different root: hard error at construction, not a silent no-op tail
+    other = LakeTable.create(spark, str(tmp_path / "other"), SCHEMA,
+                             ["repo", "path"], num_buckets=2)
+    IncrementalAggView.create(
+        spark, other, str(tmp_path / "ov"), dims=["lang"],
+        aggs={"n": ("count",)}, num_buckets=2)
+    oview = IncrementalAggView.load(spark, other, str(tmp_path / "ov"))
+    try:
+        StreamingApplier(spark, table, views=[oview])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+    # refresh cadence clamps to >= 1
+    assert StreamingApplier(spark, table, view_refresh_every=0
+                            ).view_refresh_every == 1
+
+
+def test_streaming_view_cadence_skips_epochs_then_catches_up(spark, tmp_path):
+    """view_refresh_every=N skips intermediate epochs (fewer view commits
+    than micro-batches) and a single manual refresh closes the final
+    window — version-based refresh windows make the cadence safe."""
+    from pyspark.sql import functions as F
+
+    from th2_listener_mysql_binlog_go_spark.plans.matview import IncrementalAggView
+
+    src = str(tmp_path / "events")
+    full = synthetic_changestream(spark, 600, n_repos=10, n_paths=20,
+                                  truncate_per_10k=0)
+    full.repartition(6).write.parquet(src)
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                             ["repo", "path"], num_buckets=2)
+    view = IncrementalAggView.create(
+        spark, table, str(tmp_path / "v"), dims=["lang"],
+        aggs={"n": ("count",)}, num_buckets=2)
+    v_start = view.table.snapshot.version
+
+    sa = StreamingApplier(spark, table, views=[view], view_refresh_every=3)
+    q = sa.start(src, str(tmp_path / "ckpt"), CHANGE_SCHEMA,
+                 available_now=True, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    refreshes = view.table.snapshot.version - v_start
+    assert refreshes < 6  # fewer view commits than the ~6 epochs
+    view.refresh()  # closes the final (possibly skipped) window
+    assert view.source_version == table.snapshot.version
+    got = sorted([tuple(r) for r in view.read().collect()])
+    want = sorted([tuple(r) for r in table.read().groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()])
+    assert got == want

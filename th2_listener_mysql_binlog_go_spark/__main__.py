@@ -242,7 +242,11 @@ def cmd_compact(args) -> dict:
 
     spark = _spark("cdc-compact")
     t = LakeTable.load(spark, args.table)
-    sort_by = args.sort_by.split(",") if args.sort_by else None
+    # "--sort-by none" overrides a durable compact_sort_by property with
+    # "no clustering" for this run; absent flag defers to the property
+    sort_by = ([] if args.sort_by.strip().lower() == "none"
+               else [c.strip() for c in args.sort_by.split(",") if c.strip()]
+               ) if args.sort_by is not None else None
     n = t.compact(files_per_bucket=args.files_per_bucket, sort_by=sort_by)
     return {"table": args.table, "compacted_buckets": n, "version": t.snapshot.version}
 
@@ -534,7 +538,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--files-per-bucket", type=int, default=1)
     sp.add_argument("--sort-by", default=None, dest="sort_by",
                     help="comma-separated columns to cluster each written "
-                         "file by (Iceberg sort-order analogue)")
+                         "file by (Iceberg sort-order analogue); 'none' "
+                         "overrides a durable compact_sort_by property")
     sp.set_defaults(fn=cmd_compact)
 
     sp = sub.add_parser("rebucket")

@@ -755,8 +755,9 @@ class LakeTable:
         the old state.
 
         ``keyset_pushdown_max``: on the incremental plan, when the
-        window's distinct changed keys number at most this (one bounded
-        driver job, ``limit(max+1)`` — never an unbounded collect), a
+        window holds at most this many ROWS (one bounded no-shuffle
+        probe, ``limit(max+1)`` — an early-terminating scan, never a
+        full distinct pass; distinct keys <= rows, deduped driver-side), a
         per-column ``isin`` prefilter narrows the old-state read to the
         changed keys BEFORE its LWW window (safe: the window partitions
         by exactly those keys, so whole key groups pass or fail together,
@@ -906,14 +907,21 @@ class LakeTable:
     @staticmethod
     def _keyset_prefilter(new_rows: DataFrame, keys: list[str], cap: int):
         """Per-column membership condition over the window's changed keys
-        (None when the key set exceeds ``cap`` or is empty). The distinct
-        keys of the window's raw rows equal the net winners' keys (one
-        winner per key), so no window is needed to enumerate them; the
-        driver job is bounded by ``limit(cap + 1)``. NULL key components
-        get an explicit isNull arm (``isin`` never matches NULL)."""
+        (None when the window's ROW count exceeds ``cap`` or is empty;
+        distinct keys are a subset of the probed rows and equal the net
+        winners' keys — one winner per key — so no LWW window is needed
+        to enumerate them). NULL key components get an explicit isNull
+        arm (``isin`` never matches NULL)."""
         if cap <= 0:
             return None
-        rows = new_rows.select(*keys).distinct().limit(cap + 1).collect()
+        # Probe ROWS, not distinct keys: limit(cap+1) on the raw rows is
+        # an early-terminating scan with NO shuffle (Spark's incremental
+        # take reads partitions until it has cap+1 rows), so a window far
+        # larger than the cap costs ~cap rows of IO, never a full
+        # distinct pass that ends in "too many". Trade disclosed: a
+        # >cap-row window with few DISTINCT keys (hot-key churn) skips
+        # the prefilter — the unfiltered plan is correct, just wider.
+        rows = new_rows.select(*keys).limit(cap + 1).collect()
         if not rows or len(rows) > cap:
             return None
         cond = None
@@ -922,7 +930,8 @@ class LakeTable:
                 vals = {bytes(r[k]) if isinstance(r[k], bytearray) else r[k]
                         for r in rows}
             except TypeError:
-                # non-hashable key type (array/map) — the prefilter is an
+                # non-hashable key type (array/map — bytearray is already
+                # normalized to bytes above) — the prefilter is an
                 # optimization; fall back to the unfiltered plan
                 return None
             has_null = None in vals
@@ -1687,11 +1696,18 @@ class LakeTable:
         ``lookup()`` its row-group pruning — cluster by what the
         workload filters on."""
         snap = self.snapshot
+        known = {c.name for c in snap.columns}
         if sort_by is None:
-            sort_by = [c for c in
-                       snap.properties.get("compact_sort_by", "").split(",") if c]
-        if sort_by:
-            known = {c.name for c in snap.columns}
+            # Property-sourced (durable policy): normalize whitespace and
+            # SKIP unknown columns instead of raising — this path runs
+            # inside merge()'s auto-compaction, where a stale property
+            # (e.g. naming a later-dropped column) must not brick every
+            # subsequent batch far from the set_properties that caused it.
+            sort_by = [c.strip() for c in
+                       snap.properties.get("compact_sort_by", "").split(",")
+                       if c.strip()]
+            sort_by = [c for c in sort_by if c in known]
+        elif sort_by:
             bad = [c for c in sort_by if c not in known]
             if bad:
                 raise ValueError(f"sort_by columns not in table: {bad}")

@@ -75,11 +75,22 @@ class IncrementalAggView:
     compaction, and the changelog (a view's ``changes()`` feeds the
     NEXT consumer down the chain)."""
 
+    #: storage-layout generation; bump on ANY change to the hidden
+    #: column set (the SEQ_ENCODING precedent: refuse, don't misread)
+    FORMAT = "2"
+
     def __init__(self, spark: SparkSession, source: LakeTable, table: LakeTable):
         self.spark = spark
         self.source = source
         self.table = table
         props = table.snapshot.properties
+        fmt = props.get("view_format")
+        if fmt != self.FORMAT:
+            raise ValueError(
+                f"view at {table.root} uses storage layout {fmt!r}; this "
+                f"build reads {self.FORMAT!r} — recreate the view (the "
+                "hidden column set changed; a silent read would miss or "
+                "misinterpret storage columns)")
         self.dims: list[str] = json.loads(props["view_dims"])
         self.aggs: dict[str, tuple] = {
             k: tuple(v) for k, v in json.loads(props["view_aggs"]).items()}
@@ -120,6 +131,7 @@ class IncrementalAggView:
         table = LakeTable.create(
             spark, root, schema, key_cols=list(dims), num_buckets=num_buckets,
             properties={
+                "view_format": cls.FORMAT,
                 "view_source_version": str(v0),
                 "view_source_root": source.root,
                 "view_dims": json.dumps(list(dims)),
@@ -163,11 +175,8 @@ class IncrementalAggView:
         # slip through while the reverse order raised.
         produced: list[str] = []
         for name, spec in aggs.items():
-            produced.append(name)
-            if spec[0] == "sum":
-                produced.append(f"_nn_{name}")
-            elif spec[0] == "avg":
-                produced += [f"_sum_{name}", f"_nn_{name}"]
+            cols = IncrementalAggView._storage_names(name, spec)
+            produced += [name] + [c for c in cols if c != name]
         all_cols = list(dims) + [_ROWCNT] + produced
         seen: set[str] = set()
         for c in all_cols:
@@ -178,16 +187,28 @@ class IncrementalAggView:
             seen.add(c)
 
     @staticmethod
-    def _storage_cols(name: str, spec: tuple, src: DataFrame) -> list[tuple[str, str]]:
+    def _storage_names(name: str, spec: tuple) -> list[str]:
+        """THE storage layout (names only) — the single source of truth
+        consumed by create/validate/refresh/read, so the five sites that
+        touch storage columns cannot drift. count rides ``_rowcnt``; sum
+        keeps its value plus a non-null count (SQL NULL semantics —
+        read() returns NULL for an all-NULL group, not the monoid's 0);
+        avg keeps (sum, non-null count)."""
         kind = spec[0]
         if kind == "count":
-            return []  # rides the hidden _rowcnt
-        st = _storage_type(src, spec[1])
+            return []
         if kind == "sum":
-            # the non-null count lets read() return NULL for an all-NULL
-            # group — SQL sum semantics, not the monoid's 0
-            return [(name, st), (f"_nn_{name}", "bigint")]
-        return [(f"_sum_{name}", "double"), (f"_nn_{name}", "bigint")]
+            return [name, f"_nn_{name}"]
+        return [f"_sum_{name}", f"_nn_{name}"]
+
+    @classmethod
+    def _storage_cols(cls, name: str, spec: tuple, src: DataFrame) -> list[tuple[str, str]]:
+        kind = spec[0]
+        names = cls._storage_names(name, spec)
+        if not names:
+            return []
+        first_type = _storage_type(src, spec[1]) if kind == "sum" else "double"
+        return [(names[0], first_type), (names[1], "bigint")]
 
     # ------------------------------------------------------------- refresh
 
@@ -224,6 +245,13 @@ class IncrementalAggView:
         # scan so the O(changes) plan (and its old-state join) runs once
         ch = self.source.changes(from_v, to_v, mode=mode,
                                  with_before=True).persist()
+        try:
+            return self._refresh_plan_body(ch, keys, val_cols, to_v)
+        except BaseException:
+            ch.unpersist()
+            raise
+
+    def _refresh_plan_body(self, ch, keys, val_cols, to_v):
         ct = F.col("_change_type")
 
         cols = keys + val_cols
@@ -260,9 +288,17 @@ class IncrementalAggView:
         deltas = contrib.groupBy(*[F.col(d) for d in self.dims]).agg(*d_aggs)
 
         # The deltas frame drives BOTH the bucket discovery and the join;
-        # persist so the O(changes) contribution scan runs once.
+        # persist so the O(changes) contribution scan runs once. On any
+        # failure below, unpersist before propagating (a recurring
+        # per-epoch failure must not accumulate pinned blocks).
         deltas = deltas.persist()
+        try:
+            return self._refresh_join(ch, deltas, to_v)
+        except BaseException:
+            deltas.unpersist()
+            raise
 
+    def _refresh_join(self, ch, deltas, to_v):
         # Prune the view side to the buckets the changed groups hash to —
         # the CoW-merge trick (num_buckets-bounded collect): refresh cost
         # is O(changes + touched view buckets), so a million-group view
@@ -331,16 +367,9 @@ class IncrementalAggView:
 
     def _storage_pairs(self) -> list[tuple[str, str]]:
         schema = dict(self._view_schema())
-        out = []
-        for name, spec in self.aggs.items():
-            kind = spec[0]
-            if kind == "sum":
-                out.append((name, schema[name]))
-                out.append((f"_nn_{name}", "bigint"))
-            elif kind == "avg":
-                out.append((f"_sum_{name}", "double"))
-                out.append((f"_nn_{name}", "bigint"))
-        return out
+        return [(c, schema[c])
+                for name, spec in self.aggs.items()
+                for c in self._storage_names(name, spec)]
 
     def _view_schema(self) -> list[tuple[str, str]]:
         return [(c.name, c.type) for c in self.table.snapshot.columns]

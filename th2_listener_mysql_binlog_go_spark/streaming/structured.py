@@ -22,6 +22,8 @@ interleaved: each assumes its own batch-id sequence.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -38,6 +40,7 @@ class StreamingApplier:
         config: ApplyConfig | None = None,
         lineage_dir: str | None = None,
         views: list | None = None,
+        view_refresh_every: int = 1,
     ):
         """``views``: IncrementalAggViews over ``table`` to maintain
         INSIDE the micro-batch loop — each epoch's commit is followed by
@@ -46,12 +49,30 @@ class StreamingApplier:
         construction: a crash between the table commit and a view
         refresh self-heals, because the next epoch's refresh advances
         from the view's own persisted watermark (snapshot versions, not
-        epoch ids) and therefore covers the missed window."""
+        epoch ids) and therefore covers the missed window. Each view is
+        REBOUND to this applier's table handle (same root enforced): a
+        view loaded over a different LakeTable instance would watch a
+        frozen snapshot and silently skip every refresh.
+
+        Cost note: file-paced epochs interleave gtid ranges, which fails
+        the changelog's incremental-soundness gate, so per-epoch
+        refreshes of such a tail run the O(table) diff plan — correct,
+        but a full read per trigger on a big table. ``view_refresh_every
+        = N`` refreshes every Nth epoch instead (the final window is
+        covered by the next run's first refresh, or a manual one);
+        gtid-ordered sources keep the O(changes) plan at every epoch."""
         self.spark = spark
         self.table = table
         self.applier = BatchApplier(table, config)
         self.lineage = LineageWriter(lineage_dir) if lineage_dir else None
         self.views = list(views or [])
+        self.view_refresh_every = max(1, view_refresh_every)
+        for v in self.views:
+            if os.path.realpath(v.source.root) != os.path.realpath(table.root):
+                raise ValueError(
+                    f"view {v.table.root} tracks {v.source.root!r}, not "
+                    f"this applier's table {table.root!r}")
+            v.source = table  # live handle: snapshot advances with OUR commits
 
     def start(
         self,
@@ -95,8 +116,9 @@ class StreamingApplier:
                     for b, n in m.get("partitions", [])
                 ]
                 self.lineage.write(rows)
-            for v in self.views:
-                v.refresh()
+            if self.views and int(epoch_id) % self.view_refresh_every == 0:
+                for v in self.views:
+                    v.refresh()
 
         writer = (
             stream.writeStream.foreachBatch(handle)
