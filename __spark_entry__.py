@@ -604,6 +604,39 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_size").cast("bigint").alias("total_size"))
 
 
+def q_minmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max materialized view via the TOUCHED-GROUP RECOMPUTE
+    strategy (matview.py `_refresh_recompute`): extremes have no inverse
+    under DELETE, so the refresh re-aggregates the source restricted to
+    the changed groups (per-dim pushdown + exact semi join) instead of
+    folding signed deltas. Created at the mid-replay snapshot, advanced
+    to head by ONE refresh; must hash-match the oracle's full GROUP BY
+    min/max over the final state."""
+    from th2_listener_mysql_binlog_go_spark.plans.matview import IncrementalAggView
+
+    flat = derived_changestream(spark, sf_dir)
+    nested = to_change_schema(flat)
+    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
+    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 8)
+    tmp = _mkdtemp("cdc_minmax_")
+    table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
+                             key_cols=["repo", "path"], num_buckets=16)
+    ReplayRunner(spark, table, batch_span=span).run(nested, max_batches=4)
+    view = IncrementalAggView.create(
+        spark, table, os.path.join(tmp, "v"), dims=["lang"],
+        aggs={"n_files": ("count",), "min_size": ("min", "length(content)"),
+              "max_size": ("max", "length(content)")},
+        num_buckets=4)
+    assert view.needs_recompute
+    ReplayRunner(spark, table, batch_span=span).run(nested)
+    view.refresh()
+    return view.read().select(
+        "lang",
+        F.col("n_files").cast("bigint").alias("n_files"),
+        F.col("min_size").cast("bigint").alias("min_size"),
+        F.col("max_size").cast("bigint").alias("max_size"))
+
+
 # ------------------------------------------------- training-data pipeline ops
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -822,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_point_lookup": q_point_lookup,
         "cdc_changes_diff": q_changes_diff,
         "cdc_incremental_agg": q_incremental_agg,
+        "cdc_minmax_agg": q_minmax_agg,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_dedup_clusters_bigstar": q_doc_dedup_clusters_bigstar,
@@ -1320,6 +1354,22 @@ final AS (
 SELECT lang,
   CAST(count(*) AS BIGINT) AS n_files,
   CAST(sum(length(content)) AS BIGINT) AS total_size
+FROM final GROUP BY lang
+""".strip(),
+        "cdc_minmax_agg": f"""
+WITH {stream}, {observed},
+dml AS (SELECT * FROM observed WHERE op IN ('INSERT','UPDATE','DELETE')),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY gtid DESC) AS rn FROM dml
+),
+final AS (
+  SELECT repo, path, commit, lang, content
+  FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_files,
+  CAST(min(length(content)) AS BIGINT) AS min_size,
+  CAST(max(length(content)) AS BIGINT) AS max_size
 FROM final GROUP BY lang
 """.strip(),
         "cdc_lineage_metrics": f"""

@@ -149,7 +149,7 @@ def test_view_survives_source_compaction_via_diff_fallback(spark, tmp_path):
     _assert_view_matches(view, t)
 
 
-def test_view_time_travel_and_minmax_rejection(spark, tmp_path):
+def test_view_time_travel_and_minmax_create(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
                          ["repo", "path"], num_buckets=2)
     t.merge(_batch(spark, [("r1", "a", "py", 10, "INSERT", 1)]),
@@ -166,10 +166,12 @@ def test_view_time_travel_and_minmax_rejection(spark, tmp_path):
     new = view.read().collect()
     assert new[0]["n_files"] == 2 and new[0]["total_size"] == 40
 
-    with pytest.raises(ValueError, match="no inverse"):
-        IncrementalAggView.create(spark, t, str(tmp_path / "v2"),
-                                  dims=["lang"],
-                                  aggs={"m": ("max", "size")})
+    # min/max are supported via the touched-group recompute strategy
+    mm = IncrementalAggView.create(spark, t, str(tmp_path / "v2"),
+                                   dims=["lang"],
+                                   aggs={"m": ("max", "size")})
+    assert mm.needs_recompute
+    assert mm.read().collect()[0]["m"] == 30
 
 
 def test_view_randomized_against_recompute(spark, tmp_path):
@@ -473,3 +475,116 @@ def test_view_format_stamp_guards_layout_drift(spark, tmp_path):
     view.table.set_properties({"view_format": "1"})
     with pytest.raises(ValueError, match="storage layout"):
         IncrementalAggView.load(spark, t, str(tmp_path / "v"))
+
+
+def _mm_recompute(source):
+    return (source.read().groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("size").alias("lo"),
+                 F.max("size").alias("hi"),
+                 F.sum("size").cast("bigint").alias("tot")))
+
+
+def test_minmax_view_tracks_recompute_under_deletes(spark, tmp_path):
+    """min/max views use the touched-group recompute strategy: deleting
+    the current extreme, lowering it via UPDATE, dim-moves, NULL
+    measures, and delete-to-zero groups all land on the recompute truth
+    after every refresh — the cases signed deltas cannot express."""
+    t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                         ["repo", "path"], num_buckets=4)
+    t.merge(_batch(spark, [
+        ("r1", "a", "py", 10, "INSERT", 1),
+        ("r1", "b", "py", 50, "INSERT", 2),
+        ("r2", "c", "go", 30, "INSERT", 3),
+        ("r2", "d", "go", None, "INSERT", 4),
+        ("r3", "e", "rs", 70, "INSERT", 5),
+    ]), batch_id=1, mode="mor")
+    view = IncrementalAggView.create(
+        spark, t, str(tmp_path / "v"), dims=["lang"],
+        aggs={"n": ("count",), "lo": ("min", "size"),
+              "hi": ("max", "size"), "tot": ("sum", "size")},
+        num_buckets=2)
+    assert view.needs_recompute
+    assert _rows(view.read()) == _rows(_mm_recompute(t))
+
+    # delete the current max of py; lower go's max via UPDATE; dim-move
+    # rs's only row into py (rs must become a DELETE row); add an
+    # all-NULL group
+    t.merge(_batch(spark, [
+        ("r1", "b", "py", 50, "DELETE", 10),
+        ("r2", "c", "go", 5, "UPDATE", 11),
+        ("r3", "e", "py", 70, "UPDATE", 12),
+        ("r4", "f", "zig", None, "INSERT", 13),
+    ]), batch_id=2, mode="mor")
+    view.refresh()
+    got = {r["lang"]: (r["n"], r["lo"], r["hi"], r["tot"])
+           for r in view.read().collect()}
+    assert "rs" not in got                      # group died -> DELETE row
+    assert got["py"] == (2, 10, 70, 80)         # old max gone, new member in
+    assert got["go"] == (2, 5, 5, 5)            # max LOWERED (non-invertible)
+    assert got["zig"] == (1, None, None, None)  # all-NULL extremes are NULL
+    assert _rows(view.read()) == _rows(_mm_recompute(t))
+
+    # crash-replay: same source version refreshes to a no-op
+    assert view.refresh()["skipped"] is True
+
+    # refresh history time-travels like any lake table
+    assert len(view.table.history()) >= 2
+
+
+def test_minmax_refresh_restricts_source_read(spark, tmp_path):
+    """The recompute strategy must NOT recompute untouched groups, and
+    the membership predicate must land where the LWW window allows:
+    KEY dims push through the window into the parquet scan
+    (PushedFilters); non-key dims filter immediately above the window
+    (membership is only knowable post-LWW). Both plans emit rows for
+    the touched groups ONLY."""
+    t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                         ["repo", "path"], num_buckets=4)
+    rows = [(f"r{i % 5}", f"f{i}", ["py", "go", "rs", "md"][i % 4],
+             (i * 7) % 100, "INSERT", i + 1) for i in range(80)]
+    t.merge(_batch(spark, rows), batch_id=1, mode="mor")
+
+    # non-key dim (lang): filter above the window, touched groups only
+    view = IncrementalAggView.create(
+        spark, t, str(tmp_path / "v"), dims=["lang"],
+        aggs={"hi": ("max", "size")}, num_buckets=4)
+    t.merge(_batch(spark, [("r0", "f0", "py", 1, "UPDATE", 1000)]),
+            batch_id=2, mode="mor")
+    rows_df, cleanup = view._refresh_plan(
+        view.source_version, t.snapshot.version, "auto")
+    try:
+        plan = rows_df._jdf.queryExecution().executedPlan().toString()
+        assert any("Filter" in ln and "lang" in ln and
+                   ("= py" in ln or "IN (py" in ln)
+                   for ln in plan.splitlines()), plan
+        out = rows_df.collect()
+    finally:
+        cleanup()
+    assert {r["lang"] for r in out} == {"py"}   # only the touched group
+    view.refresh()
+    assert _rows(view.read()) == _rows(
+        t.read().groupBy("lang").agg(F.max("size").alias("hi")))
+
+    # KEY dim (repo): the predicate reaches the source FileScan — and
+    # the UPDATE's before-image dim must come from the after image (the
+    # _before struct has no key columns)
+    view2 = IncrementalAggView.create(
+        spark, t, str(tmp_path / "v2"), dims=["repo"],
+        aggs={"hi": ("max", "size")}, num_buckets=4)
+    t.merge(_batch(spark, [("r1", "f1", "go", 2, "UPDATE", 1001)]),
+            batch_id=3, mode="mor")
+    rows_df2, cleanup2 = view2._refresh_plan(
+        view2.source_version, t.snapshot.version, "auto")
+    try:
+        plan2 = rows_df2._jdf.queryExecution().executedPlan().toString()
+        assert any(("In(repo" in ln or "EqualTo(repo" in ln)
+                   for ln in plan2.splitlines()
+                   if "PushedFilters" in ln), plan2
+        out2 = rows_df2.collect()
+    finally:
+        cleanup2()
+    assert {r["repo"] for r in out2} == {"r1"}
+    view2.refresh()
+    assert _rows(view2.read()) == _rows(
+        t.read().groupBy("repo").agg(F.max("size").alias("hi")))

@@ -342,7 +342,9 @@ def cmd_changes(args) -> dict:
 def cmd_view_create(args) -> dict:
     """Materialize a GROUP BY aggregate view over a lake table; refresh
     it incrementally with ``view-refresh``. --agg takes
-    name=count | name=sum:EXPR | name=avg:EXPR (repeatable)."""
+    name=count | name=sum:EXPR | name=avg:EXPR | name=min:EXPR |
+    name=max:EXPR (repeatable; min/max use the touched-group recompute
+    strategy — see plans/matview.py)."""
     from .plans.lake import LakeTable
     from .plans.matview import IncrementalAggView
 

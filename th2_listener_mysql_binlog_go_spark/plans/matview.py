@@ -28,8 +28,20 @@ recompute EXACTLY for integer measures (float sums may differ in
 rounding by addition order — disclosed, tested with tolerance). sum and
 avg each keep a non-null count alongside their accumulator, so an
 all-NULL group reads back as NULL — SQL ``sum``/``avg`` semantics, not
-the monoid's 0. min/max are NOT groups (no inverse under deletion) and
-are rejected with a pointer at full recompute.
+the monoid's 0. min/max are NOT groups (no inverse under deletion), so
+a view containing one switches to the TOUCHED-GROUP RECOMPUTE strategy:
+the changelog still identifies the O(changed groups) dim values, but
+their new values come from re-aggregating the source restricted to
+those groups (a per-dim membership predicate + an exact semi join)
+instead of folding deltas. The predicate reaches the parquet SCAN
+(PushedFilters + row-group pruning over the key-sorted files) when the
+dims are source KEY columns — the LWW window partitions by exactly
+those, so the filter passes through it; for non-key dims group
+membership is only knowable post-LWW, so the filter applies immediately
+above the window: the aggregate input is O(touched groups) but the scan
+itself is O(source) — the irreducible cost min/max fundamentally
+requires under deletion. Untouched groups' VIEW state is never read or
+rewritten on either path.
 
 Idempotence / crash safety ride the lake's own machinery: the refresh
 merges with ``batch_id = source_version``, so a crashed-and-replayed
@@ -68,7 +80,12 @@ class IncrementalAggView:
       ``("count",)``      — row count of the group;
       ``("sum", expr)``   — sum of a SQL expression over source columns;
       ``("avg", expr)``   — mean of the expression (NULLs excluded, like
-                            SQL ``avg``).
+                            SQL ``avg``);
+      ``("min", expr)`` / ``("max", expr)`` — extremes of the expression.
+                            Any min/max in the view switches refresh to
+                            the touched-group recompute strategy (module
+                            docstring) — correct under DELETE, costed by
+                            how well the source prunes on the dims.
 
     The view inherits the full lake surface: snapshot isolation, time
     travel over refresh history, ``lookup()`` for single-group reads,
@@ -94,6 +111,10 @@ class IncrementalAggView:
         self.dims: list[str] = json.loads(props["view_dims"])
         self.aggs: dict[str, tuple] = {
             k: tuple(v) for k, v in json.loads(props["view_aggs"]).items()}
+        #: min/max have no inverse under DELETE — refresh recomputes the
+        #: touched groups from source instead of folding signed deltas
+        self.needs_recompute = any(
+            s[0] in ("min", "max") for s in self.aggs.values())
         # A refresh against the wrong source would merge foreign deltas
         # AND advance the watermark — permanently corrupting the view
         # even after re-pointing. Reject up front; a deliberately moved
@@ -160,14 +181,9 @@ class IncrementalAggView:
             raise ValueError(f"duplicate dim in {dims}")
         for name, spec in aggs.items():
             kind = spec[0]
-            if kind in ("min", "max"):
-                raise ValueError(
-                    f"{name}: {kind} has no inverse under DELETE and cannot "
-                    "be maintained incrementally — recompute it from "
-                    "source.read() (or keep a count-per-value sketch upstream)")
-            if kind not in ("count", "sum", "avg"):
+            if kind not in ("count", "sum", "avg", "min", "max"):
                 raise ValueError(f"{name}: unknown agg kind {kind!r}")
-            if kind in ("sum", "avg") and len(spec) != 2:
+            if kind != "count" and len(spec) != 2:
                 raise ValueError(f"{name}: {kind} takes exactly one expression")
         # Collision check over the COMPLETE produced-column set (agg
         # names + every hidden storage column), order-independently: a
@@ -193,12 +209,14 @@ class IncrementalAggView:
         touch storage columns cannot drift. count rides ``_rowcnt``; sum
         keeps its value plus a non-null count (SQL NULL semantics —
         read() returns NULL for an all-NULL group, not the monoid's 0);
-        avg keeps (sum, non-null count)."""
+        avg keeps (sum, non-null count); min/max keep just their value
+        (the recompute strategy rewrites whole touched-group rows, so no
+        auxiliary accumulator is needed — NULL means an all-NULL group)."""
         kind = spec[0]
         if kind == "count":
             return []
-        if kind == "sum":
-            return [name, f"_nn_{name}"]
+        if kind in ("sum", "min", "max"):
+            return [name] + ([f"_nn_{name}"] if kind == "sum" else [])
         return [f"_sum_{name}", f"_nn_{name}"]
 
     @classmethod
@@ -207,6 +225,12 @@ class IncrementalAggView:
         names = cls._storage_names(name, spec)
         if not names:
             return []
+        if kind in ("min", "max"):
+            # extremes keep the expression's EXACT type (string/timestamp
+            # extremes are legal; bigint/double coercion would corrupt)
+            t = src.select(F.expr(spec[1]).alias("_e")
+                           ).schema[0].dataType.simpleString()
+            return [(names[0], t)]
         first_type = _storage_type(src, spec[1]) if kind == "sum" else "double"
         return [(names[0], first_type), (names[1], "bigint")]
 
@@ -246,6 +270,8 @@ class IncrementalAggView:
         ch = self.source.changes(from_v, to_v, mode=mode,
                                  with_before=True).persist()
         try:
+            if self.needs_recompute:
+                return self._refresh_recompute(ch, to_v)
             return self._refresh_plan_body(ch, keys, val_cols, to_v)
         except BaseException:
             ch.unpersist()
@@ -337,6 +363,90 @@ class IncrementalAggView:
             ch.unpersist()
         return rows, _cleanup
 
+    #: per-dim pushdown cap for the recompute strategy's touched-group
+    #: probe (the changes() keyset precedent: bounded limit(cap+1) rows)
+    RECOMPUTE_PUSHDOWN_MAX = 4096
+
+    def _refresh_recompute(self, ch, to_v):
+        """Touched-group RECOMPUTE refresh — the strategy when any agg
+        lacks an inverse under DELETE (min/max). The changelog still
+        bounds WHICH groups changed (O(changed groups) distinct over the
+        window, before + after images so dim-moves touch both sides);
+        their new values come from one re-aggregation of the source
+        RESTRICTED to those groups:
+
+          * per-dim ``isin`` prefilter (bounded ``limit(cap+1)`` probe,
+            the ``changes()`` keyset precedent) — for KEY dims it passes
+            through the LWW window into the parquet scan (PushedFilters
+            + row-group pruning over the key-sorted files); for non-key
+            dims it applies immediately above the window (membership is
+            only knowable post-LWW), bounding the aggregate input while
+            the scan stays O(source);
+          * an exact null-safe semi join (broadcast when the probe
+            engaged) removes the per-column cross-product slack;
+          * groups with NO surviving source rows become DELETE rows.
+
+        Worst case (touched groups exceed the cap, or non-key dims)
+        scans the source once — the cost min/max fundamentally requires
+        under deletion; the untouched groups' VIEW state is never read
+        or rewritten."""
+        ct = F.col("_change_type")
+        dcols = [F.col(d) for d in self.dims]
+        # UPDATE before-image dims: key dims are immutable within an
+        # UPDATE (the _before struct carries only VALUE columns), so a
+        # key dim's before value IS its after value
+        src_keys = set(self.source.snapshot.key_names)
+        before_dims = [
+            (F.col(d) if d in src_keys else F.col(f"_before.{d}")).alias(d)
+            for d in self.dims]
+        touched = (ch.select(*dcols)
+                   .unionByName(ch.filter(ct == "UPDATE").select(*before_dims))
+                   .distinct().persist())
+        try:
+            cond = LakeTable._keyset_prefilter(
+                touched, self.dims, self.RECOMPUTE_PUSHDOWN_MAX)
+            src = self.source.read()
+            if cond is not None:
+                src = src.filter(cond)
+            # rename the probe side so dim references stay unambiguous
+            tk = touched.select(
+                *[F.col(d).alias(f"_t_{d}") for d in self.dims])
+            jc = None
+            for d in self.dims:
+                c = F.col(d).eqNullSafe(F.col(f"_t_{d}"))
+                jc = c if jc is None else (jc & c)
+            restricted = src.join(
+                F.broadcast(tk) if cond is not None else tk,
+                on=jc, how="leftsemi")
+            agged = (restricted.groupBy(*dcols)
+                     .agg(F.count(F.lit(1)).alias(_ROWCNT),
+                          *self._full_agg_exprs())
+                     .select(*[F.col(d).alias(f"_a_{d}") for d in self.dims],
+                             F.col(_ROWCNT),
+                             *[F.col(c) for c, _ in self._storage_pairs()]))
+            jb = None
+            for d in self.dims:
+                c = F.col(d).eqNullSafe(F.col(f"_a_{d}"))
+                jb = c if jb is None else (jb & c)
+            j = touched.join(agged, on=jb, how="left")
+            cnt = F.coalesce(F.col(_ROWCNT), F.lit(0))
+            sel = [F.col(d) for d in self.dims]
+            for st_col, st_type in self._storage_pairs():
+                sel.append(F.col(st_col).cast(st_type).alias(st_col))
+            sel.append(cnt.cast("bigint").alias(_ROWCNT))
+            sel.append(F.when(cnt <= 0, F.lit("DELETE"))
+                       .otherwise(F.lit("UPDATE")).alias(OP_COL))
+            rows = j.select(*sel).withColumn(
+                GTID_COL, F.lit(to_v).cast("bigint"))
+        except BaseException:
+            touched.unpersist()
+            raise
+
+        def _cleanup():
+            touched.unpersist()
+            ch.unpersist()
+        return rows, _cleanup
+
     def rebuild(self) -> dict:
         """Full recompute in ONE atomic commit — the recovery path when
         the refresh watermark fell out of the source's retained snapshot
@@ -381,7 +491,11 @@ class IncrementalAggView:
             if kind == "count":
                 continue
             e = F.expr(spec[1])
-            if kind == "sum":
+            if kind == "min":
+                out.append(F.min(e).alias(name))
+            elif kind == "max":
+                out.append(F.max(e).alias(name))
+            elif kind == "sum":
                 st = dict(self._view_schema())[name]
                 out.append(F.coalesce(F.sum(e), F.lit(0)).cast(st).alias(name))
                 out.append(F.count(e).alias(f"_nn_{name}"))
@@ -403,6 +517,8 @@ class IncrementalAggView:
             kind = spec[0]
             if kind == "count":
                 sel.append(F.col(_ROWCNT).alias(name))
+            elif kind in ("min", "max"):
+                sel.append(F.col(name))
             elif kind == "sum":
                 sel.append(F.when(F.col(f"_nn_{name}") > 0, F.col(name))
                            .alias(name))
