@@ -578,9 +578,16 @@ def test_minmax_refresh_restricts_source_read(spark, tmp_path):
         view2.source_version, t.snapshot.version, "auto")
     try:
         plan2 = rows_df2._jdf.queryExecution().executedPlan().toString()
-        assert any(("In(repo" in ln or "EqualTo(repo" in ln)
-                   for ln in plan2.splitlines()
-                   if "PushedFilters" in ln), plan2
+        # The changes() subplan's keyset prefilter ALSO pushes
+        # EqualTo(repo,..) — but always together with EqualTo(path,..)
+        # (both key columns), so matching any repo pushdown would be
+        # vacuously green even if the RECOMPUTE prefilter regressed.
+        # Demand a PushedFilters bracket that restricts repo and NOT
+        # path: only the recompute scan produces that.
+        import re
+        pfs = re.findall(r"PushedFilters: \[([^\]]*)\]", plan2)
+        assert any(("In(repo" in pf or "EqualTo(repo" in pf)
+                   and "path" not in pf for pf in pfs), plan2
         out2 = rows_df2.collect()
     finally:
         cleanup2()
@@ -588,3 +595,108 @@ def test_minmax_refresh_restricts_source_read(spark, tmp_path):
     view2.refresh()
     assert _rows(view2.read()) == _rows(
         t.read().groupBy("repo").agg(F.max("size").alias("hi")))
+
+
+def test_minmax_refresh_empty_net_window_short_circuits(spark, tmp_path):
+    """A window whose NET change is empty (rewrites to identical values
+    are elided by changes()'s state-diff semantics) must not plan an
+    O(source) semi join at all: the recompute path short-circuits to a
+    watermark-only merge (zero FileScans in the rows plan), and the
+    watermark still advances so the next refresh windows correctly."""
+    t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                         ["repo", "path"], num_buckets=4)
+    t.merge(_batch(spark, [("r1", "a", "py", 10, "INSERT", 1),
+                           ("r2", "b", "go", 20, "INSERT", 2)]),
+            batch_id=1, mode="mor")
+    view = IncrementalAggView.create(
+        spark, t, str(tmp_path / "v"), dims=["lang"],
+        aggs={"hi": ("max", "size")}, num_buckets=2)
+
+    # rewrite to IDENTICAL values: net changes() is empty
+    t.merge(_batch(spark, [("r1", "a", "py", 10, "UPDATE", 3),
+                           ("r2", "b", "go", 20, "UPDATE", 4)]),
+            batch_id=2, mode="mor")
+    rows_df, cleanup = view._refresh_plan(
+        view.source_version, t.snapshot.version, "auto")
+    try:
+        plan = rows_df._jdf.queryExecution().executedPlan().toString()
+        assert "FileScan" not in plan, plan   # short-circuit, not AQE luck
+        assert rows_df.collect() == []
+    finally:
+        cleanup()
+    view.refresh()
+    assert view.source_version == t.snapshot.version  # watermark advanced
+    assert _rows(view.read()) == _rows(
+        t.read().groupBy("lang").agg(F.max("size").alias("hi")))
+
+    # and the window AFTER the no-op still refreshes correctly
+    t.merge(_batch(spark, [("r1", "a", "py", 99, "UPDATE", 5)]),
+            batch_id=3, mode="mor")
+    view.refresh()
+    assert _rows(view.read()) == _rows(
+        t.read().groupBy("lang").agg(F.max("size").alias("hi")))
+
+
+def test_minmax_refresh_with_probe_like_column_names(spark, tmp_path):
+    """The recompute join must stay unambiguous even when the SOURCE
+    carries columns spelled like plan-introduced names (`_t_<dim>`) or
+    an agg output is named `_a_<dim>` — alias-qualified joins leave no
+    reserved rename namespace to collide with."""
+    schema = [("repo", "string"), ("path", "string"), ("lang", "string"),
+              ("_t_lang", "int"), ("size", "int")]
+    ddl = ("repo string, path string, lang string, _t_lang int, "
+           "size int, _op string, _gtid long")
+    t = LakeTable.create(spark, str(tmp_path / "src"), schema,
+                         ["repo", "path"], num_buckets=4)
+    t.merge(spark.createDataFrame(
+        [("r1", "a", "py", 7, 10, "INSERT", 1),
+         ("r1", "b", "py", 8, 50, "INSERT", 2),
+         ("r2", "c", "go", 9, 30, "INSERT", 3)], ddl),
+        batch_id=1, mode="mor")
+    view = IncrementalAggView.create(
+        spark, t, str(tmp_path / "v"), dims=["lang"],
+        aggs={"hi": ("max", "size"), "_a_lang": ("min", "_t_lang")},
+        num_buckets=2)
+    t.merge(spark.createDataFrame(
+        [("r1", "b", "py", 2, 60, "UPDATE", 4),
+         ("r2", "c", "go", 9, 30, "DELETE", 5)], ddl),
+        batch_id=2, mode="mor")
+    view.refresh()
+    got = {r["lang"]: (r["hi"], r["_a_lang"])
+           for r in view.read().collect()}
+    assert got == {"py": (60, 2)}
+    assert _rows(view.read()) == _rows(
+        t.read().groupBy("lang").agg(F.max("size").alias("hi"),
+                                     F.min("_t_lang").alias("_a_lang")))
+
+
+def test_minmax_mixed_key_and_nonkey_dims(spark, tmp_path):
+    """One view whose dims mix a KEY column (repo — prefilter reaches
+    the scan) and a non-key column (lang — filter above the window),
+    exercising the before-image split in `_refresh_recompute`'s touched
+    set: a dim-move touches both (repo,lang) sides, a delete empties a
+    group, and a NULL-dim group updates in place."""
+    t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                         ["repo", "path"], num_buckets=4)
+    t.merge(_batch(spark, [
+        ("r1", "a", "py", 10, "INSERT", 1),
+        ("r1", "b", "go", 20, "INSERT", 2),
+        ("r2", "c", "py", 30, "INSERT", 3),
+        ("r2", "d", None, 40, "INSERT", 4),
+    ]), batch_id=1, mode="mor")
+    view = IncrementalAggView.create(
+        spark, t, str(tmp_path / "v"), dims=["repo", "lang"],
+        aggs={"n": ("count",), "hi": ("max", "size")}, num_buckets=4)
+
+    t.merge(_batch(spark, [
+        ("r1", "b", "py", 21, "UPDATE", 10),    # dim-move go->py within r1
+        ("r2", "c", "py", 30, "DELETE", 11),    # (r2,py) group dies
+        ("r2", "d", None, 45, "UPDATE", 12),    # NULL-dim group updates
+    ]), batch_id=2, mode="mor")
+    view.refresh()
+    want = _rows(t.read().groupBy("repo", "lang").agg(
+        F.count(F.lit(1)).alias("n"), F.max("size").alias("hi")))
+    assert _rows(view.read()) == want
+    langs = {(r["repo"], r["lang"]) for r in view.read().collect()}
+    assert ("r1", "go") not in langs and ("r2", "py") not in langs
+    assert ("r2", None) in langs

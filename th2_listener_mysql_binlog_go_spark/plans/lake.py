@@ -905,13 +905,10 @@ class LakeTable:
         return cond
 
     @staticmethod
-    def _keyset_prefilter(new_rows: DataFrame, keys: list[str], cap: int):
-        """Per-column membership condition over the window's changed keys
-        (None when the window's ROW count exceeds ``cap`` or is empty;
-        distinct keys are a subset of the probed rows and equal the net
-        winners' keys — one winner per key — so no LWW window is needed
-        to enumerate them). NULL key components get an explicit isNull
-        arm (``isin`` never matches NULL)."""
+    def _keyset_probe(new_rows: DataFrame, keys: list[str], cap: int):
+        """limit(cap+1) key-row probe: the collected rows (possibly
+        EMPTY — callers may short-circuit a zero-change window), or None
+        when ``cap <= 0`` or the window exceeds the cap."""
         if cap <= 0:
             return None
         # Probe ROWS, not distinct keys: limit(cap+1) on the raw rows is
@@ -922,8 +919,27 @@ class LakeTable:
         # >cap-row window with few DISTINCT keys (hot-key churn) skips
         # the prefilter — the unfiltered plan is correct, just wider.
         rows = new_rows.select(*keys).limit(cap + 1).collect()
-        if not rows or len(rows) > cap:
+        if len(rows) > cap:
             return None
+        return rows
+
+    @staticmethod
+    def _keyset_prefilter(new_rows: DataFrame, keys: list[str], cap: int):
+        """Per-column membership condition over the window's changed keys
+        (None when the window's ROW count exceeds ``cap`` or is empty;
+        distinct keys are a subset of the probed rows and equal the net
+        winners' keys — one winner per key — so no LWW window is needed
+        to enumerate them). NULL key components get an explicit isNull
+        arm (``isin`` never matches NULL)."""
+        rows = LakeTable._keyset_probe(new_rows, keys, cap)
+        if not rows:
+            return None
+        return LakeTable._membership_cond(rows, keys)
+
+    @staticmethod
+    def _membership_cond(rows, keys: list[str]):
+        """Per-column ``isin``/``isNull`` condition from probed key rows
+        (None for non-hashable key types — the filter is optional)."""
         cond = None
         for k in keys:
             try:

@@ -340,11 +340,7 @@ class IncrementalAggView:
         # (NULL is a legal group). deltas is O(changed groups).
         cur = self.table.read(snapshot=sub).alias("cur")
         dl = deltas.alias("dl")
-        cond = None
-        for d in self.dims:
-            c = F.col(f"dl.{d}").eqNullSafe(F.col(f"cur.{d}"))
-            cond = c if cond is None else (cond & c)
-        j = dl.join(cur, on=cond, how="left")
+        j = dl.join(cur, on=self._dim_cond("dl", "cur"), how="left")
 
         new_cnt = (F.coalesce(F.col(f"cur.{_ROWCNT}"), F.lit(0))
                    + F.col(f"dl._d{_ROWCNT}"))
@@ -353,15 +349,32 @@ class IncrementalAggView:
             sel.append((F.coalesce(F.col(f"cur.{st_col}"),
                                    F.lit(0).cast(st_type))
                         + F.col(f"dl._d{st_col}")).cast(st_type).alias(st_col))
-        sel.append(new_cnt.cast("bigint").alias(_ROWCNT))
-        sel.append(F.when(new_cnt <= 0, F.lit("DELETE"))
-                   .otherwise(F.lit("UPDATE")).alias(OP_COL))
-        rows = j.select(*sel).withColumn(GTID_COL, F.lit(to_v).cast("bigint"))
+        rows = self._finalize_rows(j, sel, new_cnt, to_v)
 
         def _cleanup():
             deltas.unpersist()
             ch.unpersist()
         return rows, _cleanup
+
+    def _dim_cond(self, left: str, right: str):
+        """Null-safe dim equality between two ALIASED frames (NULL is a
+        legal group value; plain ``on=dims`` would never match it)."""
+        cond = None
+        for d in self.dims:
+            c = F.col(f"{left}.{d}").eqNullSafe(F.col(f"{right}.{d}"))
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    def _finalize_rows(self, j, sel: list, cnt_expr, to_v: int):
+        """The merge-row contract shared by BOTH refresh strategies:
+        dims + storage columns (caller's ``sel``) + liveness count, a
+        DELETE op exactly when the group's count reaches 0, and the
+        source version as the row's gtid."""
+        sel = list(sel)
+        sel.append(cnt_expr.cast("bigint").alias(_ROWCNT))
+        sel.append(F.when(cnt_expr <= 0, F.lit("DELETE"))
+                   .otherwise(F.lit("UPDATE")).alias(OP_COL))
+        return j.select(*sel).withColumn(GTID_COL, F.lit(to_v).cast("bigint"))
 
     #: per-dim pushdown cap for the recompute strategy's touched-group
     #: probe (the changes() keyset precedent: bounded limit(cap+1) rows)
@@ -403,41 +416,24 @@ class IncrementalAggView:
                    .unionByName(ch.filter(ct == "UPDATE").select(*before_dims))
                    .distinct().persist())
         try:
-            cond = LakeTable._keyset_prefilter(
+            # Bounded probe of the touched dim set. THREE outcomes:
+            # rows==[] — the window's net change is EMPTY (e.g. a batch
+            # of rewrites-to-identical-values, elided by changes()'s
+            # state-diff semantics): short-circuit to a watermark-only
+            # merge instead of planning an O(source) semi join that AQE
+            # may or may not collapse; rows<=cap — membership prefilter
+            # reaches the scan (key dims) or bounds the aggregate input
+            # (non-key dims), and the probe side is safely broadcast;
+            # None — over cap, unfiltered plan (correct, just wider).
+            probe = LakeTable._keyset_probe(
                 touched, self.dims, self.RECOMPUTE_PUSHDOWN_MAX)
-            src = self.source.read()
-            if cond is not None:
-                src = src.filter(cond)
-            # rename the probe side so dim references stay unambiguous
-            tk = touched.select(
-                *[F.col(d).alias(f"_t_{d}") for d in self.dims])
-            jc = None
-            for d in self.dims:
-                c = F.col(d).eqNullSafe(F.col(f"_t_{d}"))
-                jc = c if jc is None else (jc & c)
-            restricted = src.join(
-                F.broadcast(tk) if cond is not None else tk,
-                on=jc, how="leftsemi")
-            agged = (restricted.groupBy(*dcols)
-                     .agg(F.count(F.lit(1)).alias(_ROWCNT),
-                          *self._full_agg_exprs())
-                     .select(*[F.col(d).alias(f"_a_{d}") for d in self.dims],
-                             F.col(_ROWCNT),
-                             *[F.col(c) for c, _ in self._storage_pairs()]))
-            jb = None
-            for d in self.dims:
-                c = F.col(d).eqNullSafe(F.col(f"_a_{d}"))
-                jb = c if jb is None else (jb & c)
-            j = touched.join(agged, on=jb, how="left")
-            cnt = F.coalesce(F.col(_ROWCNT), F.lit(0))
-            sel = [F.col(d) for d in self.dims]
-            for st_col, st_type in self._storage_pairs():
-                sel.append(F.col(st_col).cast(st_type).alias(st_col))
-            sel.append(cnt.cast("bigint").alias(_ROWCNT))
-            sel.append(F.when(cnt <= 0, F.lit("DELETE"))
-                       .otherwise(F.lit("UPDATE")).alias(OP_COL))
-            rows = j.select(*sel).withColumn(
-                GTID_COL, F.lit(to_v).cast("bigint"))
+            if probe is not None and len(probe) == 0:
+                ddl = ", ".join(
+                    f"`{n}` {t}" for n, t in self._view_schema()
+                ) + f", `{OP_COL}` string, `{GTID_COL}` bigint"
+                rows = self.spark.createDataFrame([], ddl)
+            else:
+                rows = self._recompute_rows(touched, probe, dcols, to_v)
         except BaseException:
             touched.unpersist()
             raise
@@ -446,6 +442,34 @@ class IncrementalAggView:
             touched.unpersist()
             ch.unpersist()
         return rows, _cleanup
+
+    def _recompute_rows(self, touched, probe, dcols, to_v):
+        """One re-aggregation of the source restricted to the touched
+        groups. Alias-qualified joins throughout: a source column that
+        happens to share a name with anything the plan introduces cannot
+        make dim references ambiguous (no reserved rename namespace)."""
+        cond = (LakeTable._membership_cond(probe, self.dims)
+                if probe else None)
+        src = self.source.read()
+        if cond is not None:
+            src = src.filter(cond)
+        src = src.alias("src")
+        tk = touched.alias("tk")
+        restricted = src.join(
+            F.broadcast(tk) if cond is not None else tk,
+            on=self._dim_cond("src", "tk"), how="leftsemi")
+        agged = (restricted.groupBy(*dcols)
+                 .agg(F.count(F.lit(1)).alias(_ROWCNT),
+                      *self._full_agg_exprs())).alias("ag")
+        # groups with NO surviving source rows fall out of the left
+        # join — _finalize_rows turns their cnt 0 into DELETE rows
+        j = touched.alias("tc").join(
+            agged, on=self._dim_cond("tc", "ag"), how="left")
+        cnt = F.coalesce(F.col(f"ag.{_ROWCNT}"), F.lit(0))
+        sel = [F.col(f"tc.{d}").alias(d) for d in self.dims]
+        for st_col, st_type in self._storage_pairs():
+            sel.append(F.col(f"ag.{st_col}").cast(st_type).alias(st_col))
+        return self._finalize_rows(j, sel, cnt, to_v)
 
     def rebuild(self) -> dict:
         """Full recompute in ONE atomic commit — the recovery path when
