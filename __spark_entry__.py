@@ -557,6 +557,47 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("repo", "path", "commit", "lang", "content")
 
 
+def q_key_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key audit (row-level history): replay the stream into a MOR
+    lake with auto-compaction off (full event retention), then read 12
+    deterministic keys' complete lifecycles via
+    :meth:`LakeTable.key_history` — each ONE bucket-pruned scan with the
+    key predicate pushed into it, NO LWW window (every retained version
+    streams out), the current winner flagged. Hash-matches the raw
+    stream's per-key DML timeline recomputed in DuckDB. Reference
+    parity: downstream consumers correlate a key's lifecycle from the
+    published event stream (listener.go:296-315)."""
+    from functools import reduce
+
+    from th2_listener_mysql_binlog_go_spark.operators.apply import ApplyConfig
+
+    flat = derived_changestream(spark, sf_dir)
+    nested = to_change_schema(flat)
+    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
+    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 4)
+    tmp = _mkdtemp("cdc_keyhist_")
+    table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
+                             key_cols=["repo", "path"], num_buckets=16)
+    ReplayRunner(spark, table, batch_span=span,
+                 config=ApplyConfig(auto_compact_deltas=None)).run(nested)
+    keys = sorted(
+        (r["repo"], r["path"])
+        for r in flat.filter(
+            (F.col("schema_name") == "repos") & (F.col("table_name") == "files")
+            & F.col("op").isin("INSERT", "UPDATE", "DELETE"))
+        .select("repo", "path").distinct()
+        .filter(F.md5(F.concat_ws("|", "repo", "path")).startswith("0"))
+        .collect()
+    )[:12]
+    parts = [table.key_history(repo, path) for repo, path in keys]
+    out = reduce(lambda a, c: a.unionByName(c), parts)
+    return out.select(
+        "repo", "path", "commit", "lang", "content",
+        F.col("_op").alias("op"),
+        F.col("_gtid").cast("bigint").alias("gtid"),
+        F.col("_is_current").cast("int").alias("is_current"))
+
+
 def q_changes_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The lake as a CDC *source* (Iceberg changelog / Delta CDF
     analogue): net row-level changes between the mid-replay snapshot and
@@ -853,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_batch_plan": q_batch_plan,
         "cdc_time_travel": q_time_travel,
         "cdc_point_lookup": q_point_lookup,
+        "cdc_key_history": q_key_history,
         "cdc_changes_diff": q_changes_diff,
         "cdc_incremental_agg": q_incremental_agg,
         "cdc_minmax_agg": q_minmax_agg,
@@ -1314,6 +1356,23 @@ keys AS (
 )
 SELECT f.repo, f.path, f.commit, f.lang, f.content
 FROM final f JOIN keys k ON f.repo = k.repo AND f.path = k.path
+""".strip(),
+        "cdc_key_history": f"""
+WITH {stream}, {observed},
+dml AS (SELECT * FROM observed WHERE op IN ('INSERT','UPDATE','DELETE')),
+keys AS (
+  SELECT DISTINCT repo, path FROM dml
+  WHERE md5(repo || '|' || path) LIKE '0%'
+  ORDER BY repo, path LIMIT 12
+),
+hist AS (
+  SELECT d.*, row_number() OVER (
+    PARTITION BY d.repo, d.path ORDER BY d.gtid DESC) AS rn
+  FROM dml d JOIN keys k ON d.repo = k.repo AND d.path = k.path
+)
+SELECT repo, path, commit, lang, content, op, gtid,
+       CASE WHEN rn = 1 AND op <> 'DELETE' THEN 1 ELSE 0 END AS is_current
+FROM hist
 """.strip(),
         "cdc_changes_diff": f"""
 WITH {stream}, {observed},

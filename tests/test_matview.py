@@ -700,3 +700,67 @@ def test_minmax_mixed_key_and_nonkey_dims(spark, tmp_path):
     langs = {(r["repo"], r["lang"]) for r in view.read().collect()}
     assert ("r1", "go") not in langs and ("r2", "py") not in langs
     assert ("r2", None) in langs
+
+
+def test_refresh_all_orders_chained_views(spark, tmp_path):
+    """refresh_all() refreshes a rollup chain upstream-first regardless
+    of input order, landing every view on a consistent cut: the
+    second-level view consumes its upstream's POST-refresh version."""
+    from th2_listener_mysql_binlog_go_spark.plans.matview import refresh_all
+
+    t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                         ["repo", "path"], num_buckets=4)
+    t.merge(_batch(spark, [
+        ("r1", "a", "py", 10, "INSERT", 1),
+        ("r1", "b", "go", 20, "INSERT", 2),
+        ("r2", "c", "py", 30, "INSERT", 3),
+    ]), batch_id=1, mode="mor")
+    a = IncrementalAggView.create(
+        spark, t, str(tmp_path / "a"), dims=["repo", "lang"],
+        aggs={"n": ("count",)}, num_buckets=2)
+    # second level: per-repo file counts, summed from A's liveness counts
+    b = IncrementalAggView.create(
+        spark, a.table, str(tmp_path / "b"), dims=["repo"],
+        aggs={"files": ("sum", "_rowcnt")}, num_buckets=2)
+
+    t.merge(_batch(spark, [
+        ("r1", "d", "rs", 5, "INSERT", 4),
+        ("r2", "c", None, None, "DELETE", 5),   # (r2,py) group dies
+    ]), batch_id=2, mode="mor")
+
+    res = refresh_all([b, a])                   # dependent listed FIRST
+    order = list(res)
+    import os as _os
+    assert order == [_os.path.realpath(str(tmp_path / "a")),
+                     _os.path.realpath(str(tmp_path / "b"))]
+    assert b.source_version == a.table.snapshot.version  # consistent cut
+    got = {r["repo"]: r["files"] for r in b.read().collect()}
+    want = {r["repo"]: r["files"] for r in t.read().groupBy("repo").agg(
+        F.count(F.lit(1)).alias("files")).collect()}
+    assert got == want and "r2" not in got
+
+
+def test_refresh_all_rejects_cycles_and_duplicates(spark, tmp_path):
+    from types import SimpleNamespace
+
+    from th2_listener_mysql_binlog_go_spark.plans.matview import refresh_all
+
+    def fake(root, src_root):
+        return SimpleNamespace(table=SimpleNamespace(root=root),
+                               source=SimpleNamespace(root=src_root),
+                               refresh=lambda mode="auto": {"root": root})
+
+    x, y = fake("/tmp/vx", "/tmp/vy"), fake("/tmp/vy", "/tmp/vx")
+    try:
+        refresh_all([x, y])
+        raise AssertionError("expected ValueError on a cycle")
+    except ValueError as e:
+        assert "cycle" in str(e)
+    try:
+        refresh_all([fake("/tmp/vz", "/s"), fake("/tmp/vz", "/s")])
+        raise AssertionError("expected ValueError on duplicates")
+    except ValueError as e:
+        assert "duplicate" in str(e)
+    # independent views keep input order
+    r = refresh_all([fake("/tmp/v2", "/s1"), fake("/tmp/v1", "/s2")])
+    assert list(r) == ["/tmp/v2", "/tmp/v1"]

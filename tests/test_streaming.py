@@ -424,3 +424,40 @@ def test_streaming_view_cadence_skips_epochs_then_catches_up(spark, tmp_path):
     want = sorted([tuple(r) for r in table.read().groupBy("lang").agg(
         F.count(F.lit(1)).alias("n")).collect()])
     assert got == want
+
+
+def test_streaming_maintains_chained_views(spark, tmp_path):
+    """A rollup CHAIN inside the micro-batch loop: view B sources view
+    A's table; the applier rebinds B to A's live handle and refreshes
+    upstream-first each epoch, so after the drain both levels equal a
+    recompute from the table."""
+    from pyspark.sql import functions as F
+
+    from th2_listener_mysql_binlog_go_spark.plans.matview import IncrementalAggView
+
+    src = str(tmp_path / "events")
+    full = synthetic_changestream(spark, 2000, n_repos=10, n_paths=40,
+                                  truncate_per_10k=0)
+    full.repartition(4).write.parquet(src)
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                             ["repo", "path"], num_buckets=4)
+    a = IncrementalAggView.create(
+        spark, table, str(tmp_path / "a"), dims=["repo", "lang"],
+        aggs={"n": ("count",)}, num_buckets=2)
+    b = IncrementalAggView.create(
+        spark, a.table, str(tmp_path / "b"), dims=["lang"],
+        aggs={"files": ("sum", "_rowcnt")}, num_buckets=2)
+
+    sa = StreamingApplier(spark, table, views=[b, a])  # dependent first
+    assert a.source is table and b.source is a.table
+    q = sa.start(src, str(tmp_path / "ckpt"), CHANGE_SCHEMA,
+                 available_now=True, max_files_per_trigger=2)
+    q.awaitTermination(300)
+
+    assert a.source_version == table.snapshot.version
+    assert b.source_version == a.table.snapshot.version
+    got = {r["lang"]: r["files"] for r in b.read().collect()}
+    want = {r["lang"]: r["files"] for r in table.read().groupBy("lang").agg(
+        F.count(F.lit(1)).alias("files")).collect()}
+    assert got == want

@@ -32,6 +32,7 @@ the persisted watermark):
   history         snapshot history (versions, watermarks, file counts)
   tag             pin/move/drop a named tag on a snapshot version
   lookup          bucket-pruned point read of one key
+  key-history     per-key audit: every retained change event, winner flagged
   changes         net row-level changes between two snapshots -> parquet
   view-create     materialize a GROUP BY aggregate view over a table
   view-refresh    advance a view from the source changelog (incremental)
@@ -302,6 +303,20 @@ def cmd_lookup(args) -> dict:
     rows = [r.asDict() for r in t.lookup(*vals, snapshot=snap).collect()]
     return {"table": args.table, "keys": dict(zip(t.snapshot.key_names, vals)),
             "rows": rows}
+
+
+def cmd_key_history(args) -> dict:
+    """Per-key audit: every retained change event for one key, in apply
+    order, with the current winner flagged — one bucket-pruned scan."""
+    from .plans.lake import LakeTable
+
+    spark = _spark("cdc-key-history")
+    t = LakeTable.load(spark, args.table)
+    snap = t.snapshot_at(args.version) if args.version is not None else None
+    vals = args.values.split(",")
+    rows = [r.asDict() for r in t.key_history(*vals, snapshot=snap).collect()]
+    return {"table": args.table, "keys": dict(zip(t.snapshot.key_names, vals)),
+            "events": rows}
 
 
 def cmd_tag(args) -> dict:
@@ -590,6 +605,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--version", type=_ver, default=None,
                     help="snapshot version or tag name (default: head)")
     sp.set_defaults(fn=cmd_lookup)
+
+    sp = sub.add_parser("key-history")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--values", required=True,
+                    help="comma-separated key values in key-column order")
+    sp.add_argument("--version", type=_ver, default=None,
+                    help="snapshot version or tag name (default: head)")
+    sp.set_defaults(fn=cmd_key_history)
 
     sp = sub.add_parser("tag")
     sp.add_argument("--table", required=True)

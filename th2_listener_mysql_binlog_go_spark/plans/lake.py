@@ -533,14 +533,24 @@ class LakeTable:
         empty DataFrame for an absent (or deleted / truncated) key."""
         snap = snapshot or self.snapshot
         keys = snap.key_names
+        key_types = {c.name: c.type for c in snap.columns}
+        sub = self._key_bucket_snapshot(snap, key_values)
+        out = self.read(include_meta=include_meta, snapshot=sub)
+        for k, v in zip(keys, key_values):
+            out = out.filter(F.col(k).eqNullSafe(F.lit(v).cast(key_types[k])))
+        return out
+
+    def _key_bucket_snapshot(self, snap: "Snapshot", key_values: tuple) -> "Snapshot":
+        """Sub-snapshot holding only the files of ``key_values``' bucket.
+        The bucket is computed by one driver-local row through the SAME
+        Catalyst expression the writers use (no hand-rolled xxhash64
+        parity to maintain), a millisecond single-task job."""
+        keys = snap.key_names
         if len(key_values) != len(keys):
             raise ValueError(
-                f"lookup takes {len(keys)} key values {tuple(keys)}, "
+                f"expected {len(keys)} key values {tuple(keys)}, "
                 f"got {len(key_values)}")
         key_types = {c.name: c.type for c in snap.columns}
-        # bucket of the key: one driver-local row through the SAME
-        # Catalyst expression the writers use (no hand-rolled xxhash64
-        # parity to maintain), a millisecond single-task job
         bucket_of = F.pmod(
             F.xxhash64(*[F.col(k) for k in keys]),
             F.lit(snap.num_buckets)).cast("int")  # snap's bucketing, not head's
@@ -549,11 +559,70 @@ class LakeTable:
                        for k, v in zip(keys, key_values)])
              .select(bucket_of.alias("b"))
              .first()["b"])
-        sub = snap.sub([fi for fi in snap.files if fi["bucket"] == b])
-        out = self.read(include_meta=include_meta, snapshot=sub)
+        return snap.sub([fi for fi in snap.files if fi["bucket"] == b])
+
+    def key_history(self, *key_values,
+                    snapshot: Snapshot | None = None) -> DataFrame:
+        """Row-level audit: every RETAINED change event for one key, in
+        apply order — the per-key view of the changelog (the reference's
+        downstream consumers correlate a key's lifecycle by replaying its
+        events from the queue, listener.go:296-315; here it is one
+        bucket-pruned, predicate-pushed scan over the key's bucket).
+
+        Scale shape = :meth:`lookup`'s: the bucket function pins the key
+        to ONE bucket (O(table/num_buckets) IO however large the table),
+        and the null-safe key equality pushes into the parquet scans —
+        there is NO LWW window here at all, every retained version
+        streams out.
+
+        Semantics: MOR deltas retain one row per applied change event, so
+        the result is the key's full event history SINCE the bucket was
+        last folded (compaction / CoW rewrite); a folded prefix survives
+        as a single ``KEEP`` row carrying the surviving image at its
+        original ``(_gtid, _seq)`` (or nothing, if the key was then
+        deleted — tombstones do not survive a fold). Rows at or below a
+        TRUNCATE marker are dead and omitted, matching :meth:`read`;
+        deeper history is reachable by passing an older ``snapshot``
+        (time travel). Output: the table columns +
+        ``(_gtid, _seq, _op, _is_current)``, ordered by ``(_gtid,
+        _seq)`` ascending; ``_is_current`` marks the LWW winner —
+        false on every row when the key is currently deleted."""
+        snap = snapshot or self.snapshot
+        keys = snap.key_names
+        key_types = {c.name: c.type for c in snap.columns}
+        sub = self._key_bucket_snapshot(snap, key_values)
+        trunc = int(sub.properties.get("truncate_gtid", "-1"))
+        live = [fi for fi in sub.files if not self._gtid_dead(fi, trunc)]
+        base = self._read_mapped(
+            sub, [fi for fi in live if fi.get("kind", "base") == "base"],
+            with_op=False)
+        if base is not None:
+            base = base.withColumn(OP_COL, F.lit(_KEEP))
+        delta = self._read_mapped(
+            sub, [fi for fi in live if fi.get("kind") == "delta"],
+            with_op=True)
+        df = (base.unionByName(delta)
+              if base is not None and delta is not None else (base or delta))
+        if df is None:
+            # _struct_of already carries (_gtid, _seq, _bucket) + _op
+            df = self.spark.createDataFrame(
+                [], _struct_of(snap.columns, with_op=True))
         for k, v in zip(keys, key_values):
-            out = out.filter(F.col(k).eqNullSafe(F.lit(v).cast(key_types[k])))
-        return out
+            df = df.filter(F.col(k).eqNullSafe(F.lit(v).cast(key_types[k])))
+        if trunc >= 0:
+            df = df.filter(F.col(GTID_COL) > trunc)
+        # the LWW winner, inline: max (_gtid,_seq) over the key's rows
+        # (a single key — window over one tiny group), non-tombstone
+        w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+            F.col(GTID_COL).desc(), F.col(SEQ_COL).desc(),
+            (F.col(OP_COL) == _KEEP).asc(),
+        )
+        cols = [c.name for c in snap.columns]
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .select(*cols, F.col(GTID_COL), F.col(SEQ_COL), F.col(OP_COL),
+                        ((F.col("_rn") == 1) & (F.col(OP_COL) != "DELETE")
+                         ).alias("_is_current"))
+                .orderBy(F.col(GTID_COL), F.col(SEQ_COL)))
 
     # ------------------------------------------------------- time travel / CDC-out
 

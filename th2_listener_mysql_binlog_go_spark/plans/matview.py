@@ -555,3 +555,40 @@ class IncrementalAggView:
     @property
     def source_version(self) -> int:
         return int(self.table.snapshot.properties["view_source_version"])
+
+
+def refresh_all(views: list, mode: str = "auto") -> dict:
+    """Refresh a set of views in DEPENDENCY order — a view may source
+    another view's table (its ``changes()`` feeds the next consumer
+    down the chain), and refreshing a dependent before its upstream
+    would advance it to a stale upstream version this cycle.
+
+    Ordering is a topological sort on (source table root -> view table
+    root) edges among the GIVEN views; independent views keep their
+    input order (stable). A cycle raises ``ValueError`` (views cannot
+    feed themselves). Returns ``{view_root: refresh_metrics}`` in the
+    order executed. One cycle of ``refresh_all`` moves every chained
+    view to a CONSISTENT cut: each view lands exactly at its upstream's
+    post-refresh version."""
+    by_root = {os.path.realpath(v.table.root): v for v in views}
+    if len(by_root) != len(views):
+        raise ValueError("duplicate view table root in views")
+    ordered: list = []
+    state: dict[str, int] = {}  # 0 visiting, 1 done
+
+    def visit(root: str) -> None:
+        st = state.get(root)
+        if st == 1:
+            return
+        if st == 0:
+            raise ValueError(f"view dependency cycle through {root}")
+        state[root] = 0
+        up = os.path.realpath(by_root[root].source.root)
+        if up in by_root:
+            visit(up)
+        state[root] = 1
+        ordered.append(root)
+
+    for v in views:
+        visit(os.path.realpath(v.table.root))
+    return {root: by_root[root].refresh(mode=mode) for root in ordered}

@@ -50,9 +50,12 @@ class StreamingApplier:
         refresh self-heals, because the next epoch's refresh advances
         from the view's own persisted watermark (snapshot versions, not
         epoch ids) and therefore covers the missed window. Each view is
-        REBOUND to this applier's table handle (same root enforced): a
-        view loaded over a different LakeTable instance would watch a
-        frozen snapshot and silently skip every refresh.
+        REBOUND to a LIVE table handle: a view loaded over a different
+        LakeTable instance would watch a frozen snapshot and silently
+        skip every refresh. A view may source this applier's table OR
+        another listed view's table (rollup chains); refreshes run in
+        dependency order (:func:`~..plans.matview.refresh_all`), so one
+        epoch moves the whole chain to a consistent cut.
 
         Cost note: file-paced epochs interleave gtid ranges, which fails
         the changelog's incremental-soundness gate, so per-epoch
@@ -67,12 +70,20 @@ class StreamingApplier:
         self.lineage = LineageWriter(lineage_dir) if lineage_dir else None
         self.views = list(views or [])
         self.view_refresh_every = max(1, view_refresh_every)
+        by_view_root = {os.path.realpath(v.table.root): v for v in self.views}
         for v in self.views:
-            if os.path.realpath(v.source.root) != os.path.realpath(table.root):
+            src = os.path.realpath(v.source.root)
+            if src == os.path.realpath(table.root):
+                v.source = table  # live handle: advances with OUR commits
+            elif src in by_view_root:
+                # chained rollup: the upstream view's table handle is the
+                # live one (it advances with that view's refresh commits)
+                v.source = by_view_root[src].table
+            else:
                 raise ValueError(
-                    f"view {v.table.root} tracks {v.source.root!r}, not "
-                    f"this applier's table {table.root!r}")
-            v.source = table  # live handle: snapshot advances with OUR commits
+                    f"view {v.table.root} tracks {v.source.root!r}, which is "
+                    f"neither this applier's table {table.root!r} nor another "
+                    "listed view's table")
 
     def start(
         self,
@@ -117,8 +128,9 @@ class StreamingApplier:
                 ]
                 self.lineage.write(rows)
             if self.views and int(epoch_id) % self.view_refresh_every == 0:
-                for v in self.views:
-                    v.refresh()
+                from ..plans.matview import refresh_all
+
+                refresh_all(self.views)
 
         writer = (
             stream.writeStream.foreachBatch(handle)
