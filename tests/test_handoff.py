@@ -1,0 +1,177 @@
+"""Backfill -> tail handoff: a table bootstrapped by ReplayRunner (archive
+backfill) handed to the Structured Streaming shell with
+``resume_from_table=True``. The two runners use different batch-id
+sequences, so the handoff pins an epoch base (streamed sub-ids must clear
+the backfill's ``last_batch_id`` guard — otherwise early epochs are
+silently SKIPPED) and a gtid floor (the archive/live overlap must not
+re-append — it would pollute ``key_history`` and lineage). The pin lives
+in ``<checkpoint_dir>/handoff.json`` and never moves on restart, because
+a later file-paced epoch may legally carry older-gtid events."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from th2_listener_mysql_binlog_go_spark.operators.apply import ApplyConfig
+from th2_listener_mysql_binlog_go_spark.plans.catalog import LakeCatalog
+from th2_listener_mysql_binlog_go_spark.plans.lake import LakeTable
+from th2_listener_mysql_binlog_go_spark.sources.changestream import (
+    CHANGE_SCHEMA,
+    synthetic_changestream,
+)
+from th2_listener_mysql_binlog_go_spark.streaming.runner import (
+    CatalogReplayRunner,
+    ReplayRunner,
+)
+from th2_listener_mysql_binlog_go_spark.streaming.structured import (
+    StreamingApplier,
+    StreamingCatalogApplier,
+)
+
+from .oracle import df_fingerprint, replay_oracle, state_fingerprint
+
+SCHEMA = [("repo", "string"), ("path", "string"), ("commit", "string"),
+          ("lang", "string"), ("content", "string")]
+
+
+def _oracle_events(stream_df):
+    return [
+        {
+            "gtid": r["gtid"], "op": r["op"], "table_name": r["table_name"],
+            "before": r["before"].asDict() if r["before"] else None,
+            "after": r["after"].asDict() if r["after"] else None,
+        }
+        for r in stream_df.collect()
+    ]
+
+
+def test_handoff_replay_to_streaming(spark, tmp_path):
+    """Archive backfill (5 replay batches) then a live tail whose epoch
+    ids (0, 1) are all BELOW the backfill's batch count — without the
+    pinned epoch base every epoch would be skipped by the sub-batch
+    guard; without the gtid floor the archive/live overlap would
+    re-append. Final state must equal the oracle of the full stream and
+    an overlapped key's audit history must hold each event exactly once."""
+    full = synthetic_changestream(spark, 4000, n_repos=25, n_paths=50,
+                                  truncate_per_10k=0)
+    cfg = ApplyConfig(auto_compact_deltas=None)  # full event retention
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                             ["repo", "path"], num_buckets=8)
+    ReplayRunner(spark, table, batch_span=500, config=cfg).run(
+        full.filter("gtid < 2500"))
+    assert table.last_batch_id // 1024 == 4  # 5 backfill batches
+
+    live = str(tmp_path / "live")
+    full.filter("gtid >= 2000").coalesce(1).write.parquet(live)  # one epoch: 0
+    base_before = table.last_batch_id // 1024 + 1
+    floor_before = table.watermark_gtid
+    assert floor_before >= 2000  # the live dir genuinely overlaps
+
+    sa = StreamingApplier(spark, table, config=cfg)
+    ckpt = str(tmp_path / "ckpt")
+    q = sa.start(live, ckpt, CHANGE_SCHEMA, available_now=True,
+                 max_files_per_trigger=1, resume_from_table=True)
+    q.awaitTermination(300)
+
+    pin = json.load(open(os.path.join(ckpt, "handoff.json")))
+    assert pin == {"epoch_base": base_before, "gtid_floor": floor_before}
+
+    expected = state_fingerprint(replay_oracle(_oracle_events(full)))
+    got = df_fingerprint([r.asDict() for r in table.read().collect()])
+    assert got == expected
+
+    # an overlapped key's audit view holds each of its events exactly once
+    dml = full.filter(
+        (F.col("table_name") == "files")
+        & F.col("op").isin("INSERT", "UPDATE", "DELETE"))
+    key_row = (dml.select(
+        F.coalesce(F.col("after.repo"), F.col("before.repo")).alias("repo"),
+        F.coalesce(F.col("after.path"), F.col("before.path")).alias("path"),
+        "gtid")
+        .groupBy("repo", "path")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("gtid").alias("lo"), F.max("gtid").alias("hi"))
+        .filter((F.col("lo") < 2000) & (F.col("hi") >= 2500))
+        .orderBy(F.desc("n"), "repo", "path").first())
+    hist = table.key_history(key_row["repo"], key_row["path"]).collect()
+    assert len(hist) == key_row["n"]
+    gtids = [r["_gtid"] for r in hist]
+    assert gtids == sorted(gtids) and len(set(gtids)) == len(gtids)
+
+
+def test_handoff_pin_survives_restart_and_late_older_epochs(spark, tmp_path):
+    """The pinned floor must NOT be re-captured on restart: after the
+    first drain the watermark has advanced past events a later file-paced
+    epoch legally carries (an out-of-order segment). A re-captured floor
+    would silently drop them; the pin keeps the original handoff floor."""
+    full = synthetic_changestream(spark, 4000, n_repos=25, n_paths=50,
+                                  truncate_per_10k=0)
+    cfg = ApplyConfig(auto_compact_deltas=None)
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                             ["repo", "path"], num_buckets=8)
+    ReplayRunner(spark, table, batch_span=500, config=cfg).run(
+        full.filter("gtid < 2500"))
+
+    live, ckpt = str(tmp_path / "live"), str(tmp_path / "ckpt")
+    # first live file skips ahead: gtid 3000+ (watermark will reach ~3999)
+    full.filter("gtid >= 3000").coalesce(1).write.parquet(live)
+    sa = StreamingApplier(spark, table, config=cfg)
+    sa.start(live, ckpt, CHANGE_SCHEMA, available_now=True,
+             resume_from_table=True).awaitTermination(300)
+    pin1 = json.load(open(os.path.join(ckpt, "handoff.json")))
+    assert table.watermark_gtid > pin1["gtid_floor"]
+
+    # a LATER epoch carries the OLDER window 2500-2999 (file-paced source)
+    full.filter("gtid >= 2500 and gtid < 3000").coalesce(1) \
+        .write.mode("append").parquet(live)
+    table2 = LakeTable.load(spark, table.root)
+    sa2 = StreamingApplier(spark, table2, config=cfg)
+    sa2.start(live, ckpt, CHANGE_SCHEMA, available_now=True,
+              resume_from_table=True).awaitTermination(300)
+
+    assert json.load(open(os.path.join(ckpt, "handoff.json"))) == pin1
+    expected = state_fingerprint(replay_oracle(_oracle_events(full)))
+    got = df_fingerprint([r.asDict() for r in table2.read().collect()])
+    assert got == expected
+
+
+def test_catalog_handoff_replay_to_streaming(spark, tmp_path):
+    """Multi-table handoff: CatalogReplayRunner backfill, then the catalog
+    streaming shell tails a live dir whose epochs all fall below the
+    backfill's batch ids. Both observed tables must equal a one-shot
+    full-stream replay."""
+    stream = synthetic_changestream(spark, 3000, n_repos=30, n_paths=50,
+                                    with_truncate=False)
+    cfg = ApplyConfig(observed={"repos": ["files", "shadow_table"]},
+                      num_buckets=4)
+
+    def mk(root):
+        cat = LakeCatalog.create(spark, root)
+        cat.create_table("repos", "files", SCHEMA, ["repo", "path"], num_buckets=4)
+        cat.create_table("repos", "shadow_table", SCHEMA, ["repo", "path"], num_buckets=4)
+        return cat
+
+    cat_full = mk(str(tmp_path / "full"))
+    CatalogReplayRunner(spark, cat_full, batch_span=600, config=cfg).run(stream)
+
+    cat = mk(str(tmp_path / "handoff"))
+    CatalogReplayRunner(spark, cat, batch_span=600, config=cfg).run(
+        stream.filter("gtid < 1800"))
+
+    live = str(tmp_path / "live")
+    stream.filter("gtid >= 1500").coalesce(1).write.parquet(live)
+    sca = StreamingCatalogApplier(spark, cat, config=cfg)
+    q = sca.start(live, str(tmp_path / "ckpt"), CHANGE_SCHEMA,
+                  available_now=True, max_files_per_trigger=1,
+                  resume_from_table=True)
+    q.awaitTermination(300)
+
+    for name in ("files", "shadow_table"):
+        want = df_fingerprint(
+            [r.asDict() for r in cat_full.get("repos", name).read().collect()])
+        got = df_fingerprint(
+            [r.asDict() for r in cat.get("repos", name).read().collect()])
+        assert got == want, name

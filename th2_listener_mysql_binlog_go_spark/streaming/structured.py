@@ -16,20 +16,63 @@ strengthens — the reference's resume-from-last-published-position loop
 (/root/reference/component/listener/listener.go:85-227), which can
 re-emit events (at-least-once) where we cannot.
 
-A table should be fed EITHER by ReplayRunner or by this shell, not both
-interleaved: each assumes its own batch-id sequence.
+Backfill -> tail handoff: a table bootstrapped by ReplayRunner (archive
+backfill) can be handed to this shell with ``start(...,
+resume_from_table=True)`` — the canonical CDC journey (the reference
+resumes from its saved position into live tailing, listener.go:85-227).
+The two runners use different batch-id sequences (gtid-span ``k`` vs
+Spark epoch ids), so a naive handoff would let the table's
+``last_batch_id`` guard silently SKIP early epochs; ``resume_from_table``
+pins an *epoch base* (one past the backfill's last sub-batch) and a
+*gtid floor* (the backfill's watermark — exact, because ReplayRunner
+applies gtid-contiguously) in ``<checkpoint_dir>/handoff.json`` at first
+start, so streamed sub-ids always exceed the backfill's and the
+archive/live overlap is filtered instead of re-appended. The pin is
+first-writer-wins and read back on every restart: the floor never moves
+even as the watermark advances (a later file-paced epoch may legally
+carry older-gtid events). Without the flag, behavior is unchanged — a
+table fed by one shell from a fresh checkpoint.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.apply import ApplyConfig, BatchApplier
 from ..plans.lake import LakeTable
 from .lineage import LineageWriter
+
+
+def _pin_handoff(checkpoint_dir: str, base: int, floor: int) -> tuple[int, int]:
+    """Pin ``(epoch_base, gtid_floor)`` in ``<checkpoint_dir>/handoff.json``
+    — written BEFORE the query starts (no epoch can commit first), atomic
+    and first-writer-wins (``os.link`` of a fully-written temp file), read
+    back verbatim on every restart of the same checkpoint."""
+    path = os.path.join(checkpoint_dir, "handoff.json")
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        return int(d["epoch_base"]), int(d["gtid_floor"])
+    except FileNotFoundError:
+        pass
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"epoch_base": base, "gtid_floor": floor}, f)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        with open(path) as f:
+            d = json.load(f)
+        return int(d["epoch_base"]), int(d["gtid_floor"])
+    finally:
+        os.unlink(tmp)
+    return base, floor
 
 
 class StreamingApplier:
@@ -92,21 +135,48 @@ class StreamingApplier:
         schema_ddl: str,
         available_now: bool = True,
         max_files_per_trigger: int | None = None,
+        resume_from_table: bool = False,
     ) -> StreamingQuery:
         """Tail ``source_dir`` (parquet change events, CHANGE_SCHEMA shape)
         and apply each micro-batch. ``available_now=True`` drains what
         exists and stops — the batch-replay-of-a-stream mode; otherwise
-        runs continuously."""
+        runs continuously. ``resume_from_table=True`` hands off a table
+        bootstrapped by ReplayRunner (see module docstring): epoch ids
+        offset past the backfill's sub-batches, and DML at or below the
+        backfill watermark is filtered (TRUNCATE markers pass — their
+        merge is monotonic-max, replay-safe)."""
         reader = self.spark.readStream.schema(schema_ddl)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         stream = reader.parquet(source_dir)
-        return self._start(stream, checkpoint_dir, available_now)
+        return self._start(stream, checkpoint_dir, available_now,
+                           resume_from_table=resume_from_table)
 
-    def _start(self, stream, checkpoint_dir: str, available_now: bool) -> StreamingQuery:
+    def _handoff_state(self) -> tuple[int, int]:
+        """(epoch_base, gtid_floor) from the table's own checkpoint state:
+        one past the last committed sub-batch, and the applied watermark
+        (gtid-contiguous by ReplayRunner's construction)."""
+        t = self.applier.table
+        base = t.last_batch_id // 1024 + 1 if t.last_batch_id >= 0 else 0
+        return base, t.watermark_gtid
+
+    def _start(self, stream, checkpoint_dir: str, available_now: bool,
+               resume_from_table: bool = False) -> StreamingQuery:
+        epoch_base, gtid_floor = (0, -1)
+        if resume_from_table:
+            epoch_base, gtid_floor = _pin_handoff(
+                checkpoint_dir, *self._handoff_state())
+        if gtid_floor >= 0:
+            # archive/live overlap: DML the backfill already applied must
+            # not re-append (it would pollute key_history and lineage);
+            # TRUNCATE markers stay — replaying one is always safe
+            stream = stream.filter(
+                (F.col("gtid") > gtid_floor) | (F.col("op") == "TRUNCATE"))
+
         def handle(batch_df, epoch_id: int) -> None:
             import time
 
+            epoch_id = int(epoch_id) + epoch_base
             t0 = time.monotonic()
             m = self.applier.apply(
                 batch_df, batch_id=int(epoch_id),
@@ -174,10 +244,13 @@ class StreamingWireApplier(StreamingApplier):
         row_ddl: str | None = None,
         available_now: bool = True,
         max_files_per_trigger: int | None = None,
+        resume_from_table: bool = False,
     ) -> StreamingQuery:
         """Tail ``source_dir`` (JSON-lines wire payloads, WIRE_SCHEMA
         envelope) and apply each micro-batch. ``row_ddl`` is the row
-        struct of the observed table (defaults to the repo-table shape)."""
+        struct of the observed table (defaults to the repo-table shape).
+        ``resume_from_table`` hands off a ReplayRunner-bootstrapped table
+        (module docstring); the floor filters the DECODED stream."""
         from ..sources.rawjson import _ROW_DDL, decode_stream
 
         reader = self.spark.readStream.schema(WIRE_SCHEMA)
@@ -185,7 +258,8 @@ class StreamingWireApplier(StreamingApplier):
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         raw = reader.json(source_dir)
         return self._start(decode_stream(raw, row_ddl or _ROW_DDL),
-                           checkpoint_dir, available_now)
+                           checkpoint_dir, available_now,
+                           resume_from_table=resume_from_table)
 
 
 class StreamingCatalogApplier:
@@ -214,17 +288,48 @@ class StreamingCatalogApplier:
         schema_ddl: str,
         available_now: bool = True,
         max_files_per_trigger: int | None = None,
+        resume_from_table: bool = False,
     ) -> StreamingQuery:
+        """``resume_from_table=True`` hands off a catalog bootstrapped by
+        CatalogReplayRunner (module docstring): the epoch base clears
+        EVERY table's last sub-batch, the gtid floor is the catalog's
+        replay watermark."""
         reader = self.spark.readStream.schema(schema_ddl)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         stream = reader.parquet(source_dir)
-        return self._start(stream, checkpoint_dir, available_now)
+        return self._start(stream, checkpoint_dir, available_now,
+                           resume_from_table=resume_from_table)
 
-    def _start(self, stream, checkpoint_dir: str, available_now: bool) -> StreamingQuery:
+    def _handoff_state(self) -> tuple[int, int]:
+        cat = self.applier.catalog
+        last = -1
+        for name in cat.list_tables():
+            schema, table = name.split(".", 1)
+            t = cat.get(schema, table)
+            if t is not None:
+                last = max(last, t.last_batch_id)
+        base = last // 1024 + 1 if last >= 0 else 0
+        return base, int(cat.properties.get("watermark_gtid", "-1"))
+
+    def _start(self, stream, checkpoint_dir: str, available_now: bool,
+               resume_from_table: bool = False) -> StreamingQuery:
+        epoch_base, gtid_floor = (0, -1)
+        if resume_from_table:
+            epoch_base, gtid_floor = _pin_handoff(
+                checkpoint_dir, *self._handoff_state())
+        if gtid_floor >= 0:
+            # catalog DDL at or below the floor is FILTERED like DML: the
+            # completed backfill already applied it, and re-applying only a
+            # prefix of a CREATE/DROP pair from the overlap would resurrect
+            # a dropped table. TRUNCATE markers stay (monotonic max, no-op).
+            stream = stream.filter(
+                (F.col("gtid") > gtid_floor) | (F.col("op") == "TRUNCATE"))
+
         def handle(batch_df, epoch_id: int) -> None:
             import time
 
+            epoch_id = int(epoch_id) + epoch_base
             t0 = time.monotonic()
             m = self.applier.apply(batch_df, batch_id=int(epoch_id))
             if self.lineage:
@@ -274,6 +379,7 @@ class StreamingWireCatalogApplier(StreamingCatalogApplier):
         row_ddl: str | None = None,
         available_now: bool = True,
         max_files_per_trigger: int | None = None,
+        resume_from_table: bool = False,
     ) -> StreamingQuery:
         from ..sources.rawjson import _ROW_DDL, decode_stream
 
@@ -282,7 +388,8 @@ class StreamingWireCatalogApplier(StreamingCatalogApplier):
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         raw = reader.json(source_dir)
         return self._start(decode_stream(raw, row_ddl or _ROW_DDL),
-                           checkpoint_dir, available_now)
+                           checkpoint_dir, available_now,
+                           resume_from_table=resume_from_table)
 
 
 class StreamingWirePublisher:
