@@ -278,6 +278,51 @@ def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wire_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter split of a corrupted wire stream: encode the derived
+    stream to the published bean-JSON format, mangle a deterministic
+    subset of payloads (gtid % 97 == 0), decode with
+    ``quarantine=True`` — well-formed DML rows come back exactly (the
+    roundtrip identity restricted to surviving messages) and every
+    mangled message lands flagged with its reason instead of silently
+    vanishing (the reference logs-and-skips undecodable events; at the
+    10^10-event regime the skipped envelopes must stay queryable)."""
+    from th2_listener_mysql_binlog_go_spark.sources.rawjson import (
+        decode_stream,
+        encode_stream,
+    )
+
+    flat = derived_changestream(spark, sf_dir)
+    nested = to_change_schema(flat)
+    wire = encode_stream(nested).withColumn(
+        "payload",
+        F.when(F.col("gtid") % 97 == 0,
+               F.concat(F.lit("!"), F.col("payload")))
+        .otherwise(F.col("payload")))
+    back = decode_stream(wire, quarantine=True)
+    good = back.filter(
+        ~F.col("_undecodable") & F.col("op").isin("INSERT", "UPDATE", "DELETE")
+    ).select(
+        "gtid", "op",
+        F.coalesce(F.col("after.repo"), F.col("before.repo")).alias("repo"),
+        F.coalesce(F.col("after.path"), F.col("before.path")).alias("path"),
+        F.coalesce(F.col("after.commit"), F.col("before.commit")).alias("commit"),
+        F.coalesce(F.col("after.lang"), F.col("before.lang")).alias("lang"),
+        F.coalesce(F.col("after.content"), F.col("before.content")).alias("content"),
+        F.lit(None).cast("string").alias("reason"),
+        F.lit(0).alias("quarantined"),
+    )
+    null_s = F.lit(None).cast("string")
+    bad = back.filter(F.col("_undecodable")).select(
+        "gtid",
+        null_s.alias("op"), null_s.alias("repo"), null_s.alias("path"),
+        null_s.alias("commit"), null_s.alias("lang"), null_s.alias("content"),
+        F.col("_reason").alias("reason"),
+        F.lit(1).alias("quarantined"),
+    )
+    return good.unionByName(bad)
+
+
 def q_wire_batched_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8/S9/S10 under oracle proof on the HARD stream shape: every GTID
     carries four events with mixed ops and mixed target tables, multi-row
@@ -881,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_resume": q_replay_resume,
         "cdc_wire_stream_replay": q_wire_stream_replay,
         "cdc_wire_roundtrip": q_wire_roundtrip,
+        "cdc_wire_quarantine": q_wire_quarantine,
         "cdc_wire_batched_roundtrip": q_wire_batched_roundtrip,
         "cdc_lineage_metrics": q_lineage_metrics,
         "cdc_replay_with_ddl": q_replay_with_ddl,
@@ -1312,6 +1358,22 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE'
 WITH {stream}
 SELECT gtid, schema_name, table_name, op, repo, path, commit, lang, content
 FROM stream WHERE op IN ('INSERT','UPDATE','DELETE')
+""".strip(),
+        # one wire message per stream row; the mangle rule (gtid % 97 = 0)
+        # is recomputable from the original stream, so the oracle knows
+        # exactly which messages quarantine and which survive intact
+        "cdc_wire_quarantine": f"""
+WITH {stream}
+SELECT gtid, op, repo, path, commit, lang, content,
+       CAST(NULL AS VARCHAR) AS reason, 0 AS quarantined
+FROM stream
+WHERE op IN ('INSERT','UPDATE','DELETE') AND gtid % 97 <> 0
+UNION ALL
+SELECT gtid, CAST(NULL AS VARCHAR) AS op, CAST(NULL AS VARCHAR) AS repo,
+       CAST(NULL AS VARCHAR) AS path, CAST(NULL AS VARCHAR) AS commit,
+       CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS content,
+       'unparseable payload' AS reason, 1 AS quarantined
+FROM stream WHERE gtid % 97 = 0
 """.strip(),
         "cdc_wire_batched_roundtrip": f"""
 WITH wstream AS (

@@ -131,6 +131,7 @@ def cmd_stream(args) -> dict:
         args.source, args.checkpoint, args.schema,
         available_now=not args.continuous,
         max_files_per_trigger=args.max_files_per_trigger,
+        resume_from_table=args.resume_from_table,
     )
     q.awaitTermination()
     return {"table": args.table, "watermark_gtid": LakeTable.load(spark, args.table).watermark_gtid}
@@ -147,6 +148,8 @@ def cmd_wire_stream(args) -> dict:
         args.source, args.checkpoint, row_ddl=args.row_ddl,
         available_now=not args.continuous,
         max_files_per_trigger=args.max_files_per_trigger,
+        resume_from_table=args.resume_from_table,
+        quarantine_dir=args.quarantine_dir,
     )
     q.awaitTermination()
     return {"table": args.table, "watermark_gtid": LakeTable.load(spark, args.table).watermark_gtid}
@@ -163,6 +166,7 @@ def cmd_catalog_stream(args) -> dict:
         args.source, args.checkpoint, args.schema,
         available_now=not args.continuous,
         max_files_per_trigger=args.max_files_per_trigger,
+        resume_from_table=args.resume_from_table,
     )
     q.awaitTermination()
     return {"catalog": args.catalog,
@@ -215,6 +219,8 @@ def cmd_catalog_wire_stream(args) -> dict:
         args.source, args.checkpoint, row_ddl=args.row_ddl,
         available_now=not args.continuous,
         max_files_per_trigger=args.max_files_per_trigger,
+        resume_from_table=args.resume_from_table,
+        quarantine_dir=args.quarantine_dir,
     )
     q.awaitTermination()
     return {"catalog": args.catalog,
@@ -470,6 +476,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--mode", choices=["mor", "cow"], default=None)
     sp.add_argument("--files-per-bucket", type=int, default=None)
     sp.add_argument("--lineage-dir", default=None)
+    sp.add_argument("--resume-from-table", action="store_true",
+                    help="handoff from a ReplayRunner backfill: pin epoch "
+                         "base + gtid floor in <checkpoint>/handoff.json")
     sp.set_defaults(fn=cmd_stream)
 
     sp = sub.add_parser("wire-stream")
@@ -485,6 +494,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--mode", choices=["mor", "cow"], default=None)
     sp.add_argument("--files-per-bucket", type=int, default=None)
     sp.add_argument("--lineage-dir", default=None)
+    sp.add_argument("--resume-from-table", action="store_true",
+                    help="handoff from a ReplayRunner backfill: pin epoch "
+                         "base + gtid floor in <checkpoint>/handoff.json")
+    sp.add_argument("--quarantine-dir", default=None,
+                    help="dead-letter undecodable wire messages here as "
+                         "parquet envelopes instead of dropping them")
     sp.set_defaults(fn=cmd_wire_stream)
 
     sp = sub.add_parser("catalog-stream")
@@ -499,6 +514,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--mode", choices=["mor", "cow"], default=None)
     sp.add_argument("--files-per-bucket", type=int, default=None)
     sp.add_argument("--lineage-dir", default=None)
+    sp.add_argument("--resume-from-table", action="store_true",
+                    help="handoff from a ReplayRunner backfill: pin epoch "
+                         "base + gtid floor in <checkpoint>/handoff.json")
     sp.set_defaults(fn=cmd_catalog_stream)
 
     sp = sub.add_parser("catalog-create")
@@ -541,6 +559,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--mode", choices=["mor", "cow"], default=None)
     sp.add_argument("--files-per-bucket", type=int, default=None)
     sp.add_argument("--lineage-dir", default=None)
+    sp.add_argument("--resume-from-table", action="store_true",
+                    help="handoff from a ReplayRunner backfill: pin epoch "
+                         "base + gtid floor in <checkpoint>/handoff.json")
+    sp.add_argument("--quarantine-dir", default=None,
+                    help="dead-letter undecodable wire messages here as "
+                         "parquet envelopes instead of dropping them")
     sp.set_defaults(fn=cmd_catalog_wire_stream)
 
     sp = sub.add_parser("catalog-replay")

@@ -133,7 +133,14 @@ def encode_stream_batched(
     return dml_out.unionByName(ddl_out)
 
 
-def decode_stream(raw: DataFrame, row_ddl: str = _ROW_DDL) -> DataFrame:
+#: ops the apply path understands: DML, the pre-classified DDL markers the
+#: batched encoder emits, and raw QUERY statements (classified downstream).
+_KNOWN_OPS = ("INSERT", "UPDATE", "DELETE", "QUERY", "TRUNCATE",
+              "CREATE_TABLE", "DROP_TABLE", "ALTER_TABLE")
+
+
+def decode_stream(raw: DataFrame, row_ddl: str = _ROW_DDL,
+                  quarantine: bool = False) -> DataFrame:
     """(position cols + payload) -> CHANGE_SCHEMA via the vectorized decoder.
 
     Query beans keep their raw statement in ``ddl``; op='QUERY' rows are
@@ -142,6 +149,17 @@ def decode_stream(raw: DataFrame, row_ddl: str = _ROW_DDL) -> DataFrame:
     reference's skip of events it cannot decode. ``row_idx`` (within-event
     row order of multi-row beans) rides along so the apply path's ``_seq``
     packing keeps the reference's (pos, seq) sub-order.
+
+    ``quarantine=True`` keeps undecodable messages instead of dropping
+    them, flagged ``_undecodable`` with a ``_reason`` and the raw
+    ``_payload`` retained — the dead-letter path for pipelines that must
+    account for every message rather than silently skip (the reference
+    logs and skips, listener.go; a 10^10-event ingest wants the skipped
+    envelopes queryable). Flagged: unparseable payloads (op NULL), beans
+    with an op the apply path doesn't know, and DML beans carrying no
+    rows (``posexplode_outer`` keeps the empty/NULL-array row with a NULL
+    ``row_idx``). Well-formed rows carry ``_undecodable = false`` and a
+    NULL ``_reason``.
 
     Messages carrying ``part_idx`` (the batched encoder splits oversized
     events into parts, each its own message) fold it into the emitted
@@ -157,7 +175,18 @@ def decode_stream(raw: DataFrame, row_ddl: str = _ROW_DDL) -> DataFrame:
     log_pos = F.col("log_pos")
     if "part_idx" in raw.columns:
         log_pos = log_pos + F.coalesce(F.col("part_idx").cast("bigint"), F.lit(0))
-    return d.filter(F.col("op").isNotNull()).select(
-        "gtid", "log_name", log_pos.alias("log_pos"), "seq", "ts",
-        "schema_name", "table_name", "op", "row_idx", "before", "after", "ddl",
+    cols = ["gtid", "log_name", log_pos.alias("log_pos"), "seq", "ts",
+            "schema_name", "table_name", "op", "row_idx", "before", "after",
+            "ddl"]
+    if not quarantine:
+        return d.filter(F.col("op").isNotNull()).select(*cols)
+    is_dml = F.col("op").isin("INSERT", "UPDATE", "DELETE")
+    reason = (
+        F.when(F.col("op").isNull(), F.lit("unparseable payload"))
+        .when(~F.col("op").isin(*_KNOWN_OPS),
+              F.concat(F.lit("unknown op "), F.col("op")))
+        .when(is_dml & F.col("row_idx").isNull(), F.lit("DML bean without rows"))
     )
+    return d.select(*cols, F.col("payload").alias("_payload"),
+                    reason.alias("_reason"),
+                    reason.isNotNull().alias("_undecodable"))

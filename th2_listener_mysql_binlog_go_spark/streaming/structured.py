@@ -75,6 +75,25 @@ def _pin_handoff(checkpoint_dir: str, base: int, floor: int) -> tuple[int, int]:
     return base, floor
 
 
+def _quarantine_split(pinned, quarantine_dir: str, epoch_id: int):
+    """Dead-letter the epoch's undecodable wire messages (flagged by
+    ``decode_stream(quarantine=True)``) to ``quarantine_dir`` as parquet
+    envelopes (position + raw payload + reason + epoch), and return the
+    well-formed slice for apply. The DLQ is at-least-once: a crash
+    between this write and the table commit re-appends the epoch's
+    envelopes on replay (the table itself stays exactly-once via the
+    sub-batch guard) — dedup the diagnostic feed on (gtid, log_pos,
+    seq) if consumed programmatically."""
+    (pinned.filter(F.col("_undecodable"))
+     .select("gtid", "log_name", "log_pos", "seq", "ts",
+             F.col("_payload").alias("payload"),
+             F.col("_reason").alias("reason"),
+             F.lit(epoch_id).alias("epoch"))
+     .write.mode("append").parquet(quarantine_dir))
+    return (pinned.filter(~F.col("_undecodable"))
+            .drop("_undecodable", "_reason", "_payload"))
+
+
 class StreamingApplier:
     def __init__(
         self,
@@ -161,7 +180,8 @@ class StreamingApplier:
         return base, t.watermark_gtid
 
     def _start(self, stream, checkpoint_dir: str, available_now: bool,
-               resume_from_table: bool = False) -> StreamingQuery:
+               resume_from_table: bool = False,
+               quarantine_dir: str | None = None) -> StreamingQuery:
         epoch_base, gtid_floor = (0, -1)
         if resume_from_table:
             epoch_base, gtid_floor = _pin_handoff(
@@ -169,19 +189,31 @@ class StreamingApplier:
         if gtid_floor >= 0:
             # archive/live overlap: DML the backfill already applied must
             # not re-append (it would pollute key_history and lineage);
-            # TRUNCATE markers stay — replaying one is always safe
-            stream = stream.filter(
-                (F.col("gtid") > gtid_floor) | (F.col("op") == "TRUNCATE"))
+            # TRUNCATE markers stay — replaying one is always safe; an
+            # undecodable message still dead-letters even below the floor
+            keep = (F.col("gtid") > gtid_floor) | (F.col("op") == "TRUNCATE")
+            if "_undecodable" in stream.columns:
+                keep = keep | F.col("_undecodable")
+            stream = stream.filter(keep)
 
         def handle(batch_df, epoch_id: int) -> None:
             import time
 
             epoch_id = int(epoch_id) + epoch_base
             t0 = time.monotonic()
-            m = self.applier.apply(
-                batch_df, batch_id=int(epoch_id),
-                final_extra_props={"last_complete_batch": str(int(epoch_id))},
-            )
+            pinned = None
+            if quarantine_dir is not None:
+                pinned = batch_df.persist()
+                batch_df = _quarantine_split(pinned, quarantine_dir,
+                                             int(epoch_id))
+            try:
+                m = self.applier.apply(
+                    batch_df, batch_id=int(epoch_id),
+                    final_extra_props={"last_complete_batch": str(int(epoch_id))},
+                )
+            finally:
+                if pinned is not None:
+                    pinned.unpersist()
             if self.lineage:
                 wall_ms = int((time.monotonic() - t0) * 1000)
                 base = {
@@ -245,21 +277,27 @@ class StreamingWireApplier(StreamingApplier):
         available_now: bool = True,
         max_files_per_trigger: int | None = None,
         resume_from_table: bool = False,
+        quarantine_dir: str | None = None,
     ) -> StreamingQuery:
         """Tail ``source_dir`` (JSON-lines wire payloads, WIRE_SCHEMA
         envelope) and apply each micro-batch. ``row_ddl`` is the row
         struct of the observed table (defaults to the repo-table shape).
         ``resume_from_table`` hands off a ReplayRunner-bootstrapped table
-        (module docstring); the floor filters the DECODED stream."""
+        (module docstring); the floor filters the DECODED stream.
+        ``quarantine_dir`` dead-letters undecodable messages there as
+        parquet envelopes instead of silently dropping them (the
+        reference logs-and-skips; see :func:`_quarantine_split`)."""
         from ..sources.rawjson import _ROW_DDL, decode_stream
 
         reader = self.spark.readStream.schema(WIRE_SCHEMA)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         raw = reader.json(source_dir)
-        return self._start(decode_stream(raw, row_ddl or _ROW_DDL),
-                           checkpoint_dir, available_now,
-                           resume_from_table=resume_from_table)
+        decoded = decode_stream(raw, row_ddl or _ROW_DDL,
+                                quarantine=quarantine_dir is not None)
+        return self._start(decoded, checkpoint_dir, available_now,
+                           resume_from_table=resume_from_table,
+                           quarantine_dir=quarantine_dir)
 
 
 class StreamingCatalogApplier:
@@ -313,7 +351,8 @@ class StreamingCatalogApplier:
         return base, int(cat.properties.get("watermark_gtid", "-1"))
 
     def _start(self, stream, checkpoint_dir: str, available_now: bool,
-               resume_from_table: bool = False) -> StreamingQuery:
+               resume_from_table: bool = False,
+               quarantine_dir: str | None = None) -> StreamingQuery:
         epoch_base, gtid_floor = (0, -1)
         if resume_from_table:
             epoch_base, gtid_floor = _pin_handoff(
@@ -323,15 +362,26 @@ class StreamingCatalogApplier:
             # completed backfill already applied it, and re-applying only a
             # prefix of a CREATE/DROP pair from the overlap would resurrect
             # a dropped table. TRUNCATE markers stay (monotonic max, no-op).
-            stream = stream.filter(
-                (F.col("gtid") > gtid_floor) | (F.col("op") == "TRUNCATE"))
+            keep = (F.col("gtid") > gtid_floor) | (F.col("op") == "TRUNCATE")
+            if "_undecodable" in stream.columns:
+                keep = keep | F.col("_undecodable")
+            stream = stream.filter(keep)
 
         def handle(batch_df, epoch_id: int) -> None:
             import time
 
             epoch_id = int(epoch_id) + epoch_base
             t0 = time.monotonic()
-            m = self.applier.apply(batch_df, batch_id=int(epoch_id))
+            pinned = None
+            if quarantine_dir is not None:
+                pinned = batch_df.persist()
+                batch_df = _quarantine_split(pinned, quarantine_dir,
+                                             int(epoch_id))
+            try:
+                m = self.applier.apply(batch_df, batch_id=int(epoch_id))
+            finally:
+                if pinned is not None:
+                    pinned.unpersist()
             if self.lineage:
                 wall_ms = int((time.monotonic() - t0) * 1000)
                 rows = []
@@ -380,6 +430,7 @@ class StreamingWireCatalogApplier(StreamingCatalogApplier):
         available_now: bool = True,
         max_files_per_trigger: int | None = None,
         resume_from_table: bool = False,
+        quarantine_dir: str | None = None,
     ) -> StreamingQuery:
         from ..sources.rawjson import _ROW_DDL, decode_stream
 
@@ -387,9 +438,11 @@ class StreamingWireCatalogApplier(StreamingCatalogApplier):
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         raw = reader.json(source_dir)
-        return self._start(decode_stream(raw, row_ddl or _ROW_DDL),
-                           checkpoint_dir, available_now,
-                           resume_from_table=resume_from_table)
+        decoded = decode_stream(raw, row_ddl or _ROW_DDL,
+                                quarantine=quarantine_dir is not None)
+        return self._start(decoded, checkpoint_dir, available_now,
+                           resume_from_table=resume_from_table,
+                           quarantine_dir=quarantine_dir)
 
 
 class StreamingWirePublisher:
