@@ -254,7 +254,8 @@ def cmd_compact(args) -> dict:
     sort_by = ([] if args.sort_by.strip().lower() == "none"
                else [c.strip() for c in args.sort_by.split(",") if c.strip()]
                ) if args.sort_by is not None else None
-    n = t.compact(files_per_bucket=args.files_per_bucket, sort_by=sort_by)
+    n = t.compact(files_per_bucket=args.files_per_bucket, sort_by=sort_by,
+                  keep_tombstones=args.keep_tombstones)
     return {"table": args.table, "compacted_buckets": n, "version": t.snapshot.version}
 
 
@@ -581,6 +582,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated columns to cluster each written "
                          "file by (Iceberg sort-order analogue); 'none' "
                          "overrides a durable compact_sort_by property")
+    sp.add_argument("--keep-tombstones", action="store_true",
+                    help="re-emit winning DELETEs as flagged delta files so "
+                         "gtid-interleaved ingest cannot resurrect folded "
+                         "keys (required when the table is fed by a "
+                         "file-paced streaming tail)")
     sp.set_defaults(fn=cmd_compact)
 
     sp = sub.add_parser("rebucket")

@@ -92,6 +92,12 @@ class ApplyConfig:
     # collapse intra-batch per-key churn before appending deltas (extra key
     # shuffle; read-time LWW makes it semantically optional)
     mor_dedup: bool = False
+    # auto-compaction tombstone retention (see LakeTable.compact): None =
+    # resolved by the runner — the streaming shells set True (file-paced
+    # epochs may interleave gtids, so folding a winning DELETE away lets a
+    # late older insert resurrect the key), batch replay leaves False
+    # (ReplayRunner applies gtid-contiguously; nothing older ever arrives)
+    compact_keep_tombstones: bool | None = None
 
     def observed_pairs(self) -> list[tuple[str, str]]:
         return [(s, t) for s, ts in self.observed.items() for t in ts]
@@ -319,6 +325,7 @@ class BatchApplier:
             extra_properties=final_extra_props,
             auto_compact_deltas=self.config.auto_compact_deltas,
             files_per_bucket=self.config.files_per_bucket,
+            compact_keep_tombstones=bool(self.config.compact_keep_tombstones),
         )
         metrics = {
             "batch_id": batch_id, "rows_inserted": 0, "rows_updated": 0,
@@ -437,6 +444,7 @@ class BatchApplier:
                     files_per_bucket=self.config.files_per_bucket,
                     auto_compact_deltas=self.config.auto_compact_deltas,
                     mor_dedup=self.config.mor_dedup,
+                    compact_keep_tombstones=bool(self.config.compact_keep_tombstones),
                     # the last segment's commit carries the truncate marker
                     # and the batch-complete property (resume skip)
                     extra_properties=final_props if i == len(segments) - 1 else None,

@@ -1285,6 +1285,7 @@ class LakeTable:
         extra_properties: dict[str, str] | None = None,
         auto_compact_deltas: int | str | None = None,
         files_per_bucket: int = 1,
+        compact_keep_tombstones: bool = False,
     ) -> dict:
         """Commit a staged delta write as batch ``batch_id`` (ordered,
         driver-serial, O(metadata)). Same exactly-once guard as merge():
@@ -1335,7 +1336,9 @@ class LakeTable:
                 auto_compact_deltas = 8 * snap.num_buckets * max(files_per_bucket, 1)
             n_delta = sum(1 for fi in self.snapshot.files if fi.get("kind") == "delta")
             if n_delta > auto_compact_deltas:
-                result["compacted_buckets"] = self.compact(files_per_bucket=files_per_bucket)
+                result["compacted_buckets"] = self.compact(
+                    files_per_bucket=files_per_bucket,
+                    keep_tombstones=compact_keep_tombstones)
         return result
 
     def merge(
@@ -1348,6 +1351,7 @@ class LakeTable:
         batch_gtid_max: int | None = None,
         auto_compact_deltas: int | str | None = None,
         mor_dedup: bool = False,
+        compact_keep_tombstones: bool = False,
     ) -> dict:
         """MERGE a change batch (the Iceberg ``MERGE INTO`` analogue).
 
@@ -1529,7 +1533,9 @@ class LakeTable:
                 auto_compact_deltas = 8 * snap.num_buckets * max(files_per_bucket, 1)
             n_delta = sum(1 for fi in self.snapshot.files if fi.get("kind") == "delta")
             if n_delta > auto_compact_deltas:
-                result["compacted_buckets"] = self.compact(files_per_bucket=files_per_bucket)
+                result["compacted_buckets"] = self.compact(
+                    files_per_bucket=files_per_bucket,
+                    keep_tombstones=compact_keep_tombstones)
         return result
 
     # ---------------------------------------------------------------- DDL
@@ -1745,7 +1751,8 @@ class LakeTable:
 
     def compact(self, target_buckets: list[int] | None = None,
                 files_per_bucket: int = 1,
-                sort_by: list[str] | None = None) -> int:
+                sort_by: list[str] | None = None,
+                keep_tombstones: bool = False) -> int:
         """Fold deltas into base and coalesce fragmented buckets: rewrite
         every bucket that has delta files, or base files from more than
         one commit, into fresh single-commit base files (idempotent — a
@@ -1779,7 +1786,21 @@ class LakeTable:
         exchange (asserted by test). Trade disclosed: the default
         (no sort_by) leaves files key-sorted, which is what gives
         ``lookup()`` its row-group pruning — cluster by what the
-        workload filters on."""
+        workload filters on.
+
+        ``keep_tombstones``: the default fold drops a key entirely when
+        its LWW winner is DELETE — sound ONLY when every future merge
+        carries gtids above the fold (ReplayRunner's contract). Under
+        gtid-INTERLEAVED ingest (file-paced streaming epochs, the same
+        shape that gates ``changes()``), a later epoch can deliver an
+        OLDER insert for that key and, with the tombstone folded away,
+        read-time LWW would resurrect it. ``keep_tombstones=True``
+        re-emits each such winning DELETE as a tiny per-bucket delta
+        file (manifest-flagged ``tombstones``) so the dead key keeps
+        outranking late older writes; the flag keeps those files from
+        re-marking the bucket dirty (compaction stays a fixed point).
+        The streaming shells enable this automatically
+        (``ApplyConfig.compact_keep_tombstones`` resolution)."""
         snap = self.snapshot
         known = {c.name for c in snap.columns}
         if sort_by is None:
@@ -1802,7 +1823,11 @@ class LakeTable:
         # Base files written together by one commit — however many, the
         # salt fan-out decides that — are a fixed point: calling compact()
         # twice must not rewrite the table again (idempotence).
-        dirty = {fi["bucket"] for fi in snap.files if fi.get("kind") == "delta"}
+        # tombstone-flagged deltas don't re-mark a bucket dirty on their
+        # own (they are compaction's OWN output — a fixed point), but they
+        # DO fold as inputs whenever the bucket compacts for other reasons
+        dirty = {fi["bucket"] for fi in snap.files
+                 if fi.get("kind") == "delta" and not fi.get("tombstones")}
         base_dirs: dict[int, set] = {}
         for fi in snap.files:
             if fi.get("kind", "base") == "base":
@@ -1907,6 +1932,34 @@ class LakeTable:
             .write.partitionBy("_bucket_p")
             .parquet(os.path.join(self.root, commit_dir_rel))
         )
+        tomb_files: list[dict] = []
+        if keep_tombstones and delta is not None:
+            # Winning DELETEs, computed over the DELTA inputs alone: a
+            # base KEEP can never be a DELETE, so any key whose GLOBAL
+            # winner is DELETE has that row among the deltas — and when a
+            # base KEEP outranks the delta DELETE the key survived the
+            # fold anyway, so the (rare) extra tombstone loses read-time
+            # LWW and is harmless. Small by the MOR premise: one row per
+            # currently-deleted key of the dirty buckets.
+            dd = delta if trunc < 0 else delta.filter(F.col(GTID_COL) > trunc)
+            wd = Window.partitionBy(BUCKET_COL, *keys).orderBy(
+                F.col(GTID_COL).desc(), F.col(SEQ_COL).desc())
+            tombs = (
+                dd.withColumn("_rn", F.row_number().over(wd))
+                .filter((F.col("_rn") == 1) & (F.col(OP_COL) == "DELETE"))
+            )
+            tomb_dir_rel = os.path.join(
+                "data", f"t{new_version:012d}-{uuid.uuid4().hex[:8]}")
+            (
+                tombs.select(*cols, F.col(OP_COL),
+                             F.col(BUCKET_COL).alias("_bucket_p"))
+                .repartition(F.col(BUCKET_COL))
+                .write.partitionBy("_bucket_p")
+                .parquet(os.path.join(self.root, tomb_dir_rel))
+            )
+            tomb_files = self._list_commit_files(tomb_dir_rel, snap.epoch, "delta")
+            for fi in tomb_files:
+                fi["tombstones"] = True
         # conservative envelope from the inputs' stats (raised past the
         # truncate marker the rewrite filtered out); inputs without stats
         # leave the outputs unstamped
@@ -1915,9 +1968,10 @@ class LakeTable:
         out_files = self._list_commit_files(commit_dir_rel, snap.epoch, "base")
         if los and all(v is not None for v in los + his):
             self._stamp_gtid_bounds(
-                out_files, max(min(los), trunc + 1) if trunc >= 0 else min(los),
+                out_files + tomb_files,
+                max(min(los), trunc + 1) if trunc >= 0 else min(los),
                 max(his))
-        files = keep + out_files
+        files = keep + out_files + tomb_files
         self._write_snapshot(Snapshot(
             version=new_version, columns=snap.columns, key_ids=snap.key_ids,
             num_buckets=snap.num_buckets, epoch=snap.epoch, epoch_schemas=snap.epoch_schemas,

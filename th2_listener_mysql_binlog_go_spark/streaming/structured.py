@@ -128,6 +128,15 @@ class StreamingApplier:
         gtid-ordered sources keep the O(changes) plan at every epoch."""
         self.spark = spark
         self.table = table
+        config = config or ApplyConfig()
+        if config.compact_keep_tombstones is None:
+            # file-paced epochs may interleave gtid ranges: a compaction
+            # that folds winning DELETEs away would let a late older
+            # insert resurrect the key — keep tombstones by default here
+            # (ReplayRunner's gtid-contiguous batches don't need them)
+            from dataclasses import replace
+
+            config = replace(config, compact_keep_tombstones=True)
         self.applier = BatchApplier(table, config)
         self.lineage = LineageWriter(lineage_dir) if lineage_dir else None
         self.views = list(views or [])
@@ -316,6 +325,15 @@ class StreamingCatalogApplier:
         from ..operators.multi import MultiTableApplier
 
         self.spark = spark
+        config = config or ApplyConfig()
+        if config.compact_keep_tombstones is None:
+            # file-paced epochs may interleave gtid ranges: a compaction
+            # that folds winning DELETEs away would let a late older
+            # insert resurrect the key — keep tombstones by default here
+            # (ReplayRunner's gtid-contiguous batches don't need them)
+            from dataclasses import replace
+
+            config = replace(config, compact_keep_tombstones=True)
         self.applier = MultiTableApplier(catalog, config)
         self.lineage = LineageWriter(lineage_dir) if lineage_dir else None
 
