@@ -377,8 +377,9 @@ class LakeTable:
         plain filesystem (check-then-replace has a window); an object
         store deployment would use a conditional PUT / CAS for the same
         check. The engine's runners are single-writer per table by
-        design — this guard catches misconfiguration, not a sanctioned
-        mode."""
+        design — this guard catches misconfiguration; the one sanctioned
+        concurrent pair is ingest + maintenance, where a losing
+        compaction REBASES instead of re-running (:meth:`_commit_rewrite`)."""
         meta = os.path.join(self.root, "_meta")
         if snap.version > 0:
             expected_parent = snap.parent if snap.parent is not None else snap.version - 1
@@ -1749,6 +1750,64 @@ class LakeTable:
         ))
         return new_num_buckets
 
+    def _commit_rewrite(self, snap: Snapshot, consumed: set[str],
+                        new_files: list[dict], max_retries: int = 5) -> None:
+        """Commit a compaction rewrite with REBASE-on-conflict: at 100 TB
+        a compaction runs for a long time beside live ingest, and losing
+        the HEAD CAS to a merge must not throw the folded output away (a
+        full re-read of the inputs). The fold consumed ``consumed`` and
+        produced ``new_files``; both stay valid against any head that
+        merely APPENDED delta files since, so on
+        :class:`ConcurrentCommitError` the commit reloads the head and —
+        when the splice gate passes — swaps ``consumed`` for
+        ``new_files`` on the CURRENT file list (the interleaved-gtid
+        hazard this could re-open is exactly what ``keep_tombstones``
+        closes, and without it the caller already asserted monotonic
+        ingest by compacting beside a writer). Gate, every clause
+        load-bearing:
+
+        - same ``num_buckets`` (a rebucket remaps every bucket id);
+        - same ``truncate_gtid`` (a new marker may have killed rows the
+          fold retained — replan prunes them instead);
+        - every based-on file still present (another rewrite — CoW merge,
+          concurrent compaction — may have removed an input);
+        - every file added since is ``kind='delta'`` (pure appends).
+
+        Gate failure re-raises ``ConcurrentCommitError`` — the caller
+        re-runs ``compact()`` against the new head (full replan); the
+        written files become orphans that ``vacuum()`` sweeps."""
+        head = snap
+        based = {fi["path"] for fi in snap.files}
+        for attempt in range(max_retries + 1):
+            try:
+                self._write_snapshot(Snapshot(
+                    version=head.version + 1, columns=head.columns,
+                    key_ids=head.key_ids, num_buckets=head.num_buckets,
+                    epoch=head.epoch, epoch_schemas=head.epoch_schemas,
+                    files=[fi for fi in head.files
+                           if fi["path"] not in consumed] + new_files,
+                    properties=dict(head.properties), parent=head.version,
+                ))
+                return
+            except ConcurrentCommitError:
+                if attempt >= max_retries:
+                    raise
+                head = LakeTable.load(self.spark, self.root).snapshot
+                added = [fi for fi in head.files if fi["path"] not in based]
+                if not (
+                    head.num_buckets == snap.num_buckets
+                    and head.properties.get("truncate_gtid", "-1")
+                    == snap.properties.get("truncate_gtid", "-1")
+                    and based <= {fi["path"] for fi in head.files}
+                    and all(fi.get("kind") == "delta" for fi in added)
+                ):
+                    raise ConcurrentCommitError(
+                        "compaction lost the commit race and the rewrite "
+                        "cannot be spliced onto the new head (concurrent "
+                        "rewrite / rebucket / TRUNCATE in the window) — "
+                        "re-run compact() against the current snapshot"
+                    )
+
     def compact(self, target_buckets: list[int] | None = None,
                 files_per_bucket: int = 1,
                 sort_by: list[str] | None = None,
@@ -1852,13 +1911,7 @@ class LakeTable:
                                   with_op=True)
         if base is None and delta is None:
             # every src file was dead: the rewrite is a pure drop
-            self._write_snapshot(Snapshot(
-                version=snap.version + 1, columns=snap.columns,
-                key_ids=snap.key_ids, num_buckets=snap.num_buckets,
-                epoch=snap.epoch, epoch_schemas=snap.epoch_schemas,
-                files=keep, properties=dict(snap.properties),
-                parent=snap.version,
-            ))
+            self._commit_rewrite(snap, {fi["path"] for fi in src}, [])
             return len(todo)
         if base is not None:
             base = base.withColumn(OP_COL, F.lit(_KEEP))
@@ -1971,10 +2024,6 @@ class LakeTable:
                 out_files + tomb_files,
                 max(min(los), trunc + 1) if trunc >= 0 else min(los),
                 max(his))
-        files = keep + out_files + tomb_files
-        self._write_snapshot(Snapshot(
-            version=new_version, columns=snap.columns, key_ids=snap.key_ids,
-            num_buckets=snap.num_buckets, epoch=snap.epoch, epoch_schemas=snap.epoch_schemas,
-            files=files, properties=dict(snap.properties), parent=snap.version,
-        ))
+        self._commit_rewrite(snap, {fi["path"] for fi in src},
+                             out_files + tomb_files)
         return len(todo)
