@@ -175,3 +175,102 @@ def test_catalog_handoff_replay_to_streaming(spark, tmp_path):
         got = df_fingerprint(
             [r.asDict() for r in cat.get("repos", name).read().collect()])
         assert got == want, name
+
+
+def test_handoff_floor_exempts_query_shaped_truncate(spark, tmp_path):
+    """The truncate marker only commits with its batch's FINAL segment, so
+    a mid-batch-crash backfill can leave an unapplied TRUNCATE below the
+    handoff floor — and raw binlog sources carry truncates as op='QUERY'
+    statements, not pre-classified rows. The floor filter must pass them
+    (replay is monotonic-max safe) while still dropping other DDL
+    (review finding)."""
+    from th2_listener_mysql_binlog_go_spark.streaming.structured import (
+        _handoff_filtered,
+    )
+
+    ddl = ("gtid long, op string, ddl string")
+    rows = [
+        (100, "INSERT", None),                                   # overlap DML
+        (520, "QUERY", "TRUNCATE TABLE repos.files;"),           # must pass
+        (530, "QUERY", "ALTER TABLE repos.files ADD COLUMN x INT"),  # drop
+        (540, "TRUNCATE", "TRUNCATE TABLE repos.files;"),        # must pass
+        (700, "INSERT", None),                                   # above floor
+    ]
+    out = _handoff_filtered(spark.createDataFrame(rows, ddl), 600).collect()
+    assert sorted(r["gtid"] for r in out) == [520, 540, 700]
+
+    # end-to-end: the exempt QUERY-truncate below the floor still commits
+    # its marker, killing the overlap rows it covers
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], num_buckets=4)
+    pre = spark.createDataFrame(
+        [("r", "a", "c1", "py", "x", "INSERT", 100),
+         ("r", "b", "c2", "go", "y", "INSERT", 510),
+         ("r", "c", "c3", "rs", "z", "INSERT", 600)],
+        "repo string, path string, commit string, lang string, "
+        "content string, _op string, _gtid long")
+    t.merge(pre, batch_id=1, mode="mor")          # crashed batch's segments
+    assert t.watermark_gtid == 600                # truncate never committed
+
+    live = str(tmp_path / "live")
+    full = synthetic_changestream(spark, 100, n_repos=5, n_paths=10,
+                                  truncate_per_10k=0)
+    # live dir: the missed QUERY-shaped TRUNCATE@520 + new events re-keyed
+    # above the floor
+    trunc_row = spark.createDataFrame(
+        [(520, "bl.1", 520, 0, 0, "repos", "files", "QUERY", None, None,
+          "TRUNCATE TABLE repos.files;")],
+        "gtid long, log_name string, log_pos long, seq long, ts long, "
+        "schema_name string, table_name string, op string, "
+        "before struct<repo:string,path:string,commit:string,lang:string,"
+        "content:string>, after struct<repo:string,path:string,"
+        "commit:string,lang:string,content:string>, ddl string")
+    tail = full.withColumn("gtid", F.col("gtid") + 1000) \
+               .withColumn("log_pos", F.col("log_pos") + 1000)
+    trunc_row.unionByName(tail.select(*trunc_row.columns)) \
+        .coalesce(1).write.parquet(live)
+
+    sa = StreamingApplier(spark, t)
+    sa.start(live, str(tmp_path / "ckpt"), CHANGE_SCHEMA,
+             available_now=True,
+             resume_from_table=True).awaitTermination(300)
+    # rows at or below the recovered marker (520) are dead; 600 survives
+    left = {(r["repo"], r["path"]) for r in
+            t.read().select("repo", "path").collect()
+            if r["path"] in ("a", "b", "c")}
+    assert left == {("r", "c")}
+
+
+def test_catalog_handoff_refuses_mid_batch_crash(spark, tmp_path):
+    """The catalog watermark only advances after a whole batch commits;
+    a table watermark past it proves a mid-batch crash, where a pinned
+    floor would re-append the already-applied tail of that batch. The
+    handoff must refuse and point at resuming the backfill (review
+    finding)."""
+    import pytest
+
+    stream = synthetic_changestream(spark, 1000, n_repos=10, n_paths=20,
+                                    with_truncate=False)
+    cfg = ApplyConfig(observed={"repos": ["files", "shadow_table"]},
+                      num_buckets=4)
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"))
+    cat.create_table("repos", "files", SCHEMA, ["repo", "path"], num_buckets=4)
+    cat.create_table("repos", "shadow_table", SCHEMA, ["repo", "path"],
+                     num_buckets=4)
+    CatalogReplayRunner(spark, cat, batch_span=400, config=cfg).run(
+        stream, max_batches=1)
+    # simulate the crash window: one table's merge of batch 2 committed,
+    # the catalog progress update did not
+    cat.get("repos", "files").merge(
+        spark.createDataFrame(
+            [("r", "x", "c", "py", "v", "INSERT", 450)],
+            "repo string, path string, commit string, lang string, "
+            "content string, _op string, _gtid long"),
+        batch_id=2 * 1024, mode="mor")
+
+    live = str(tmp_path / "live")
+    stream.filter("gtid >= 300").coalesce(1).write.parquet(live)
+    sca = StreamingCatalogApplier(spark, cat, config=cfg)
+    with pytest.raises(ValueError, match="mid-batch"):
+        sca.start(live, str(tmp_path / "ckpt"), CHANGE_SCHEMA,
+                  available_now=True, resume_from_table=True)

@@ -114,3 +114,55 @@ def test_streaming_shells_default_keep_tombstones_on(spark, tmp_path):
     cat = LakeCatalog.create(spark, str(tmp_path / "cat"))
     sca = StreamingCatalogApplier(spark, cat)
     assert sca.applier.config.compact_keep_tombstones is True
+
+
+def test_rebucket_preserves_tombstones(spark, tmp_path):
+    """rebucket() persists the LWW-resolved state — without tombstone
+    re-emission it would re-open the interleave resurrection hazard
+    compact() closes (review finding). Auto-detects from flagged files;
+    explicit True covers a never-compacted table."""
+    # auto-detect: the table already carries tombstone files
+    t = _interleaved_pre(spark, tmp_path / "auto")
+    t.compact(keep_tombstones=True)
+    t.rebucket(4)
+    t.merge(_mk(spark, [("r", "k", 5, "INSERT", 150)]), batch_id=9, mode="mor")
+    assert t.read().filter("path = 'k'").count() == 0
+    assert any(fi.get("tombstones") for fi in t.snapshot.files)
+
+    # explicit: never compacted, the DELETE only lives in a plain delta
+    t2 = _interleaved_pre(spark, tmp_path / "explicit")
+    t2.rebucket(4, keep_tombstones=True)
+    t2.merge(_mk(spark, [("r", "k", 5, "INSERT", 150)]), batch_id=9, mode="mor")
+    assert t2.read().filter("path = 'k'").count() == 0
+
+
+def _interleaved_pre(spark, root):
+    t = LakeTable.create(spark, str(root), SCHEMA, ["repo", "path"],
+                         num_buckets=2)
+    t.merge(_mk(spark, [("r", "k", 1, "INSERT", 100),
+                        ("r", "k", None, "DELETE", 200),
+                        ("r", "other", 9, "INSERT", 120)]),
+            batch_id=1, mode="mor")
+    return t
+
+
+def test_auto_compact_trigger_ignores_tombstone_files(spark, tmp_path):
+    """Tombstone files are compaction's own steady-state output (never
+    cleared by design) — counting them toward auto_compact_deltas would
+    pin the trigger past the threshold and compact EVERY batch (review
+    finding)."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], num_buckets=2)
+    t.merge(_mk(spark, [("r", f"p{i}", i, "INSERT", i) for i in range(1, 5)]
+                + [("r", "p1", None, "DELETE", 10),
+                   ("r", "p2", None, "DELETE", 11)]),
+            batch_id=1, mode="mor")
+    t.compact(keep_tombstones=True)
+    n_tomb = sum(1 for fi in t.snapshot.files if fi.get("tombstones"))
+    assert n_tomb >= 1
+    # threshold below the standing tombstone count: one small new delta
+    # batch must NOT trigger a compaction
+    m = t.merge(_mk(spark, [("r", "z", 1, "INSERT", 20)]), batch_id=2,
+                mode="mor", auto_compact_deltas=n_tomb,
+                compact_keep_tombstones=True)
+    assert "compacted_buckets" not in m

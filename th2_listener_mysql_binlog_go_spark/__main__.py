@@ -264,7 +264,9 @@ def cmd_rebucket(args) -> dict:
 
     spark = _spark("cdc-rebucket")
     t = LakeTable.load(spark, args.table)
-    n = t.rebucket(args.num_buckets, files_per_bucket=args.files_per_bucket)
+    keep = True if args.keep_tombstones else None  # None = auto-detect
+    n = t.rebucket(args.num_buckets, files_per_bucket=args.files_per_bucket,
+                   keep_tombstones=keep)
     return {"table": args.table, "num_buckets": n, "version": t.snapshot.version}
 
 
@@ -593,6 +595,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", required=True)
     sp.add_argument("--num-buckets", type=int, required=True)
     sp.add_argument("--files-per-bucket", type=int, default=1)
+    sp.add_argument("--keep-tombstones", action="store_true",
+                    help="re-emit winning DELETEs in the new layout (auto "
+                         "when the table already carries tombstone files)")
     sp.set_defaults(fn=cmd_rebucket)
 
     sp = sub.add_parser("vacuum")

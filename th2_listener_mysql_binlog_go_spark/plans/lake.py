@@ -1335,7 +1335,12 @@ class LakeTable:
         if auto_compact_deltas is not None:
             if auto_compact_deltas == "auto":
                 auto_compact_deltas = 8 * snap.num_buckets * max(files_per_bucket, 1)
-            n_delta = sum(1 for fi in self.snapshot.files if fi.get("kind") == "delta")
+            n_delta = sum(
+                1 for fi in self.snapshot.files
+                # tombstone files are compaction's own steady-state output
+                # (never cleared by design) — counting them would pin the
+                # trigger past the threshold and compact EVERY batch
+                if fi.get("kind") == "delta" and not fi.get("tombstones"))
             if n_delta > auto_compact_deltas:
                 result["compacted_buckets"] = self.compact(
                     files_per_bucket=files_per_bucket,
@@ -1532,7 +1537,12 @@ class LakeTable:
                 # amplification and snapshot size for untuned streams while
                 # amortizing the rewrite over many commits.
                 auto_compact_deltas = 8 * snap.num_buckets * max(files_per_bucket, 1)
-            n_delta = sum(1 for fi in self.snapshot.files if fi.get("kind") == "delta")
+            n_delta = sum(
+                1 for fi in self.snapshot.files
+                # tombstone files are compaction's own steady-state output
+                # (never cleared by design) — counting them would pin the
+                # trigger past the threshold and compact EVERY batch
+                if fi.get("kind") == "delta" and not fi.get("tombstones"))
             if n_delta > auto_compact_deltas:
                 result["compacted_buckets"] = self.compact(
                     files_per_bucket=files_per_bucket,
@@ -1692,7 +1702,8 @@ class LakeTable:
                 os.rmdir(dirpath)
         return removed
 
-    def rebucket(self, new_num_buckets: int, files_per_bucket: int = 1) -> int:
+    def rebucket(self, new_num_buckets: int, files_per_bucket: int = 1,
+                 keep_tombstones: bool | None = None) -> int:
         """Bucket-count evolution — the Iceberg partition-evolution
         analogue the round-2 review called out: a table created with N
         buckets would otherwise carry ~table_bytes/N per bucket forever
@@ -1707,7 +1718,15 @@ class LakeTable:
 
         Returns the new bucket count. Cost: one full-table rewrite — run
         it as scheduled maintenance exactly like compaction, sized so a
-        bucket stays a task-friendly ~0.5-2 GB."""
+        bucket stays a task-friendly ~0.5-2 GB.
+
+        ``keep_tombstones``: the rewrite persists the LWW-RESOLVED state,
+        which folds winning DELETEs away — the same gtid-interleave
+        resurrection hazard :meth:`compact` closes. Default ``None``
+        auto-enables when the snapshot already carries tombstone-flagged
+        files (the table has evidently declared interleaved ingest);
+        streaming-fed tables that have never compacted should pass
+        ``True`` explicitly."""
         snap = self.snapshot
         if new_num_buckets == snap.num_buckets:
             return snap.num_buckets
@@ -1735,10 +1754,43 @@ class LakeTable:
             .parquet(os.path.join(self.root, commit_dir_rel))
         )
         files = self._list_commit_files(commit_dir_rel, snap.epoch, "base")
+        trunc = int(snap.properties.get("truncate_gtid", "-1"))
+        if keep_tombstones is None:
+            keep_tombstones = any(fi.get("tombstones") for fi in snap.files)
+        if keep_tombstones:
+            # winning DELETEs, re-bucketed under the NEW function (same
+            # DELETE-only plan as compact's tombstone pass — the predicate
+            # pushes into the delta scans, only tombstone rows shuffle)
+            delta_in = [fi for fi in snap.files
+                        if fi.get("kind") == "delta"
+                        and not self._gtid_dead(fi, trunc)]
+            dd = self._read_mapped(snap, delta_in, with_op=True)
+            if dd is not None:
+                dd = dd.filter(F.col(OP_COL) == "DELETE")
+                if trunc >= 0:
+                    dd = dd.filter(F.col(GTID_COL) > trunc)
+                dd = dd.withColumn(BUCKET_COL, new_bucket)
+                wd = Window.partitionBy(BUCKET_COL, *keys).orderBy(
+                    F.col(GTID_COL).desc(), F.col(SEQ_COL).desc())
+                tombs = (dd.withColumn("_rn", F.row_number().over(wd))
+                         .filter(F.col("_rn") == 1))
+                tomb_dir_rel = os.path.join(
+                    "data", f"rt{new_version:012d}-{uuid.uuid4().hex[:8]}")
+                (
+                    tombs.select(*cols, F.col(OP_COL),
+                                 F.col(BUCKET_COL).alias("_bucket_p"))
+                    .repartition(F.col(BUCKET_COL))
+                    .write.partitionBy("_bucket_p")
+                    .parquet(os.path.join(self.root, tomb_dir_rel))
+                )
+                tomb_files = self._list_commit_files(
+                    tomb_dir_rel, snap.epoch, "delta")
+                for fi in tomb_files:
+                    fi["tombstones"] = True
+                files = files + tomb_files
         los = [fi.get("gtid_lo") for fi in snap.files]
         his = [fi.get("gtid_hi") for fi in snap.files]
         if los and all(v is not None for v in los + his):
-            trunc = int(snap.properties.get("truncate_gtid", "-1"))
             self._stamp_gtid_bounds(
                 files, max(min(los), trunc + 1) if trunc >= 0 else min(los),
                 max(his))
@@ -1994,12 +2046,19 @@ class LakeTable:
             # fold anyway, so the (rare) extra tombstone loses read-time
             # LWW and is harmless. Small by the MOR premise: one row per
             # currently-deleted key of the dirty buckets.
-            dd = delta if trunc < 0 else delta.filter(F.col(GTID_COL) > trunc)
+            # DELETE-only window: the op predicate pushes into the delta
+            # scans and only tombstone candidates shuffle. Winner among
+            # DELETEs can exceed the winner-is-DELETE set (a key whose
+            # global winner is a later INSERT still emits its max DELETE)
+            # — harmless: the extra tombstone loses read-time LWW.
+            dd = delta.filter(F.col(OP_COL) == "DELETE")
+            if trunc >= 0:
+                dd = dd.filter(F.col(GTID_COL) > trunc)
             wd = Window.partitionBy(BUCKET_COL, *keys).orderBy(
                 F.col(GTID_COL).desc(), F.col(SEQ_COL).desc())
             tombs = (
                 dd.withColumn("_rn", F.row_number().over(wd))
-                .filter((F.col("_rn") == 1) & (F.col(OP_COL) == "DELETE"))
+                .filter(F.col("_rn") == 1)
             )
             tomb_dir_rel = os.path.join(
                 "data", f"t{new_version:012d}-{uuid.uuid4().hex[:8]}")

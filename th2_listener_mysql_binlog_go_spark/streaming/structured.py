@@ -61,7 +61,12 @@ def _pin_handoff(checkpoint_dir: str, base: int, floor: int) -> tuple[int, int]:
     except FileNotFoundError:
         pass
     os.makedirs(checkpoint_dir, exist_ok=True)
-    tmp = path + ".tmp"
+    # unique temp name: a fixed one would let a racing first start truncate
+    # the inode already hard-linked to handoff.json (empty pin = bricked
+    # checkpoint) — same discipline as _write_snapshot's HEAD swap
+    import uuid as _uuid
+
+    tmp = f"{path}.tmp.{_uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump({"epoch_base": base, "gtid_floor": floor}, f)
     try:
@@ -73,6 +78,45 @@ def _pin_handoff(checkpoint_dir: str, base: int, floor: int) -> tuple[int, int]:
     finally:
         os.unlink(tmp)
     return base, floor
+
+
+def _resolve_streaming_config(config: ApplyConfig | None) -> ApplyConfig:
+    """Shared shell-config resolution: file-paced epochs may interleave
+    gtid ranges, so a compaction that folds winning DELETEs away would
+    let a late older insert resurrect the key — keep tombstones unless
+    the caller chose explicitly (ReplayRunner's gtid-contiguous batches
+    don't need them)."""
+    config = config or ApplyConfig()
+    if config.compact_keep_tombstones is None:
+        from dataclasses import replace
+
+        config = replace(config, compact_keep_tombstones=True)
+    return config
+
+
+def _handoff_filtered(stream, gtid_floor: int):
+    """Drop the archive/live overlap (everything the backfill already
+    applied) while keeping what must never be watermark-filtered:
+    TRUNCATE markers — pre-classified OR still QUERY-shaped (the wire
+    carries raw statements; the marker only commits with its batch's
+    FINAL segment, so a mid-batch-crash backfill can leave an
+    uncommitted TRUNCATE below the floor) — and undecodable messages
+    bound for the dead-letter queue. Re-applying a truncate is always
+    safe (monotonic-max marker); QUERY-shaped schema/catalog DDL at or
+    below the floor stays filtered (the completed prefix applied it, and
+    re-applying only part of a CREATE/DROP pair could resurrect a
+    dropped table)."""
+    from ..functions.ddl import SPARK_PATTERNS
+
+    keep = (F.col("gtid") > gtid_floor) | (F.col("op") == "TRUNCATE")
+    if "ddl" in stream.columns:
+        keep = keep | (
+            (F.col("op") == "QUERY")
+            & F.coalesce(F.col("ddl"), F.lit("")).rlike(
+                SPARK_PATTERNS["TRUNCATE"][0]))
+    if "_undecodable" in stream.columns:
+        keep = keep | F.col("_undecodable")
+    return stream.filter(keep)
 
 
 def _quarantine_split(pinned, quarantine_dir: str, epoch_id: int):
@@ -128,15 +172,7 @@ class StreamingApplier:
         gtid-ordered sources keep the O(changes) plan at every epoch."""
         self.spark = spark
         self.table = table
-        config = config or ApplyConfig()
-        if config.compact_keep_tombstones is None:
-            # file-paced epochs may interleave gtid ranges: a compaction
-            # that folds winning DELETEs away would let a late older
-            # insert resurrect the key — keep tombstones by default here
-            # (ReplayRunner's gtid-contiguous batches don't need them)
-            from dataclasses import replace
-
-            config = replace(config, compact_keep_tombstones=True)
+        config = _resolve_streaming_config(config)
         self.applier = BatchApplier(table, config)
         self.lineage = LineageWriter(lineage_dir) if lineage_dir else None
         self.views = list(views or [])
@@ -196,14 +232,10 @@ class StreamingApplier:
             epoch_base, gtid_floor = _pin_handoff(
                 checkpoint_dir, *self._handoff_state())
         if gtid_floor >= 0:
-            # archive/live overlap: DML the backfill already applied must
-            # not re-append (it would pollute key_history and lineage);
-            # TRUNCATE markers stay — replaying one is always safe; an
-            # undecodable message still dead-letters even below the floor
-            keep = (F.col("gtid") > gtid_floor) | (F.col("op") == "TRUNCATE")
-            if "_undecodable" in stream.columns:
-                keep = keep | F.col("_undecodable")
-            stream = stream.filter(keep)
+            # archive/live overlap must not re-append (it would pollute
+            # key_history and lineage); see _handoff_filtered for what is
+            # exempt and why
+            stream = _handoff_filtered(stream, gtid_floor)
 
         def handle(batch_df, epoch_id: int) -> None:
             import time
@@ -325,15 +357,7 @@ class StreamingCatalogApplier:
         from ..operators.multi import MultiTableApplier
 
         self.spark = spark
-        config = config or ApplyConfig()
-        if config.compact_keep_tombstones is None:
-            # file-paced epochs may interleave gtid ranges: a compaction
-            # that folds winning DELETEs away would let a late older
-            # insert resurrect the key — keep tombstones by default here
-            # (ReplayRunner's gtid-contiguous batches don't need them)
-            from dataclasses import replace
-
-            config = replace(config, compact_keep_tombstones=True)
+        config = _resolve_streaming_config(config)
         self.applier = MultiTableApplier(catalog, config)
         self.lineage = LineageWriter(lineage_dir) if lineage_dir else None
 
@@ -358,15 +382,33 @@ class StreamingCatalogApplier:
                            resume_from_table=resume_from_table)
 
     def _handoff_state(self) -> tuple[int, int]:
+        """The catalog's replay watermark only advances AFTER a whole
+        batch's per-table merges commit, so a backfill that crashed
+        between a table merge and the progress update leaves table state
+        PAST the watermark — a floor pinned there would let the tail
+        re-append the already-applied tail of that batch (duplicate
+        audit/changelog rows). Detectable exactly: on clean completion
+        the catalog watermark covers every event, so any table watermark
+        above it proves a mid-batch crash — refuse and ask the caller to
+        resume the backfill to completion first."""
         cat = self.applier.catalog
+        floor = int(cat.properties.get("watermark_gtid", "-1"))
         last = -1
         for name in cat.list_tables():
             schema, table = name.split(".", 1)
             t = cat.get(schema, table)
             if t is not None:
                 last = max(last, t.last_batch_id)
+                if t.watermark_gtid > floor:
+                    raise ValueError(
+                        f"catalog backfill is mid-batch: table {name} has "
+                        f"applied gtids up to {t.watermark_gtid}, past the "
+                        f"catalog watermark {floor} — resume "
+                        "CatalogReplayRunner.run() to completion before "
+                        "handing off to streaming"
+                    )
         base = last // 1024 + 1 if last >= 0 else 0
-        return base, int(cat.properties.get("watermark_gtid", "-1"))
+        return base, floor
 
     def _start(self, stream, checkpoint_dir: str, available_now: bool,
                resume_from_table: bool = False,
@@ -376,14 +418,10 @@ class StreamingCatalogApplier:
             epoch_base, gtid_floor = _pin_handoff(
                 checkpoint_dir, *self._handoff_state())
         if gtid_floor >= 0:
-            # catalog DDL at or below the floor is FILTERED like DML: the
-            # completed backfill already applied it, and re-applying only a
-            # prefix of a CREATE/DROP pair from the overlap would resurrect
-            # a dropped table. TRUNCATE markers stay (monotonic max, no-op).
-            keep = (F.col("gtid") > gtid_floor) | (F.col("op") == "TRUNCATE")
-            if "_undecodable" in stream.columns:
-                keep = keep | F.col("_undecodable")
-            stream = stream.filter(keep)
+            # catalog DDL at or below the floor is FILTERED like DML
+            # (re-applying part of a CREATE/DROP pair could resurrect a
+            # dropped table); TRUNCATEs are exempt — see _handoff_filtered
+            stream = _handoff_filtered(stream, gtid_floor)
 
         def handle(batch_df, epoch_id: int) -> None:
             import time
