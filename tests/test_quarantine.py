@@ -100,3 +100,33 @@ def test_wire_stream_quarantine_dir(spark, tmp_path):
     assert dlq.filter(~F.col("payload").startswith("!")).count() == 0
     # epochs are stamped; every envelope keeps its position metadata
     assert dlq.filter(F.col("gtid").isNull() | F.col("log_pos").isNull()).count() == 0
+
+
+def test_quarantine_epoch_replay_is_exactly_once(spark, tmp_path):
+    """A crash-replayed epoch re-runs the DLQ write under the SAME epoch
+    id; the overwrite-per-epoch-dir layout replaces its own envelopes
+    instead of appending duplicates, and a clean epoch writes nothing."""
+    from th2_listener_mysql_binlog_go_spark.streaming.structured import (
+        _quarantine_split,
+    )
+
+    ddl = ("gtid long, log_name string, log_pos long, seq long, ts long, "
+           "_payload string, _reason string, _undecodable boolean")
+    batch = spark.createDataFrame(
+        [(1, "bl", 10, 0, 0, "ok", None, False),
+         (2, "bl", 20, 1, 0, "!bad", "unparseable payload", True),
+         (3, "bl", 30, 2, 0, "!bad2", "unparseable payload", True)], ddl)
+    qdir = str(tmp_path / "dlq")
+    good = _quarantine_split(batch.persist(), qdir, 7)
+    assert good.count() == 1
+    _quarantine_split(batch, qdir, 7)        # crash-replay, same epoch
+    dlq = spark.read.parquet(qdir)
+    assert dlq.count() == 2                  # replaced, not appended
+    assert {r["epoch"] for r in dlq.select("epoch").collect()} == {7}
+
+    # a clean epoch leaves no dir litter
+    clean = spark.createDataFrame(
+        [(9, "bl", 90, 0, 0, "ok", None, False)], ddl)
+    _quarantine_split(clean.persist(), qdir, 8)
+    import os
+    assert not os.path.exists(os.path.join(qdir, "epoch=8"))

@@ -122,18 +122,24 @@ def _handoff_filtered(stream, gtid_floor: int):
 def _quarantine_split(pinned, quarantine_dir: str, epoch_id: int):
     """Dead-letter the epoch's undecodable wire messages (flagged by
     ``decode_stream(quarantine=True)``) to ``quarantine_dir`` as parquet
-    envelopes (position + raw payload + reason + epoch), and return the
-    well-formed slice for apply. The DLQ is at-least-once: a crash
-    between this write and the table commit re-appends the epoch's
-    envelopes on replay (the table itself stays exactly-once via the
-    sub-batch guard) — dedup the diagnostic feed on (gtid, log_pos,
-    seq) if consumed programmatically."""
-    (pinned.filter(F.col("_undecodable"))
-     .select("gtid", "log_name", "log_pos", "seq", "ts",
-             F.col("_payload").alias("payload"),
-             F.col("_reason").alias("reason"),
-             F.lit(epoch_id).alias("epoch"))
-     .write.mode("append").parquet(quarantine_dir))
+    envelopes (position + raw payload + reason), and return the
+    well-formed slice for apply. EXACTLY-once to match the table: each
+    epoch owns the hive dir ``epoch=<id>`` and writes it with OVERWRITE
+    semantics, so a crash-replayed epoch replaces its own envelopes
+    instead of appending duplicates (epoch ids are stable across
+    restarts — Spark re-delivers the in-flight epoch under the same id,
+    and the handoff base is pinned). Clean epochs (no flagged rows —
+    the count rides the already-persisted batch) write nothing, so a
+    long-running healthy tail leaves no empty-dir litter. Read the feed
+    with ``spark.read.parquet(quarantine_dir)``; ``epoch`` surfaces as
+    a partition column."""
+    bad = pinned.filter(F.col("_undecodable"))
+    if bad.count() > 0:  # materializes the persist; the write reuses it
+        (bad.select("gtid", "log_name", "log_pos", "seq", "ts",
+                    F.col("_payload").alias("payload"),
+                    F.col("_reason").alias("reason"))
+         .write.mode("overwrite")
+         .parquet(os.path.join(quarantine_dir, f"epoch={int(epoch_id)}")))
     return (pinned.filter(~F.col("_undecodable"))
             .drop("_undecodable", "_reason", "_payload"))
 
