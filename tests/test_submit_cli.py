@@ -221,3 +221,56 @@ def test_spark_submit_view_lifecycle(spark, tmp_path):
                 F.sum(F.length("content")).cast("bigint").alias("s")).collect()}
     assert got == want
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_spark_submit_handoff_and_key_history(spark, tmp_path):
+    """The round-5 user journey via real spark-submit child processes:
+    archive backfill (replay), handoff to the streaming tail
+    (--resume-from-table pins the epoch base + gtid floor), then the
+    per-key audit read (key-history) over the combined history."""
+    zpath = _zip_pkg(str(tmp_path))
+    script = str(tmp_path / "run_cdc.py")
+    with open(script, "w") as f:
+        f.write(RUNNER)
+
+    full = synthetic_changestream(spark, 2000, n_repos=10, n_paths=20,
+                                  truncate_per_10k=0)
+    archive = str(tmp_path / "archive")
+    live = str(tmp_path / "live")
+    full.filter("gtid < 1200").repartition(2).write.parquet(archive)
+    full.filter("gtid >= 1000").coalesce(1).write.parquet(live)
+
+    table_dir = str(tmp_path / "t")
+    schema = "repo string, path string, commit string, lang string, content string"
+    _submit(zpath, script, "create", "--table", table_dir,
+            "--schema", schema, "--keys", "repo,path", "--num-buckets", "4")
+    _submit(zpath, script, "replay", "--table", table_dir,
+            "--source", archive, "--batch-span", "300")
+
+    from th2_listener_mysql_binlog_go_spark.sources.changestream import (
+        CHANGE_SCHEMA,
+    )
+    m = _submit(zpath, script, "stream", "--table", table_dir,
+                "--source", live, "--checkpoint", str(tmp_path / "ckpt"),
+                "--schema", CHANGE_SCHEMA, "--max-files-per-trigger", "1",
+                "--resume-from-table")
+    assert m["watermark_gtid"] == 1999
+    assert os.path.exists(os.path.join(str(tmp_path / "ckpt"), "handoff.json"))
+
+    expected = state_fingerprint(replay_oracle([
+        {"gtid": r["gtid"], "op": r["op"], "table_name": r["table_name"],
+         "before": r["before"].asDict() if r["before"] else None,
+         "after": r["after"].asDict() if r["after"] else None}
+        for r in full.collect()]))
+    got = df_fingerprint([r.asDict() for r in
+                          LakeTable.load(spark, table_dir).read().collect()])
+    assert got == expected
+
+    # per-key audit over the combined (backfill + streamed) history
+    cur = LakeTable.load(spark, table_dir).read().limit(1).collect()[0]
+    h = _submit(zpath, script, "key-history", "--table", table_dir,
+                "--values", f"{cur['repo']},{cur['path']}")
+    events = h["events"]
+    assert events and events[-1]["_is_current"]
+    gtids = [e["_gtid"] for e in events]
+    assert gtids == sorted(gtids)
