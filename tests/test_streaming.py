@@ -461,3 +461,62 @@ def test_streaming_maintains_chained_views(spark, tmp_path):
     want = {r["lang"]: r["files"] for r in table.read().groupBy("lang").agg(
         F.count(F.lit(1)).alias("files")).collect()}
     assert got == want
+
+
+def test_streaming_catalog_maintains_views(spark, tmp_path):
+    """Continuous aggregates over CATALOG tables: catalog.get returns a
+    fresh LakeTable per call, so the shell REBINDS each view to a freshly
+    loaded source every refresh cycle (O(metadata)); chains refresh in
+    dependency order. After the drain both levels equal a recompute."""
+    from th2_listener_mysql_binlog_go_spark.operators.apply import ApplyConfig
+    from th2_listener_mysql_binlog_go_spark.plans.catalog import LakeCatalog
+    from th2_listener_mysql_binlog_go_spark.plans.matview import IncrementalAggView
+
+    src = str(tmp_path / "events")
+    full = synthetic_changestream(spark, 2000, n_repos=10, n_paths=40,
+                                  truncate_per_10k=0)
+    full.repartition(4).write.parquet(src)
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"))
+    for t in ("files", "shadow_table"):
+        cat.create_table("repos", t, SCHEMA, ["repo", "path"], num_buckets=4)
+    a = IncrementalAggView.create(
+        spark, cat.get("repos", "files"), str(tmp_path / "a"),
+        dims=["repo", "lang"], aggs={"n": ("count",)}, num_buckets=2)
+    b = IncrementalAggView.create(
+        spark, a.table, str(tmp_path / "b"), dims=["lang"],
+        aggs={"files": ("sum", "_rowcnt")}, num_buckets=2)
+
+    cfg = ApplyConfig(observed={"repos": ["files", "shadow_table"]}, num_buckets=4)
+    from th2_listener_mysql_binlog_go_spark.streaming.structured import (
+        StreamingCatalogApplier,
+    )
+    sca = StreamingCatalogApplier(spark, cat, config=cfg, views=[b, a])
+    q = sca.start(src, str(tmp_path / "ckpt"), CHANGE_SCHEMA,
+                  available_now=True, max_files_per_trigger=2)
+    q.awaitTermination(300)
+
+    import pyspark.sql.functions as F
+    files = cat.get("repos", "files")
+    assert a.source_version == files.snapshot.version
+    got = {r["lang"]: r["files"] for r in b.read().collect()}
+    want = {r["lang"]: r["files"] for r in files.read().groupBy("lang").agg(
+        F.count(F.lit(1)).alias("files")).collect()}
+    assert got == want
+
+    # a view over a non-catalog root is rejected up front
+    import pytest
+    orphan = LakeTable.create(spark, str(tmp_path / "orphan"), SCHEMA,
+                              ["repo", "path"], num_buckets=2)
+    v_bad = IncrementalAggView.create(
+        spark, orphan, str(tmp_path / "vb"), dims=["lang"],
+        aggs={"n": ("count",)}, num_buckets=2)
+    with pytest.raises(ValueError, match="neither a live table"):
+        StreamingCatalogApplier(spark, cat, config=cfg, views=[v_bad])
+
+    # DROP + CREATE recycle mid-stream: the rebind refuses instead of
+    # silently misreading the new incarnation's restarted versions
+    cat.drop_table("repos", "files")
+    cat.create_table("repos", "files", SCHEMA, ["repo", "path"], num_buckets=4)
+    with pytest.raises(RuntimeError, match="dropped or recycled"):
+        sca._rebind_and_refresh_views()

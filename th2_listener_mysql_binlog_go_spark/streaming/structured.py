@@ -359,13 +359,68 @@ class StreamingCatalogApplier:
         catalog,
         config: ApplyConfig | None = None,
         lineage_dir: str | None = None,
+        views: list | None = None,
+        view_refresh_every: int = 1,
     ):
+        """``views``: IncrementalAggViews maintained inside the
+        micro-batch loop, like the single-table shell — except here
+        ``catalog.get`` returns a FRESH LakeTable per call, so a view
+        cannot hold one live handle; instead each refresh cycle REBINDS
+        every view to a freshly loaded source (one snapshot-JSON read
+        per view per cycle — O(metadata)). A view may source any
+        catalog table or another listed view (rollup chains,
+        dependency-ordered via refresh_all). The source's registry dir
+        is pinned at construction: a DROP TABLE + CREATE TABLE recycle
+        changes the dir and the rebind refuses (the new incarnation's
+        version counter restarts — refreshing across it would silently
+        misread the changelog window)."""
         from ..operators.multi import MultiTableApplier
 
         self.spark = spark
         config = _resolve_streaming_config(config)
         self.applier = MultiTableApplier(catalog, config)
         self.lineage = LineageWriter(lineage_dir) if lineage_dir else None
+        self.views = list(views or [])
+        self.view_refresh_every = max(1, view_refresh_every)
+        by_view_root = {os.path.realpath(v.table.root): v for v in self.views}
+        dir_to_pair = {
+            os.path.realpath(os.path.join(catalog.root, e["dir"])): k
+            for k, e in catalog.registry["tables"].items()
+            if not e.get("dropped")
+        }
+        self._view_sources: dict[str, tuple[str, str, str]] = {}
+        for v in self.views:
+            src = os.path.realpath(v.source.root)
+            if src in by_view_root:
+                self._view_sources[os.path.realpath(v.table.root)] = ("view", src, "")
+            elif src in dir_to_pair:
+                self._view_sources[os.path.realpath(v.table.root)] = (
+                    "table", src, dir_to_pair[src])
+            else:
+                raise ValueError(
+                    f"view {v.table.root} tracks {v.source.root!r}, which is "
+                    "neither a live table of this catalog nor another "
+                    "listed view's table")
+
+    def _rebind_and_refresh_views(self) -> None:
+        from ..plans.matview import refresh_all
+
+        cat = self.applier.catalog
+        by_view_root = {os.path.realpath(v.table.root): v for v in self.views}
+        for v in self.views:
+            kind, src, pair = self._view_sources[os.path.realpath(v.table.root)]
+            if kind == "view":
+                v.source = by_view_root[src].table
+                continue
+            ent = cat.registry["tables"].get(pair)
+            if (ent is None or ent.get("dropped")
+                    or os.path.realpath(os.path.join(cat.root, ent["dir"])) != src):
+                raise RuntimeError(
+                    f"view {v.table.root} source {pair} was dropped or "
+                    "recycled mid-stream (new incarnation, fresh version "
+                    "counter) — rebuild the view over the new table")
+            v.source = LakeTable.load(self.spark, src)
+        refresh_all(self.views)
 
     def start(
         self,
@@ -463,6 +518,8 @@ class StreamingCatalogApplier:
                         for b, n in tm.get("partitions", [])
                     ]
                 self.lineage.write(rows)
+            if self.views and int(epoch_id) % self.view_refresh_every == 0:
+                self._rebind_and_refresh_views()
 
         writer = (
             stream.writeStream.foreachBatch(handle)
