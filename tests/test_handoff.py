@@ -11,6 +11,7 @@ a later file-paced epoch may legally carry older-gtid events."""
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from th2_listener_mysql_binlog_go_spark.operators.apply import ApplyConfig
@@ -274,3 +275,53 @@ def test_catalog_handoff_refuses_mid_batch_crash(spark, tmp_path):
     with pytest.raises(ValueError, match="mid-batch"):
         sca.start(live, str(tmp_path / "ckpt"), CHANGE_SCHEMA,
                   available_now=True, resume_from_table=True)
+
+
+# seed, n_events, archive_hi, live_lo, live slice order, truncate_per_10k
+HANDOFF_CASES = [
+    (7, 3000, 2000, 1500, [0, 1, 2], 0),    # plain overlap, in-order epochs
+    (11, 3000, 1800, 1500, [2, 1, 0], 20),  # reversed epochs + truncates
+    (13, 2400, 1200, 0, [1, 2, 0], 10),     # live re-covers the FULL archive
+    (17, 2000, 2000, 1500, [0, 1, 2], 0),   # live adds nothing new
+]
+
+
+@pytest.mark.parametrize("seed,n,ahi,llo,order,t10k", HANDOFF_CASES)
+def test_randomized_handoff_matches_oracle(spark, tmp_path, seed, n, ahi,
+                                           llo, order, t10k):
+    """Seeded randomized handoff property: for several stream shapes —
+    overlap widths, out-of-order live epochs, truncate density, a live
+    dir that re-covers the whole archive, a live dir with nothing new —
+    backfill + handed-off tail always converges to the full-stream
+    oracle."""
+    import pytest as _pytest
+
+    full = synthetic_changestream(spark, n, n_repos=20, n_paths=40,
+                                  seed=seed, truncate_per_10k=t10k,
+                                  with_truncate=t10k > 0)
+    table = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                             ["repo", "path"], num_buckets=4)
+    ReplayRunner(spark, table, batch_span=max(1, ahi // 4)).run(
+        full.filter(f"gtid < {ahi}"))
+
+    live = str(tmp_path / "live")
+    span = (n - llo) // 3 or 1
+    wrote = False
+    for i in order:
+        lo = llo + i * span
+        hi = n if i == 2 else llo + (i + 1) * span
+        sl = full.filter(f"gtid >= {lo} and gtid < {hi}")
+        if sl.limit(1).count():
+            sl.coalesce(1).write.mode("append").parquet(live)
+            wrote = True
+    if not wrote:
+        _pytest.skip("degenerate slice plan")
+
+    sa = StreamingApplier(spark, table)
+    sa.start(live, str(tmp_path / "ckpt"), CHANGE_SCHEMA,
+             available_now=True, max_files_per_trigger=1,
+             resume_from_table=True).awaitTermination(300)
+
+    expected = state_fingerprint(replay_oracle(_oracle_events(full)))
+    got = df_fingerprint([r.asDict() for r in table.read().collect()])
+    assert got == expected
