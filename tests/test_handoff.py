@@ -248,8 +248,6 @@ def test_catalog_handoff_refuses_mid_batch_crash(spark, tmp_path):
     floor would re-append the already-applied tail of that batch. The
     handoff must refuse and point at resuming the backfill (review
     finding)."""
-    import pytest
-
     stream = synthetic_changestream(spark, 1000, n_repos=10, n_paths=20,
                                     with_truncate=False)
     cfg = ApplyConfig(observed={"repos": ["files", "shadow_table"]},
@@ -294,8 +292,6 @@ def test_randomized_handoff_matches_oracle(spark, tmp_path, seed, n, ahi,
     dir that re-covers the whole archive, a live dir with nothing new —
     backfill + handed-off tail always converges to the full-stream
     oracle."""
-    import pytest as _pytest
-
     full = synthetic_changestream(spark, n, n_repos=20, n_paths=40,
                                   seed=seed, truncate_per_10k=t10k,
                                   with_truncate=t10k > 0)
@@ -315,7 +311,7 @@ def test_randomized_handoff_matches_oracle(spark, tmp_path, seed, n, ahi,
             sl.coalesce(1).write.mode("append").parquet(live)
             wrote = True
     if not wrote:
-        _pytest.skip("degenerate slice plan")
+        pytest.skip("degenerate slice plan")
 
     sa = StreamingApplier(spark, table)
     sa.start(live, str(tmp_path / "ckpt"), CHANGE_SCHEMA,

@@ -102,6 +102,12 @@ def test_wire_stream_quarantine_dir(spark, tmp_path):
     assert dlq.filter(F.col("gtid").isNull() | F.col("log_pos").isNull()).count() == 0
 
 
+def _mini_batch(spark, rows):
+    ddl = ("gtid long, log_name string, log_pos long, seq long, ts long, "
+           "_payload string, _reason string, _undecodable boolean")
+    return spark.createDataFrame(rows, ddl)
+
+
 def test_quarantine_epoch_replay_is_exactly_once(spark, tmp_path):
     """A crash-replayed epoch re-runs the DLQ write under the SAME epoch
     id; the overwrite-per-epoch-dir layout replaces its own envelopes
@@ -110,23 +116,64 @@ def test_quarantine_epoch_replay_is_exactly_once(spark, tmp_path):
         _quarantine_split,
     )
 
-    ddl = ("gtid long, log_name string, log_pos long, seq long, ts long, "
-           "_payload string, _reason string, _undecodable boolean")
-    batch = spark.createDataFrame(
-        [(1, "bl", 10, 0, 0, "ok", None, False),
-         (2, "bl", 20, 1, 0, "!bad", "unparseable payload", True),
-         (3, "bl", 30, 2, 0, "!bad2", "unparseable payload", True)], ddl)
+    batch = _mini_batch(spark, [
+        (1, "bl", 10, 0, 0, "ok", None, False),
+        (2, "bl", 20, 1, 0, "!bad", "unparseable payload", True),
+        (3, "bl", 30, 2, 0, "!bad2", "unparseable payload", True)])
     qdir = str(tmp_path / "dlq")
-    good = _quarantine_split(batch.persist(), qdir, 7)
+    good = _quarantine_split(batch.persist(), qdir, 7, "q1")
     assert good.count() == 1
-    _quarantine_split(batch, qdir, 7)        # crash-replay, same epoch
+    _quarantine_split(batch, qdir, 7, "q1")  # crash-replay, same epoch
     dlq = spark.read.parquet(qdir)
     assert dlq.count() == 2                  # replaced, not appended
     assert {r["epoch"] for r in dlq.select("epoch").collect()} == {7}
 
     # a clean epoch leaves no dir litter
-    clean = spark.createDataFrame(
-        [(9, "bl", 90, 0, 0, "ok", None, False)], ddl)
-    _quarantine_split(clean.persist(), qdir, 8)
+    clean = _mini_batch(spark, [(9, "bl", 90, 0, 0, "ok", None, False)])
+    _quarantine_split(clean.persist(), qdir, 8, "q1")
     import os
-    assert not os.path.exists(os.path.join(qdir, "epoch=8"))
+    assert not os.path.exists(os.path.join(qdir, "ckpt=q1", "epoch=8"))
+
+
+def test_quarantine_namespaced_per_stream(spark, tmp_path):
+    """Two streams sharing one quarantine_dir (or one pipeline restarted
+    on a FRESH checkpoint, which restarts epoch ids at 0) must not
+    clobber each other's untriaged envelopes: the overwrite is scoped to
+    ``ckpt=<query-id>``. A pre-namespace flat layout in the same dir is
+    refused instead of corrupting partition discovery."""
+    import os
+
+    import pytest
+
+    from th2_listener_mysql_binlog_go_spark.streaming.structured import (
+        _quarantine_namespace,
+        _quarantine_split,
+    )
+
+    qdir = str(tmp_path / "dlq")
+    b1 = _mini_batch(spark, [(2, "bl", 20, 1, 0, "!a", "unparseable payload", True)])
+    b2 = _mini_batch(spark, [(5, "bl", 50, 2, 0, "!b", "unparseable payload", True)])
+    _quarantine_split(b1.persist(), qdir, 0, "streamA")
+    _quarantine_split(b2.persist(), qdir, 0, "streamB")  # same epoch id!
+    dlq = spark.read.parquet(qdir)
+    assert dlq.count() == 2                  # both survive
+    assert {r["ckpt"] for r in dlq.select("ckpt").collect()} \
+        == {"streamA", "streamB"}
+
+    # legacy flat parquet directly under the dir -> refuse, don't destroy
+    legacy = str(tmp_path / "dlq_legacy")
+    b1.filter("_undecodable").select("gtid").write.parquet(legacy)
+    with pytest.raises(ValueError, match="pre-namespace"):
+        _quarantine_split(b1, legacy, 0, "streamA")
+
+    # the namespace is the checkpoint's persisted query id (stable across
+    # restarts), falling back to a checkpoint-path hash pre-start
+    ck = tmp_path / "ckpt"
+    ck.mkdir()
+    fallback = _quarantine_namespace(str(ck))
+    assert fallback == _quarantine_namespace(str(ck))
+    (ck / "metadata").write_text('{"id": "11111111-2222-3333"}')
+    assert _quarantine_namespace(str(ck)) == "11111111-2222-3333"
+    other = tmp_path / "ckpt2"
+    other.mkdir()
+    assert _quarantine_namespace(str(other)) != fallback

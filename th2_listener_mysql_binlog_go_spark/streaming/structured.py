@@ -119,27 +119,65 @@ def _handoff_filtered(stream, gtid_floor: int):
     return stream.filter(keep)
 
 
-def _quarantine_split(pinned, quarantine_dir: str, epoch_id: int):
+def _quarantine_namespace(checkpoint_dir: str) -> str:
+    """Stable per-stream namespace for the dead-letter layout: the
+    streaming query id Spark persists in ``<checkpoint>/metadata`` (the
+    same id across every restart of that checkpoint; a RESET checkpoint
+    gets a fresh id, so its epoch counter restarting at 0 cannot clobber
+    a predecessor's envelopes). Falls back to a hash of the checkpoint
+    path when the metadata file is absent (e.g. the split is driven
+    outside a streaming query) — still distinct per checkpoint."""
+    import hashlib
+    import json as _json
+
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            qid = _json.load(f).get("id")
+        if qid:
+            return str(qid)
+    except (OSError, ValueError):
+        pass
+    return hashlib.md5(
+        os.path.realpath(checkpoint_dir).encode()).hexdigest()[:16]
+
+
+def _quarantine_split(pinned, quarantine_dir: str, epoch_id: int, ns: str):
     """Dead-letter the epoch's undecodable wire messages (flagged by
     ``decode_stream(quarantine=True)``) to ``quarantine_dir`` as parquet
     envelopes (position + raw payload + reason), and return the
     well-formed slice for apply. EXACTLY-once to match the table: each
-    epoch owns the hive dir ``epoch=<id>`` and writes it with OVERWRITE
-    semantics, so a crash-replayed epoch replaces its own envelopes
-    instead of appending duplicates (epoch ids are stable across
-    restarts — Spark re-delivers the in-flight epoch under the same id,
-    and the handoff base is pinned). Clean epochs (no flagged rows —
-    the count rides the already-persisted batch) write nothing, so a
-    long-running healthy tail leaves no empty-dir litter. Read the feed
-    with ``spark.read.parquet(quarantine_dir)``; ``epoch`` surfaces as
-    a partition column."""
+    epoch owns the hive dir ``ckpt=<ns>/epoch=<id>`` and writes it with
+    OVERWRITE semantics, so a crash-replayed epoch replaces its own
+    envelopes instead of appending duplicates (epoch ids are stable
+    across restarts — Spark re-delivers the in-flight epoch under the
+    same id, and the handoff base is pinned). ``ns`` (the stream's
+    :func:`_quarantine_namespace`) keeps the overwrite scoped to ONE
+    stream: without it, a second ingest sharing the dir — or the same
+    pipeline restarted on a fresh checkpoint — restarts epoch ids at 0
+    and would silently destroy a predecessor's untriaged envelopes.
+    Clean epochs (no flagged rows — the count rides the
+    already-persisted batch) write nothing, so a long-running healthy
+    tail leaves no empty-dir litter. Read the feed with
+    ``spark.read.parquet(quarantine_dir)``; ``ckpt`` and ``epoch``
+    surface as partition columns."""
     bad = pinned.filter(F.col("_undecodable"))
     if bad.count() > 0:  # materializes the persist; the write reuses it
+        if os.path.isdir(quarantine_dir):
+            stray = [e for e in os.listdir(quarantine_dir)
+                     if not e.startswith(("ckpt=", ".", "_"))]
+            if stray:
+                raise ValueError(
+                    f"quarantine_dir {quarantine_dir!r} holds entries "
+                    f"outside the ckpt=<id>/epoch=<n> layout ({stray[:3]}"
+                    f"{'...' if len(stray) > 3 else ''}) — a pre-namespace "
+                    "DLQ; move those envelopes aside (mixed depths break "
+                    "parquet partition discovery) before reusing the dir")
         (bad.select("gtid", "log_name", "log_pos", "seq", "ts",
                     F.col("_payload").alias("payload"),
                     F.col("_reason").alias("reason"))
          .write.mode("overwrite")
-         .parquet(os.path.join(quarantine_dir, f"epoch={int(epoch_id)}")))
+         .parquet(os.path.join(quarantine_dir, f"ckpt={ns}",
+                               f"epoch={int(epoch_id)}")))
     return (pinned.filter(~F.col("_undecodable"))
             .drop("_undecodable", "_reason", "_payload"))
 
@@ -251,8 +289,9 @@ class StreamingApplier:
             pinned = None
             if quarantine_dir is not None:
                 pinned = batch_df.persist()
-                batch_df = _quarantine_split(pinned, quarantine_dir,
-                                             int(epoch_id))
+                batch_df = _quarantine_split(
+                    pinned, quarantine_dir, int(epoch_id),
+                    _quarantine_namespace(checkpoint_dir))
             try:
                 m = self.applier.apply(
                     batch_df, batch_id=int(epoch_id),
@@ -382,7 +421,9 @@ class StreamingCatalogApplier:
         self.lineage = LineageWriter(lineage_dir) if lineage_dir else None
         self.views = list(views or [])
         self.view_refresh_every = max(1, view_refresh_every)
-        by_view_root = {os.path.realpath(v.table.root): v for v in self.views}
+        self._by_view_root = {
+            os.path.realpath(v.table.root): v for v in self.views}
+        by_view_root = self._by_view_root
         dir_to_pair = {
             os.path.realpath(os.path.join(catalog.root, e["dir"])): k
             for k, e in catalog.registry["tables"].items()
@@ -406,7 +447,7 @@ class StreamingCatalogApplier:
         from ..plans.matview import refresh_all
 
         cat = self.applier.catalog
-        by_view_root = {os.path.realpath(v.table.root): v for v in self.views}
+        by_view_root = self._by_view_root
         for v in self.views:
             kind, src, pair = self._view_sources[os.path.realpath(v.table.root)]
             if kind == "view":
@@ -492,8 +533,9 @@ class StreamingCatalogApplier:
             pinned = None
             if quarantine_dir is not None:
                 pinned = batch_df.persist()
-                batch_df = _quarantine_split(pinned, quarantine_dir,
-                                             int(epoch_id))
+                batch_df = _quarantine_split(
+                    pinned, quarantine_dir, int(epoch_id),
+                    _quarantine_namespace(checkpoint_dir))
             try:
                 m = self.applier.apply(batch_df, batch_id=int(epoch_id))
             finally:
