@@ -77,9 +77,11 @@ def cmd_create(args) -> dict:
     from .plans.lake import LakeTable
 
     spark = _spark("cdc-create")
+    props = {"bloom_keys": "true"} if args.bloom_keys else None
     t = LakeTable.create(
         spark, args.table, _parse_schema(args.schema),
         key_cols=args.keys.split(","), num_buckets=args.num_buckets,
+        properties=props,
     )
     return {"table": args.table, "version": t.snapshot.version,
             "num_buckets": t.snapshot.num_buckets}
@@ -461,6 +463,9 @@ def main(argv: list[str] | None = None) -> int:
                     help='e.g. "repo string, path string, content string"')
     sp.add_argument("--keys", required=True, help="comma-separated key columns")
     sp.add_argument("--num-buckets", type=int, default=64)
+    sp.add_argument("--bloom-keys", action="store_true",
+                    help="write parquet bloom filters on the key columns "
+                         "(row-group skipping for point lookups)")
     sp.set_defaults(fn=cmd_create)
 
     sp = sub.add_parser("replay")

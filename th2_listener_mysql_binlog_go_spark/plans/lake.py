@@ -1043,6 +1043,36 @@ class LakeTable:
         phys_names = {c.id: c.name for c in snap.epoch_schemas[str(snap.epoch)]}
         return [F.col(c.name).alias(phys_names[c.id]) for c in snap.columns]
 
+    def _bloom_write_options(self, snap: Snapshot | None = None) -> dict:
+        """Parquet bloom-filter writer options for the KEY columns when
+        the table property ``bloom_keys`` is truthy (set at create or via
+        ``set_properties``). Point reads (``lookup`` / ``key_history``)
+        push a key-equality predicate into every file of one bucket; a
+        file's min/max column stats only prune row groups when the data
+        is key-clustered (``compact(sort_by=keys)``), which delta files
+        by construction are NOT — blooms give the reader a per-row-group
+        membership test that skips unsorted groups without reading them.
+        Cost is self-limiting: parquet-mr omits the bloom for any column
+        chunk that stayed fully dictionary-encoded (the dictionary page
+        already answers equality), so low-cardinality chunks pay nothing,
+        and adaptive sizing picks the smallest candidate (down to
+        ``bloom_max_bytes``/16, default 64 KiB) that holds the chunk's
+        actual NDV at the target FPP. Keyed by the epoch's PHYSICAL
+        column names — what the data files store; a renamed key keeps its
+        blooms under the new name from the next commit on."""
+        snap = snap or self.snapshot
+        if str(snap.properties.get("bloom_keys", "")).lower() not in ("true", "1"):
+            return {}
+        phys = {c.id: c.name for c in snap.epoch_schemas[str(snap.epoch)]}
+        opts = {
+            "parquet.bloom.filter.adaptive.enabled": "true",
+            "parquet.bloom.filter.max.bytes": str(int(
+                snap.properties.get("bloom_max_bytes", str(1 << 20)))),
+        }
+        for kid in snap.key_ids:
+            opts[f"parquet.bloom.filter.enabled#{phys[kid]}"] = "true"
+        return opts
+
     def _write_exchange(self, df: DataFrame, files_per_bucket: int = 1,
                         num_buckets: int | None = None) -> DataFrame:
         """The write-side exchange: dense (bucket, salt) cell ids map
@@ -1102,7 +1132,8 @@ class LakeTable:
             out = out.filter(F.col(OP_COL) != "DELETE")
         (
             out.select(*cols, F.col(BUCKET_COL).alias("_bucket_p"))
-            .write.partitionBy("_bucket_p")
+            .write.options(**self._bloom_write_options(snap))
+            .partitionBy("_bucket_p")
             .parquet(os.path.join(self.root, commit_dir_rel))
         )
 
@@ -1750,7 +1781,8 @@ class LakeTable:
                                    num_buckets=new_num_buckets)
         (
             out.select(*cols, F.col(BUCKET_COL).alias("_bucket_p"))
-            .write.partitionBy("_bucket_p")
+            .write.options(**self._bloom_write_options(snap))
+            .partitionBy("_bucket_p")
             .parquet(os.path.join(self.root, commit_dir_rel))
         )
         files = self._list_commit_files(commit_dir_rel, snap.epoch, "base")
@@ -1780,7 +1812,8 @@ class LakeTable:
                     tombs.select(*cols, F.col(OP_COL),
                                  F.col(BUCKET_COL).alias("_bucket_p"))
                     .repartition(F.col(BUCKET_COL))
-                    .write.partitionBy("_bucket_p")
+                    .write.options(**self._bloom_write_options(snap))
+                    .partitionBy("_bucket_p")
                     .parquet(os.path.join(self.root, tomb_dir_rel))
                 )
                 tomb_files = self._list_commit_files(
@@ -2034,7 +2067,8 @@ class LakeTable:
         commit_dir_rel = os.path.join("data", f"k{new_version:012d}-{uuid.uuid4().hex[:8]}")
         (
             winners.select(*cols, F.col(BUCKET_COL).alias("_bucket_p"))
-            .write.partitionBy("_bucket_p")
+            .write.options(**self._bloom_write_options(snap))
+            .partitionBy("_bucket_p")
             .parquet(os.path.join(self.root, commit_dir_rel))
         )
         tomb_files: list[dict] = []
@@ -2066,7 +2100,8 @@ class LakeTable:
                 tombs.select(*cols, F.col(OP_COL),
                              F.col(BUCKET_COL).alias("_bucket_p"))
                 .repartition(F.col(BUCKET_COL))
-                .write.partitionBy("_bucket_p")
+                .write.options(**self._bloom_write_options(snap))
+                .partitionBy("_bucket_p")
                 .parquet(os.path.join(self.root, tomb_dir_rel))
             )
             tomb_files = self._list_commit_files(tomb_dir_rel, snap.epoch, "delta")
