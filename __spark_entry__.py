@@ -181,6 +181,29 @@ def q_replay_with_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
                       stars.cast("int").alias("stars"))
 
 
+def q_correction_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-band corrections on a replayed table: ``delete_where``
+    kill-lists one language (compliance / contamination removal) and
+    ``update_where`` redacts another (content -> md5, commit ->
+    'REDACTED') — each ONE delta commit at (gtid = watermark,
+    seq = 2^62 + n), outranking every applied stream row while leaving
+    replay bookkeeping untouched. Not reference operators (the binlog
+    only carries deletes; these originate them) — the training-data
+    lake's takedown surface."""
+    flat = derived_changestream(spark, sf_dir)
+    nested = to_change_schema(flat)
+    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
+    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 4)
+    tmp = _mkdtemp("cdc_corr_")
+    table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
+                             key_cols=["repo", "path"], num_buckets=8)
+    ReplayRunner(spark, table, batch_span=span).run(nested)
+    table.delete_where("lang = 'go'")
+    table.update_where("lang = 'py'", {"content": "md5(content)",
+                                       "commit": "'REDACTED'"})
+    return table.read().select("repo", "path", "commit", "lang", "content")
+
+
 def q_replay_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The copy-on-write merge arm under the same oracle as the MOR
     flagship: per-bucket rewrite commits, delta-free reads — must converge
@@ -923,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_dedup": q_lww_dedup,
         "cdc_replay_final_state": q_replay_final_state,
         "cdc_replay_cow": q_replay_cow,
+        "cdc_correction_ops": q_correction_ops,
         "cdc_replay_resume": q_replay_resume,
         "cdc_wire_stream_replay": q_wire_stream_replay,
         "cdc_wire_roundtrip": q_wire_roundtrip,
@@ -1333,6 +1357,25 @@ ranked AS (
 )
 SELECT repo, path, commit, lang, content
 FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+""".strip(),
+        # corrections on top of the LWW state: the kill-list drops rows
+        # (NULL lang kept — the engine's filter only deletes matches) and
+        # the redaction rewrites the matched rows' columns
+        "cdc_correction_ops": f"""
+WITH {stream}, {observed},
+dml AS (SELECT * FROM observed WHERE op IN ('INSERT','UPDATE','DELETE')),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY gtid DESC) AS rn FROM dml
+),
+state AS (
+  SELECT repo, path, commit, lang, content
+  FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+)
+SELECT repo, path,
+       CASE WHEN lang = 'py' THEN 'REDACTED' ELSE commit END AS commit,
+       lang,
+       CASE WHEN lang = 'py' THEN md5(content) ELSE content END AS content
+FROM state WHERE lang <> 'go' OR lang IS NULL
 """.strip(),
         # resume and wire-streaming replays converge to the SAME final
         # state as the uninterrupted batch replay — oracle SQL verbatim

@@ -12,6 +12,7 @@ checkpoint, so re-running the same command after a crash continues from
 the persisted watermark):
 
   create          create an empty lake table
+  delete-where / update-where  out-of-band corrections (kill-list / redact)
   replay          batch-replay a GTID-ordered change-event parquet dir
   stream          Structured Streaming tail (readStream + foreachBatch)
   wire-stream     Structured Streaming tail of the PUBLISHED wire format
@@ -259,6 +260,28 @@ def cmd_compact(args) -> dict:
     n = t.compact(files_per_bucket=args.files_per_bucket, sort_by=sort_by,
                   keep_tombstones=args.keep_tombstones)
     return {"table": args.table, "compacted_buckets": n, "version": t.snapshot.version}
+
+
+def cmd_delete_where(args) -> dict:
+    from .plans.lake import LakeTable
+
+    spark = _spark("cdc-delete-where")
+    t = LakeTable.load(spark, args.table)
+    return {"table": args.table, **t.delete_where(args.where)}
+
+
+def cmd_update_where(args) -> dict:
+    from .plans.lake import LakeTable
+
+    spark = _spark("cdc-update-where")
+    t = LakeTable.load(spark, args.table)
+    assignments = {}
+    for item in args.set:
+        if "=" not in item:
+            raise SystemExit(f"--set expects col=expr, got {item!r}")
+        col, expr = item.split("=", 1)
+        assignments[col.strip()] = expr.strip()
+    return {"table": args.table, **t.update_where(args.where, assignments)}
 
 
 def cmd_rebucket(args) -> dict:
@@ -595,6 +618,22 @@ def main(argv: list[str] | None = None) -> int:
                          "keys (required when the table is fed by a "
                          "file-paced streaming tail)")
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("delete-where")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--where", required=True,
+                    help="SQL predicate over the CURRENT rows; matches are "
+                         "deleted by one out-of-band correction commit")
+    sp.set_defaults(fn=cmd_delete_where)
+
+    sp = sub.add_parser("update-where")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--where", required=True)
+    sp.add_argument("--set", action="append", required=True,
+                    help="col=SQL-expr (repeatable), e.g. "
+                         "--set \"content=md5(content)\"; key columns "
+                         "cannot be reassigned")
+    sp.set_defaults(fn=cmd_update_where)
 
     sp = sub.add_parser("rebucket")
     sp.add_argument("--table", required=True)

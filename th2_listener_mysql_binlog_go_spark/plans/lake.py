@@ -92,6 +92,14 @@ class ConcurrentCommitError(RuntimeError):
 # stamp and are treated as current-encoding; see docs/PLANS.md).
 SEQ_ENCODING = "logpos-2p21"
 
+# Out-of-band corrections (delete_where / update_where) order ABOVE every
+# stream row at the same gtid: stream _seq packs log_pos*2^21 + sub-order
+# (< 2^53 for any real binlog file), so the range at 2^62+ is reserved for
+# correction sub-ordering within one gtid. Not a packing change to stream
+# rows — the SEQ_ENCODING stamp stays valid; a correction simply occupies
+# the reserved high band the packing can never reach.
+CORRECTION_SEQ_BASE = 1 << 62
+
 
 def _version_of(head_fname: str, prefix: str) -> int:
     """Version number encoded in a HEAD target like 'v000000000042.json'."""
@@ -1579,6 +1587,121 @@ class LakeTable:
                     files_per_bucket=files_per_bucket,
                     keep_tombstones=compact_keep_tombstones)
         return result
+
+    # ------------------------------------------- out-of-band corrections
+
+    def delete_where(self, condition: str | Column,
+                     files_per_bucket: int = 1) -> dict:
+        """Delete every CURRENT row matching ``condition`` — the
+        compliance / contamination-removal operation a training-data lake
+        needs outside the change stream (kill-listed domains, poisoned
+        shards, takedown requests). Not a reference operator: the binlog
+        only ever *carries* deletes; this originates one.
+
+        Spark-first plan: one MOR read with ``condition`` pushed into the
+        scans selects the victims, and ONE delta commit (same
+        bucket-exchange write as a merge batch) appends a DELETE row per
+        victim carrying its before-image. The rows are stamped
+        ``(_gtid = effective watermark, _seq = 2^62 + correction#)`` —
+        above every stream row already applied (stream seq < 2^53 by the
+        packing), below ANY later stream event (gtid strictly greater) —
+        so replay bookkeeping (``last_batch_id`` / ``watermark_gtid``) is
+        untouched, a resumed or handed-off stream is oblivious, a later
+        re-insert of the key wins as it should, and compaction's
+        tombstone retention treats the rows like any winning DELETE.
+        ``changes()`` over a window containing a correction fails the
+        incremental gate's contiguity clause by construction (the commit
+        stamps sit AT the watermark, not above it) and falls back to the
+        always-correct diff. Crash before the snapshot swap leaves only
+        an orphan data dir for ``vacuum()``; zero matches commit nothing.
+        """
+        victims = self.read().filter(condition)
+        return self._commit_correction(victims, "DELETE", files_per_bucket)
+
+    def update_where(self, condition: str | Column,
+                     assignments: dict[str, str | Column],
+                     files_per_bucket: int = 1) -> dict:
+        """Rewrite columns of every CURRENT row matching ``condition``
+        (redaction / PII scrubbing: ``update_where("lang = 'py'",
+        {"content": "md5(content)"})``). Same single-delta-commit shape
+        and ordering guarantees as :meth:`delete_where`, with UPDATE rows
+        carrying the reassigned values; key columns cannot be reassigned
+        (the bucket function pins identity)."""
+        snap = self.snapshot
+        keys = set(snap.key_names)
+        bad = sorted(keys & set(assignments))
+        if bad:
+            raise ValueError(f"cannot reassign key columns {bad} — delete "
+                             "and re-insert under the new key instead")
+        known = {c.name for c in snap.columns}
+        unknown = sorted(set(assignments) - known)
+        if unknown:
+            raise ValueError(f"unknown columns {unknown}")
+        rows = self.read().filter(condition)
+        for name, expr in assignments.items():
+            rows = rows.withColumn(
+                name, F.expr(expr) if isinstance(expr, str) else expr)
+        return self._commit_correction(rows, "UPDATE", files_per_bucket)
+
+    def _commit_correction(self, rows: DataFrame, op: str,
+                           files_per_bucket: int) -> dict:
+        import shutil
+        import time as _time
+
+        t0 = _time.monotonic()
+        snap = self.snapshot
+        # effective high-water: the declared watermark, raised to the
+        # stamped file envelope when a mid-batch crash left data past it
+        # (the correction must outrank every PERSISTED row) and past the
+        # TRUNCATE marker (rows at or below it are planned dead).
+        his = [fi.get("gtid_hi") for fi in snap.files]
+        wm = max([self.watermark_gtid, self.truncate_gtid + 1, 0]
+                 + [h for h in his if h is not None])
+        corr_n = int(snap.properties.get("correction_count", "0"))
+        seq = CORRECTION_SEQ_BASE + corr_n
+        changes = (
+            rows.select(*[F.col(c.name).cast(c.type).alias(c.name)
+                          for c in snap.columns])
+            .withColumn(OP_COL, F.lit(op))
+            .withColumn(GTID_COL, F.lit(wm).cast("bigint"))
+            .withColumn(SEQ_COL, F.lit(seq).cast("bigint"))
+            .withColumn(BUCKET_COL, self.bucket_expr())
+        )
+        new_version = snap.version + 1
+        obs = Observation(f"correction-{new_version}")
+        metrics = [F.count(F.lit(1)).alias("rows")]
+        if snap.num_buckets <= self._OBS_BUCKET_LIMIT:
+            metrics += self._bucket_count_metrics(
+                snap.num_buckets, exclude_deletes=False)
+        commit_dir_rel = os.path.join(
+            "data", f"x{new_version:012d}-{uuid.uuid4().hex[:8]}")
+        self._write_files(changes, commit_dir_rel, with_op=True,
+                          files_per_bucket=files_per_bucket,
+                          obs=obs, metrics=metrics)
+        m = self._obs_get_safe(obs)
+        n = int(m.get("rows") or 0)
+        if n == 0:
+            shutil.rmtree(os.path.join(self.root, commit_dir_rel),
+                          ignore_errors=True)
+            return {"op": op, "rows": 0, "skipped": True}
+        written = self._stamp_gtid_bounds(
+            self._list_commit_files(commit_dir_rel, snap.epoch, "delta"),
+            wm, wm)
+        props = dict(snap.properties)
+        props["correction_count"] = str(corr_n + 1)
+        self._write_snapshot(Snapshot(
+            version=new_version, columns=snap.columns, key_ids=snap.key_ids,
+            num_buckets=snap.num_buckets, epoch=snap.epoch,
+            epoch_schemas=snap.epoch_schemas, files=snap.files + written,
+            properties=props, parent=snap.version,
+        ))
+        per_bucket = self._obs_bucket_counts(m, snap.num_buckets)
+        if per_bucket is None:
+            per_bucket = self._footer_rows(self.root, written)
+        return {"op": op, "rows": n, "gtid": wm, "seq": seq,
+                "version": new_version,
+                "buckets_touched": len(per_bucket),
+                "t_total_s": round(_time.monotonic() - t0, 4)}
 
     # ---------------------------------------------------------------- DDL
 
