@@ -53,6 +53,38 @@ def _mk(spark, tmp_path, n=3000):
     return t, full
 
 
+def test_update_where_rhs_sees_pre_update_row(spark, tmp_path):
+    """SQL UPDATE SET semantics: every assignment's RHS evaluates against
+    the PRE-update row, so a swap/archive pattern keeps the original
+    value (sequential withColumn would let dict order decide — review
+    finding), and a lossy-typed assignment raises instead of silently
+    committing NULLs (the write path's cast is non-ANSI)."""
+    t, full = _mk(spark, tmp_path, n=1500)
+    ReplayRunner(spark, t, batch_span=1000).run(full)
+    originals = {(r["repo"], r["path"]): r["commit"]
+                 for r in t.read().filter("lang = 'py'").collect()}
+    t.update_where("lang = 'py'", {"commit": "'REDACTED'",
+                                   "content": "commit"})
+    got = t.read().filter("lang = 'py'").collect()
+    assert originals and all(r["commit"] == "REDACTED" for r in got)
+    # content archived the ORIGINAL commit, not the rewritten literal
+    assert {(r["repo"], r["path"]): r["content"] for r in got} == originals
+
+    # lossy-typed assignment on a non-string column raises up front
+    ti = LakeTable.create(spark, str(tmp_path / "ti"),
+                          [("k", "string"), ("stars", "int")], ["k"],
+                          num_buckets=2)
+    ti.merge(spark.createDataFrame(
+        [("a", 5, "INSERT", 1)], "k string, stars int, _op string, _gtid long"),
+        batch_id=1, mode="mor")
+    with pytest.raises(ValueError, match="lossy cast"):
+        ti.update_where("k = 'a'", {"stars": "'REDACTED'"})
+    # widening (int -> bigint literal into int? no: int expr into int) and
+    # NULL literals stay allowed
+    assert ti.update_where("k = 'a'", {"stars": "stars + 1"})["rows"] == 1
+    assert ti.read().first()["stars"] == 6
+
+
 def test_delete_where_matches_oracle_and_preserves_bookkeeping(spark, tmp_path):
     t, full = _mk(spark, tmp_path)
     ReplayRunner(spark, t, batch_span=1000).run(full)
@@ -139,8 +171,12 @@ def test_correction_composes_with_changes_and_compaction(spark, tmp_path):
                for r in t.read().filter("lang = 'go'").collect()}
     t.delete_where("lang = 'go'")
 
-    # the correction window must NOT take the incremental plan (its
-    # stamps sit AT the watermark) — and the diff must emit the deletes
+    # on this MOR shape the correction window must NOT take the
+    # incremental plan (added stamps sit AT the from-side's max, failing
+    # the strictly-above clause); a CoW shape whose written-row bounds
+    # sit below the watermark may legitimately pass the gate — sound, as
+    # strictly-above IS the soundness condition — so this assertion is
+    # deliberately shape-specific
     assert t.changes_plan(v_from) == "diff"
     ch = t.changes(v_from).collect()
     assert {( r["repo"], r["path"]) for r in ch

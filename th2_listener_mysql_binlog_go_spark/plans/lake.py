@@ -1598,22 +1598,28 @@ class LakeTable:
         shards, takedown requests). Not a reference operator: the binlog
         only ever *carries* deletes; this originates one.
 
-        Spark-first plan: one MOR read with ``condition`` pushed into the
-        scans selects the victims, and ONE delta commit (same
-        bucket-exchange write as a merge batch) appends a DELETE row per
-        victim carrying its before-image. The rows are stamped
-        ``(_gtid = effective watermark, _seq = 2^62 + correction#)`` —
-        above every stream row already applied (stream seq < 2^53 by the
-        packing), below ANY later stream event (gtid strictly greater) —
-        so replay bookkeeping (``last_batch_id`` / ``watermark_gtid``) is
-        untouched, a resumed or handed-off stream is oblivious, a later
-        re-insert of the key wins as it should, and compaction's
-        tombstone retention treats the rows like any winning DELETE.
-        ``changes()`` over a window containing a correction fails the
-        incremental gate's contiguity clause by construction (the commit
-        stamps sit AT the watermark, not above it) and falls back to the
-        always-correct diff. Crash before the snapshot swap leaves only
-        an orphan data dir for ``vacuum()``; zero matches commit nothing.
+        Spark-first plan: one MOR read selects the victims (``condition``
+        pushes into the parquet scans of CLEAN buckets; on dirty buckets a
+        non-key predicate evaluates above the LWW window — the window's
+        key shuffle is the MOR read's existing cost, not an extra one),
+        and ONE delta commit (same bucket-exchange write as a merge
+        batch) appends a DELETE row per victim carrying its before-image.
+        The rows are stamped ``(_gtid = effective watermark, _seq = 2^62
+        + correction#)`` — above every stream row already applied (stream
+        seq < 2^53 by the packing), below ANY later stream event (gtid
+        strictly greater) — so replay bookkeeping (``last_batch_id`` /
+        ``watermark_gtid``) is untouched, a resumed or handed-off stream
+        is oblivious, a later re-insert of the key wins as it should, and
+        compaction's tombstone retention treats the rows like any winning
+        DELETE. ``changes()`` over a window containing a correction
+        normally falls back to the always-correct diff (the added stamps
+        sit AT the from-side's max, failing the gate's strictly-above
+        clause); the one shape where the gate can still pass — a CoW
+        table whose written-row bounds sit below the watermark — is
+        sound, because strictly-above IS the soundness condition. Crash
+        before the snapshot swap leaves only an orphan data dir for
+        ``vacuum()``; zero matches commit nothing (decided from the
+        written file set, never from job metrics).
         """
         victims = self.read().filter(condition)
         return self._commit_correction(victims, "DELETE", files_per_bucket)
@@ -1638,9 +1644,31 @@ class LakeTable:
         if unknown:
             raise ValueError(f"unknown columns {unknown}")
         rows = self.read().filter(condition)
-        for name, expr in assignments.items():
-            rows = rows.withColumn(
-                name, F.expr(expr) if isinstance(expr, str) else expr)
+        # ONE projection: every RHS evaluates against the PRE-update row
+        # (SQL UPDATE SET semantics — {"a": "'X'", "b": "a"} archives the
+        # ORIGINAL a; sequential withColumn would archive 'X' or not,
+        # depending on dict order)
+        exprs = {
+            name: (F.expr(e) if isinstance(e, str) else e)
+            for name, e in assignments.items()
+        }
+        rows = rows.select(*[
+            exprs[c.name].alias(c.name) if c.name in exprs else F.col(c.name)
+            for c in snap.columns
+        ])
+        # reject type-incompatible redactions UP FRONT: the write path's
+        # cast is non-ANSI and would silently commit NULLs over real data
+        target = {c.name: c.type for c in snap.columns}
+        for name, dt in rows.dtypes:
+            if name not in exprs:
+                continue
+            want = target[name]
+            if dt != want and dt != "void" and (dt, want) not in _WIDEN_OK \
+                    and want != "string":
+                raise ValueError(
+                    f"assignment for {name!r} has type {dt}, column is "
+                    f"{want} — a lossy cast would write NULLs; cast "
+                    "explicitly in the expression if intended")
         return self._commit_correction(rows, "UPDATE", files_per_bucket)
 
     def _commit_correction(self, rows: DataFrame, op: str,
@@ -1679,14 +1707,18 @@ class LakeTable:
                           files_per_bucket=files_per_bucket,
                           obs=obs, metrics=metrics)
         m = self._obs_get_safe(obs)
-        n = int(m.get("rows") or 0)
-        if n == 0:
+        # the emptiness decision must NOT ride the Observation (its get
+        # can fail independently of the write — a swallowed metrics error
+        # reading as rows=0 would rmtree a committed takedown): zero
+        # matches is decided by the written FILE SET, which the
+        # partitioned write leaves empty exactly when no row matched
+        written_files = self._list_commit_files(
+            commit_dir_rel, snap.epoch, "delta")
+        if not written_files:
             shutil.rmtree(os.path.join(self.root, commit_dir_rel),
                           ignore_errors=True)
             return {"op": op, "rows": 0, "skipped": True}
-        written = self._stamp_gtid_bounds(
-            self._list_commit_files(commit_dir_rel, snap.epoch, "delta"),
-            wm, wm)
+        written = self._stamp_gtid_bounds(written_files, wm, wm)
         props = dict(snap.properties)
         props["correction_count"] = str(corr_n + 1)
         self._write_snapshot(Snapshot(
@@ -1698,7 +1730,10 @@ class LakeTable:
         per_bucket = self._obs_bucket_counts(m, snap.num_buckets)
         if per_bucket is None:
             per_bucket = self._footer_rows(self.root, written)
-        return {"op": op, "rows": n, "gtid": wm, "seq": seq,
+        n = m.get("rows")
+        if n is None:  # metrics unavailable — count from the fallback
+            n = sum(per_bucket.values())
+        return {"op": op, "rows": int(n), "gtid": wm, "seq": seq,
                 "version": new_version,
                 "buckets_touched": len(per_bucket),
                 "t_total_s": round(_time.monotonic() - t0, 4)}
