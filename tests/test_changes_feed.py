@@ -51,7 +51,9 @@ def test_changes_feed_full_circle(spark, tmp_path):
     feed = ChangesFeedPublisher(spark, t.root, out, max_size=4096)
 
     m1 = feed.poll()  # bootstrap: whole state as INSERT beans
-    assert m1["payloads"] == 3 and m1["plan"] == "incremental"
+    # the poll's version clock stamps one gtid per window, so same-op
+    # rows batch into ONE bean (size permitting)
+    assert m1["payloads"] == 1 and m1["plan"] == "incremental"
 
     t.merge(_changes(spark, [
         ("r1", "a.py", "c4", "py", "v1b", "UPDATE", 4),
@@ -60,7 +62,7 @@ def test_changes_feed_full_circle(spark, tmp_path):
     ]), batch_id=2, mode="mor")
     m2 = feed.poll()
     assert m2["from_version"] == m1["published_version"]
-    assert m2["payloads"] == 3 and m2["plan"] == "incremental"
+    assert m2["payloads"] == 3 and m2["plan"] == "incremental"  # one bean per op
     assert feed.poll()["plan"] == "noop"  # idle loop: nothing new
 
     # the published Update bean carries the REAL Before image
@@ -119,7 +121,7 @@ def test_changes_feed_bootstrap_after_expiry(spark, tmp_path):
     out = str(tmp_path / "queue")
     feed = ChangesFeedPublisher(spark, t.root, out, max_size=4096)
     m1 = feed.poll()
-    assert m1["plan"] == "bootstrap" and m1["payloads"] == 2
+    assert m1["plan"] == "bootstrap" and m1["payloads"] == 1  # one INSERT bean
 
     t.merge(_changes(spark, [
         ("r3", "c.py", "c4", "rs", "v4", "INSERT", 4),

@@ -163,6 +163,49 @@ def test_update_where_redacts_and_guards_keys(spark, tmp_path):
         t.update_where("lang = 'py'", {"nope": "'x'"})
 
 
+def test_correction_propagates_to_view_and_feed(spark, tmp_path):
+    """Downstream surfaces must SEE a correction: an incremental
+    aggregate view's refresh drops the kill-listed group (via the diff
+    fallback), and the changes feed re-publishes the corrected window so
+    a wire consumer converges to the corrected state."""
+    from th2_listener_mysql_binlog_go_spark.plans.matview import (
+        IncrementalAggView,
+    )
+    from th2_listener_mysql_binlog_go_spark.streaming.structured import (
+        ChangesFeedPublisher,
+        StreamingWireApplier,
+    )
+
+    t, full = _mk(spark, tmp_path, n=1200)
+    ReplayRunner(spark, t, batch_span=600).run(full)
+    view = IncrementalAggView.create(spark, t, str(tmp_path / "v"),
+                                     dims=["lang"], aggs={"n": ("count",)},
+                                     num_buckets=2)
+    feed = ChangesFeedPublisher(spark, t.root, str(tmp_path / "q"),
+                                max_size=1 << 16)
+    feed.poll()  # bootstrap: current state as INSERT beans
+
+    t.delete_where("lang = 'go'")
+    t.update_where("lang = 'py'", {"commit": "'REDACTED'"})
+
+    view.refresh()
+    langs = {r["lang"]: r["n"] for r in view.read().collect()}
+    assert "go" not in langs
+    assert langs == {
+        r["lang"]: r["cnt"] for r in
+        t.read().groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+
+    m = feed.poll()
+    assert m["payloads"] > 0
+    t2 = LakeTable.create(spark, str(tmp_path / "t2"), SCHEMA,
+                          ["repo", "path"], num_buckets=4)
+    q = StreamingWireApplier(spark, t2).start(
+        str(tmp_path / "q"), str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(300)
+    assert df_fingerprint([x.asDict() for x in t2.read().collect()]) \
+        == df_fingerprint([x.asDict() for x in t.read().collect()])
+
+
 def test_correction_composes_with_changes_and_compaction(spark, tmp_path):
     t, full = _mk(spark, tmp_path, n=2000)
     ReplayRunner(spark, t, batch_span=1000).run(full)
@@ -187,8 +230,11 @@ def test_correction_composes_with_changes_and_compaction(spark, tmp_path):
     t.compact(keep_tombstones=True)
     assert df_fingerprint([x.asDict() for x in t.read().collect()]) == before
     # two corrections at one gtid: the counter sub-orders them
+    from th2_listener_mysql_binlog_go_spark.plans.lake import (
+        CORRECTION_SEQ_STEP,
+    )
     r1 = t.update_where("lang = 'py'", {"commit": "'A'"})
     r2 = t.update_where("lang = 'py'", {"commit": "'B'"})
-    assert r2["seq"] == r1["seq"] + 1
+    assert r2["seq"] == r1["seq"] + CORRECTION_SEQ_STEP
     assert {r["commit"] for r in t.read().filter("lang = 'py'").collect()} \
         == {"B"}

@@ -97,8 +97,11 @@ SEQ_ENCODING = "logpos-2p21"
 # (< 2^53 for any real binlog file), so the range at 2^62+ is reserved for
 # correction sub-ordering within one gtid. Not a packing change to stream
 # rows — the SEQ_ENCODING stamp stays valid; a correction simply occupies
-# the reserved high band the packing can never reach.
+# the reserved high band the packing can never reach. Successive
+# corrections step by 2^21 (one full log_pos slot), so the changes-feed's
+# seq>>21 wire round-trip (ChangesFeedPublisher) keeps them distinct.
 CORRECTION_SEQ_BASE = 1 << 62
+CORRECTION_SEQ_STEP = 1 << 21
 
 
 def _version_of(head_fname: str, prefix: str) -> int:
@@ -1686,7 +1689,7 @@ class LakeTable:
         wm = max([self.watermark_gtid, self.truncate_gtid + 1, 0]
                  + [h for h in his if h is not None])
         corr_n = int(snap.properties.get("correction_count", "0"))
-        seq = CORRECTION_SEQ_BASE + corr_n
+        seq = CORRECTION_SEQ_BASE + corr_n * CORRECTION_SEQ_STEP
         changes = (
             rows.select(*[F.col(c.name).cast(c.type).alias(c.name)
                           for c in snap.columns])

@@ -690,6 +690,18 @@ class ChangesFeedPublisher:
     window; payloads are keyed by (gtid, log_pos, part_idx), so consumers
     — including this engine's own apply side — dedup exactly).
 
+    **Position clock = snapshot versions.** Published ``gtid`` is the
+    window's TO-version, not the source gtid: versions are the lake's
+    true linearization (each poll's window is (from_v, to_v], one net row
+    per key), so later polls strictly outrank earlier ones at any LWW
+    consumer — sound for every window shape, including gtid-interleaved
+    sources and correction commits. Source gtids cannot be republished
+    soundly: a diff-plan DELETE knows only its BEFORE image's position
+    (the deciding delete event may be folded away), and a DELETE stamped
+    there loses the consumer's LWW to the consumer's own copy of that
+    row. ``log_pos`` carries the source event slot (``_seq >> 21``) for
+    bean batching and trace value only.
+
     Scale shape: each poll costs O(changes in the window) via the
     incremental changelog plan; a window broken by compaction/rebucket
     falls back to the documented full-diff (mode='auto')."""
@@ -789,9 +801,23 @@ class ChangesFeedPublisher:
             *[F.col("_before")[c].alias(c) for c in val_cols],
         )
         op = F.col("_change_type")
+        # The feed's position clock is the SNAPSHOT VERSION, not the source
+        # gtid. Source (gtid, seq) meta cannot be republished soundly: a
+        # diff-plan DELETE only knows its BEFORE image's meta (the deciding
+        # delete event may be folded away), and a DELETE stamped with the
+        # before row's own position LOSES the consumer-side LWW to the
+        # consumer's copy of that very row (found by the correction
+        # round-trip test); raw _seq also overflows the consumer's
+        # log_pos*2^21 repacking. Versions linearize the lake exactly —
+        # each poll's window is (from_v, to_v], so stamping every row of a
+        # poll with gtid = to_v makes later polls strictly outrank earlier
+        # ones per key (one net row per key per window), bootstrap
+        # included, for EVERY window shape incl. gtid-interleaved sources.
+        # log_pos keeps the source event slot (_seq >> 21) purely to batch
+        # same-event rows into one bean and for trace value.
         wire = ch.select(
-            F.col("_gtid").alias("gtid"),
-            F.col("_seq").alias("log_pos"),
+            F.lit(int(head)).cast("bigint").alias("gtid"),
+            F.shiftright(F.col("_seq"), 21).alias("log_pos"),
             F.lit(0).cast("bigint").alias("seq"),
             F.lit("lakefeed").alias("log_name"),
             F.lit(0).cast("bigint").alias("ts"),
