@@ -620,7 +620,10 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.md5(F.concat_ws("|", "repo", "path")).startswith("0"))
         .collect()
     )[:12]
-    parts = [table.lookup(repo, path) for repo, path in keys]
+    # half via single-key lookup, half via the batch variant — both
+    # bucket-pruned plans answer under the SAME DuckDB oracle
+    parts = [table.lookup(repo, path) for repo, path in keys[:6]]
+    parts.append(table.lookup_many(keys[6:]))
     out = reduce(lambda a, c: a.unionByName(c), parts)
     return out.select("repo", "path", "commit", "lang", "content")
 

@@ -84,3 +84,49 @@ def test_lookup_key_filter_pushes_into_parquet_scans(spark, tmp_path):
     assert "Window" in plan and len(scans) >= 2
     for ln in scans:
         assert "EqualNullSafe(repo,r3)" in ln and "EqualNullSafe(path,f3.py)" in ln
+
+
+def test_lookup_many_batch_point_read(spark, tmp_path):
+    """lookup_many: k keys in ONE plan — union-bucket prune, membership
+    pushdown, and an exact semi-join that must NOT return the
+    cross-products per-column isin over-selects."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], num_buckets=8)
+    rows = [(f"r{i}", f"f{i}.py", f"c{i}", "py", f"v{i}", "INSERT", i + 1)
+            for i in range(40)]
+    # cross-product traps: (a, x) and (b, y) exist; we probe (a, y), (b, x)
+    rows += [("a", "x.py", "cx", "py", "vx", "INSERT", 100),
+             ("b", "y.py", "cy", "py", "vy", "INSERT", 101)]
+    t.merge(_batch(spark, rows), batch_id=1, mode="mor")
+    t.merge(_batch(spark, [
+        ("r3", "f3.py", "c3b", "py", "v3b", "UPDATE", 200),
+        ("r5", "f5.py", None, None, None, "DELETE", 201),
+    ]), batch_id=2, mode="mor")
+
+    probe = [("r3", "f3.py"), ("r5", "f5.py"), ("r7", "f7.py"),
+             ("rX", "nope.py"), ("a", "y.py"), ("b", "x.py")]
+    got = {(r["repo"], r["path"]): r["content"]
+           for r in t.lookup_many(probe).collect()}
+    # updated key resolves LWW, deleted/absent keys return nothing, and
+    # the cross-products (a,y)/(b,x) are NOT fabricated from (a,x)/(b,y)
+    assert got == {("r3", "f3.py"): "v3b", ("r7", "f7.py"): "v7"}
+
+    # the scan opened ONLY the probed keys' buckets (strict subset)
+    df = t.lookup_many(probe)
+    opened = {fi["bucket"] for fi in t.snapshot.files
+              if any(p.endswith(fi["path"]) for p in df.inputFiles())}
+    all_buckets = {fi["bucket"] for fi in t.snapshot.files}
+    assert opened and opened < all_buckets
+
+    # empty probe set and wrong arity are explicit
+    assert t.lookup_many([]).collect() == []
+    import pytest
+    with pytest.raises(ValueError, match="expected 2 key values"):
+        t.lookup_many([("only-one",)])
+
+    # agreement with k single lookups on a larger sample
+    sample = [(f"r{i}", f"f{i}.py") for i in range(0, 40, 3)]
+    single = sorted(
+        tuple(r) for k in sample for r in t.lookup(*k).collect())
+    batch = sorted(tuple(r) for r in t.lookup_many(sample).collect())
+    assert single == batch

@@ -552,6 +552,55 @@ class LakeTable:
             out = out.filter(F.col(k).eqNullSafe(F.lit(v).cast(key_types[k])))
         return out
 
+    def lookup_many(self, key_rows: list[tuple], include_meta: bool = False,
+                    snapshot: Snapshot | None = None) -> DataFrame:
+        """Batch point read: the current rows of a SET of keys (audit
+        samples, kill-list checks, feature joins against a small probe
+        set) — :meth:`lookup`'s plan generalized to k keys without k
+        jobs. ONE driver-local job computes every key's bucket through
+        the writers' own Catalyst bucket expression; the scan opens only
+        the union of those buckets' files (≤ min(k, num_buckets) of the
+        table); a per-column membership condition (same machinery as
+        ``changes()``' keyset pushdown — whole key groups pass or fail
+        together, so it commutes with the LWW window and reaches the
+        parquet scans as ``In`` filters, bloom/stats-prunable); and an
+        exact broadcast left-semi join removes the per-column cross
+        products ``isin`` over-selects. Keys follow the table's key
+        column order; absent / deleted keys simply return no row."""
+        snap = snapshot or self.snapshot
+        keys = snap.key_names
+        key_types = {c.name: c.type for c in snap.columns}
+        for kv in key_rows:
+            if len(kv) != len(keys):
+                raise ValueError(
+                    f"expected {len(keys)} key values {tuple(keys)}, "
+                    f"got {tuple(kv)}")
+        if not key_rows:
+            return self.read(include_meta=include_meta,
+                             snapshot=snap.sub([]))
+        kdf = self.spark.createDataFrame(
+            [tuple(kv) for kv in key_rows],
+            T.StructType([
+                T.StructField(k, _struct_of(snap.columns)[k].dataType)
+                for k in keys]))
+        bucket_of = F.pmod(
+            F.xxhash64(*[F.col(k) for k in keys]),
+            F.lit(snap.num_buckets)).cast("int")
+        buckets = {r["b"] for r in
+                   kdf.select(bucket_of.alias("b")).distinct().collect()}
+        sub = snap.sub([fi for fi in snap.files if fi["bucket"] in buckets])
+        out = self.read(include_meta=include_meta, snapshot=sub)
+        rows = [dict(zip(keys, kv)) for kv in key_rows]
+        cond = self._membership_cond(rows, keys)
+        if cond is not None:
+            out = out.filter(cond)
+        probe = kdf.select(*[F.col(k).alias(f"_probe_{k}") for k in keys])
+        join_cond = None
+        for k in keys:
+            c = out[k].eqNullSafe(probe[f"_probe_{k}"].cast(key_types[k]))
+            join_cond = c if join_cond is None else (join_cond & c)
+        return out.join(F.broadcast(probe), join_cond, "left_semi")
+
     def _key_bucket_snapshot(self, snap: "Snapshot", key_values: tuple) -> "Snapshot":
         """Sub-snapshot holding only the files of ``key_values``' bucket.
         The bucket is computed by one driver-local row through the SAME
