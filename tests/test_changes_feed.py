@@ -138,3 +138,36 @@ def test_changes_feed_bootstrap_after_expiry(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     with pytest.raises(RuntimeError, match="retention outran the feed"):
         feed.poll()
+
+
+def test_feed_bulk_update_publishes_bounded_beans(spark, tmp_path):
+    """Update beans are UNSPLITTABLE (reference parity), and a bulk
+    update_where stamps every victim with one (_gtid,_seq) — under the
+    version clock that identity would batch thousands of rows into one
+    multi-MB bean. The per-key hashed UPDATE slot must keep each Update
+    payload a handful of rows."""
+    from th2_listener_mysql_binlog_go_spark.plans.lake import LakeTable
+    from th2_listener_mysql_binlog_go_spark.sources.changestream import (
+        synthetic_changestream,
+    )
+    from th2_listener_mysql_binlog_go_spark.streaming.runner import ReplayRunner
+
+    SCHEMA = [("repo", "string"), ("path", "string"), ("commit", "string"),
+              ("lang", "string"), ("content", "string")]
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], num_buckets=4)
+    full = synthetic_changestream(spark, 1500, n_repos=15, n_paths=30,
+                                  truncate_per_10k=0)
+    ReplayRunner(spark, t, batch_span=750).run(full)
+    feed = ChangesFeedPublisher(spark, t.root, str(tmp_path / "q"),
+                                max_size=1 << 14)
+    feed.poll()
+    n_py = t.read().filter("lang = 'py'").count()
+    t.update_where("lang = 'py'", {"commit": "'REDACTED'"})
+    feed.poll()
+
+    raw = spark.read.json(str(tmp_path / "q"))
+    upd = raw.filter(F.col("payload").contains('"Updated"'))
+    n_beans = upd.count()
+    assert n_py > 20 and n_beans >= n_py * 0.9  # ~one bean per key, no mega bean
+    assert upd.select(F.max(F.length("payload"))).first()[0] <= (1 << 14)

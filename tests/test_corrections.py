@@ -1,6 +1,6 @@
 """Out-of-band corrections: `delete_where` (compliance / contamination
 removal) and `update_where` (redaction) — one delta commit per call,
-stamped (gtid = effective watermark, seq = 2^62 + correction#) so the
+stamped (gtid = effective watermark, seq = 2^62 + correction#*2^21) so the
 rows outrank every applied stream row, lose to any later stream event,
 and leave replay bookkeeping (watermark / last_batch_id) untouched."""
 

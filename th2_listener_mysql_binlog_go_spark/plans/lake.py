@@ -578,22 +578,23 @@ class LakeTable:
         if not key_rows:
             return self.read(include_meta=include_meta,
                              snapshot=snap.sub([]))
+        st = _struct_of(snap.columns)
         kdf = self.spark.createDataFrame(
             [tuple(kv) for kv in key_rows],
-            T.StructType([
-                T.StructField(k, _struct_of(snap.columns)[k].dataType)
-                for k in keys]))
-        bucket_of = F.pmod(
-            F.xxhash64(*[F.col(k) for k in keys]),
-            F.lit(snap.num_buckets)).cast("int")
+            T.StructType([T.StructField(k, st[k].dataType) for k in keys]))
+        bucket_of = self._bucket_expr_of(keys, snap.num_buckets)
         buckets = {r["b"] for r in
                    kdf.select(bucket_of.alias("b")).distinct().collect()}
         sub = snap.sub([fi for fi in snap.files if fi["bucket"] in buckets])
         out = self.read(include_meta=include_meta, snapshot=sub)
-        rows = [dict(zip(keys, kv)) for kv in key_rows]
-        cond = self._membership_cond(rows, keys)
-        if cond is not None:
-            out = out.filter(cond)
+        # capped like changes()' keyset pushdown: a giant In literal list
+        # bloats the Catalyst plan; beyond the cap the semi-join alone
+        # carries exactness (the prefilter is an optional scan-pruner)
+        if len(key_rows) <= 4096:
+            rows = [dict(zip(keys, kv)) for kv in key_rows]
+            cond = self._membership_cond(rows, keys)
+            if cond is not None:
+                out = out.filter(cond)
         probe = kdf.select(*[F.col(k).alias(f"_probe_{k}") for k in keys])
         join_cond = None
         for k in keys:
@@ -612,9 +613,8 @@ class LakeTable:
                 f"expected {len(keys)} key values {tuple(keys)}, "
                 f"got {len(key_values)}")
         key_types = {c.name: c.type for c in snap.columns}
-        bucket_of = F.pmod(
-            F.xxhash64(*[F.col(k) for k in keys]),
-            F.lit(snap.num_buckets)).cast("int")  # snap's bucketing, not head's
+        # snap's bucketing, not head's (time travel across a rebucket)
+        bucket_of = self._bucket_expr_of(keys, snap.num_buckets)
         b = (self.spark.range(1)
              .select(*[F.lit(v).cast(key_types[k]).alias(k)
                        for k, v in zip(keys, key_values)])
@@ -1095,9 +1095,18 @@ class LakeTable:
 
     # ---------------------------------------------------------------- write helpers
 
+    @staticmethod
+    def _bucket_expr_of(keys: list[str], num_buckets: int):
+        """THE bucket function — single definition site: writers, point
+        reads, and rebucket must all hash identically or point reads open
+        the wrong bucket (see tests/test_exact_repartition.py for the
+        F.hash parity this composes with)."""
+        return F.pmod(F.xxhash64(*[F.col(k) for k in keys]),
+                      F.lit(num_buckets)).cast("int")
+
     def bucket_expr(self, key_cols: list[str] | None = None):
-        keys = key_cols or self.snapshot.key_names
-        return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.snapshot.num_buckets)).cast("int")
+        return self._bucket_expr_of(key_cols or self.snapshot.key_names,
+                                    self.snapshot.num_buckets)
 
     def _physical_out_cols(self, snap: Snapshot) -> list:
         phys_names = {c.id: c.name for c in snap.epoch_schemas[str(snap.epoch)]}

@@ -64,8 +64,11 @@ def encode_stream_batched(
     Within an event, rows keep their source order via the ``seq`` column.
 
     Output: (gtid, log_pos, part_idx, log_name, seq, ts, payload) — one
-    row per published message; ``(gtid, log_pos, part_idx)`` identifies
-    it, ``part_idx`` consumed from the split plan. ``base_size`` must
+    row per published message; the full EVENT identity ``(gtid, log_pos,
+    schema, table, op, part_idx)`` identifies it (for a real binlog the
+    position alone suffices — one event per position — but a producer
+    that multiplexes positions, e.g. the lakefeed's version clock, needs
+    the op/table too), ``part_idx`` consumed from the split plan. ``base_size`` must
     upper-bound the envelope header (Record.sizeBytes, bean.go:47-53) so
     the size guarantee holds.
 

@@ -687,8 +687,10 @@ class ChangesFeedPublisher:
     PUBLISHED snapshot version, persisted atomically in
     ``out_dir/_feed_progress.json``. Delivery is at-least-once (a crash
     between the payload write and the progress swap re-publishes the
-    window; payloads are keyed by (gtid, log_pos, part_idx), so consumers
-    — including this engine's own apply side — dedup exactly).
+    window; payloads are keyed by the full event identity (gtid, log_pos,
+    schema, table, op, part_idx) — under the version clock the position
+    pair alone is NOT unique within a poll — so consumers, including
+    this engine's own apply side, dedup exactly).
 
     **Position clock = snapshot versions.** Published ``gtid`` is the
     window's TO-version, not the source gtid: versions are the lake's
@@ -814,10 +816,20 @@ class ChangesFeedPublisher:
         # ones per key (one net row per key per window), bootstrap
         # included, for EVERY window shape incl. gtid-interleaved sources.
         # log_pos keeps the source event slot (_seq >> 21) purely to batch
-        # same-event rows into one bean and for trace value.
+        # same-event rows into one bean and for trace value — EXCEPT for
+        # UPDATE rows: Update beans are unsplittable (reference parity,
+        # split plan gives them part 0), so a correction that rewrote a
+        # million rows under ONE (_gtid,_seq) stamp would batch into one
+        # multi-GB bean; hashing UPDATEs' slot per key keeps every Update
+        # bean a handful of rows while INSERT/DELETE (splittable) keep
+        # slot batching. Positions are trace-only here — per-key LWW
+        # rides the version clock.
+        upd_slot = F.pmod(
+            F.xxhash64(*[F.col(k) for k in keys]), F.lit(1 << 40))
         wire = ch.select(
             F.lit(int(head)).cast("bigint").alias("gtid"),
-            F.shiftright(F.col("_seq"), 21).alias("log_pos"),
+            F.when(F.col("_change_type") == "UPDATE", upd_slot)
+            .otherwise(F.shiftright(F.col("_seq"), 21)).alias("log_pos"),
             F.lit(0).cast("bigint").alias("seq"),
             F.lit("lakefeed").alias("log_name"),
             F.lit(0).cast("bigint").alias("ts"),
