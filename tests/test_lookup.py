@@ -130,3 +130,29 @@ def test_lookup_many_batch_point_read(spark, tmp_path):
         tuple(r) for k in sample for r in t.lookup(*k).collect())
     batch = sorted(tuple(r) for r in t.lookup_many(sample).collect())
     assert single == batch
+
+
+def test_lookup_many_membership_pushes_into_scans(spark, tmp_path):
+    """The capped membership condition must reach PushedFilters as In
+    (or EqualTo for a single value after Catalyst folding) on every scan
+    of the batch-lookup plan — through the LWW window on dirty buckets —
+    so file stats and bloom_keys blooms can prune row groups."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], num_buckets=4)
+    rows = [(f"r{i % 20}", f"f{i}.py", f"c{i}", "py", f"v{i}", "INSERT", i + 1)
+            for i in range(200)]
+    t.merge(_batch(spark, rows), batch_id=1, mode="mor")
+    t.merge(_batch(spark, [
+        ("r3", "f3.py", "c3b", "py", "v3b", "UPDATE", 900)]),
+        batch_id=2, mode="mor")
+
+    df = t.lookup_many([("r3", "f3.py"), ("r7", "f7.py"), ("r11", "f11.py")])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert scans, plan
+    # a single probed value folds isin -> EqualTo in the plan (gotcha
+    # pinned in the keyset work) — assert either spelling per column
+    for ln in scans:
+        assert ("In(repo" in ln or "EqualTo(repo" in ln), ln
+        assert ("In(path" in ln or "EqualTo(path" in ln), ln
+    assert "Window" in plan  # the dirty bucket resolves LWW; filters still pushed
