@@ -238,3 +238,51 @@ def test_correction_composes_with_changes_and_compaction(spark, tmp_path):
     assert r2["seq"] == r1["seq"] + CORRECTION_SEQ_STEP
     assert {r["commit"] for r in t.read().filter("lang = 'py'").collect()} \
         == {"B"}
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_randomized_correction_interleavings_match_oracle(spark, tmp_path, seed):
+    """Property: any interleaving of replay segments and corrections
+    (kill-list deletes / redaction updates between batches) converges to
+    the stepwise python oracle — including keys the tail re-inserts
+    after a correction — and a tombstone-keeping compaction at the end
+    is a state fixed point."""
+    import random
+
+    rng = random.Random(seed)
+    n = rng.choice([1800, 2400])
+    full = synthetic_changestream(spark, n, n_repos=10, n_paths=20,
+                                  seed=seed, truncate_per_10k=0)
+    cuts = sorted(rng.sample(range(200, n - 200), 2))
+    segs = [(0, cuts[0]), (cuts[0], cuts[1]), (cuts[1], n)]
+    langs = ["py", "go", "rs", "md", "sql"]
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], num_buckets=4)
+    # ONE span for the table's lifetime — the runner refuses a resume
+    # under a different span (sub-batch ids would miss the guard)
+    span = rng.choice([300, 500])
+    state: dict = {}
+    for i, (lo, hi) in enumerate(segs):
+        seg = full.filter(f"gtid >= {lo} and gtid < {hi}")
+        ReplayRunner(spark, t, batch_span=span).run(
+            full.filter(f"gtid < {hi}"))  # runner resumes from watermark
+        state = _apply_onto(state, _events(seg))
+        if i < 2:  # a correction between segments
+            lang = rng.choice(langs)
+            if rng.random() < 0.5:
+                t.delete_where(f"lang = '{lang}'")
+                state = {k: r for k, r in state.items()
+                         if r.get("lang") != lang}
+            else:
+                t.update_where(f"lang = '{lang}'",
+                               {"commit": f"'R{i}'"})
+                state = {k: (dict(r, commit=f"R{i}")
+                             if r.get("lang") == lang else r)
+                         for k, r in state.items()}
+
+    assert df_fingerprint([x.asDict() for x in t.read().collect()]) \
+        == state_fingerprint(state)
+    t.compact(keep_tombstones=True)
+    assert df_fingerprint([x.asDict() for x in t.read().collect()]) \
+        == state_fingerprint(state)

@@ -89,3 +89,31 @@ def test_unobserved_table_filtered(spark, tmp_path):
     evs = _oracle_events(stream)
     both = state_fingerprint(replay_oracle(evs, observed_tables={"files", "shadow_table"}))
     assert _final_fingerprint(table) == both
+
+
+def test_resume_refuses_changed_batch_span(spark, tmp_path):
+    """Sub-batch ids are gtid//span-derived; resuming under a DIFFERENT
+    span either regresses every id below the exactly-once guard (larger
+    span: the run silently no-ops with events pending) or re-enters
+    applied gtids without the within-batch filter (smaller span). The
+    runner must refuse instead."""
+    import pytest
+
+    from th2_listener_mysql_binlog_go_spark.plans.lake import LakeTable
+    from th2_listener_mysql_binlog_go_spark.sources.changestream import (
+        synthetic_changestream,
+    )
+    from th2_listener_mysql_binlog_go_spark.streaming.runner import ReplayRunner
+
+    SCHEMA = [("repo", "string"), ("path", "string"), ("commit", "string"),
+              ("lang", "string"), ("content", "string")]
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], num_buckets=4)
+    full = synthetic_changestream(spark, 1200, n_repos=10, n_paths=20,
+                                  truncate_per_10k=0)
+    ReplayRunner(spark, t, batch_span=300).run(full.filter("gtid < 700"))
+    with pytest.raises(ValueError, match="batch_span=500 does not match"):
+        ReplayRunner(spark, t, batch_span=500).run(full)
+    # the original span resumes to completion
+    r = ReplayRunner(spark, t, batch_span=300).run(full)
+    assert r["watermark_gtid"] == 1199 and r["events"] > 0

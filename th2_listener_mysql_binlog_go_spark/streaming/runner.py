@@ -256,6 +256,27 @@ class ReplayRunner:
             )
 
         span = self.batch_span
+        # Refuse a resume whose batch_span disagrees with the table's
+        # replay history. Sub-batch ids are k*1024+segment with k =
+        # gtid//span, and the watermark advances with every segment merge,
+        # so on ANY legitimate resume wm//span == last_batch_id//1024. A
+        # changed span breaks that equality and is silently wrong in both
+        # directions: a larger span regresses k, every merge falls below
+        # the exactly-once guard, and the whole run no-ops while unapplied
+        # events sit past the watermark (found by a randomized-interleaving
+        # test); a smaller span re-enters applied gtids without the
+        # within-batch filter and re-appends the overlap (audit/changelog
+        # pollution). Streaming-shell-fed tables (epoch-based ids) land
+        # here too — the reverse handoff is not a supported journey.
+        last = self.table.last_batch_id
+        if last >= 0 and wm >= 0 and last // 1024 != wm // span:
+            raise ValueError(
+                f"batch_span={span} does not match this table's replay "
+                f"history: last sub-batch {last} puts the watermark batch "
+                f"at {last // 1024}, but watermark {wm} // {span} = "
+                f"{wm // span}. Resume with the original batch_span "
+                "(a changed span silently no-ops or re-appends batches)."
+            )
         # A batch whose final segment committed recorded itself complete;
         # resume restarts at the *next* batch, else from the watermark's
         # batch (whose applied prefix replays as guarded no-ops).
