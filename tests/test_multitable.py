@@ -134,6 +134,11 @@ def test_catalog_runner_resume(spark, tmp_path):
     cat_a = mk(str(tmp_path / "resumed"))
     CatalogReplayRunner(spark, cat_a, batch_span=1000, config=cfg).run(stream, max_batches=1)
     cat_b = LakeCatalog.load(spark, str(tmp_path / "resumed"))
+    # the span is recorded at first run; a resume under a different one
+    # refuses (silent no-op / re-append hazard — see ReplayRunner's guard)
+    import pytest
+    with pytest.raises(ValueError, match="replay_batch_span=1000"):
+        CatalogReplayRunner(spark, cat_b, batch_span=600, config=cfg).run(stream)
     total = CatalogReplayRunner(spark, cat_b, batch_span=1000, config=cfg).run(stream)
     assert total["batches"] == 2
 

@@ -458,6 +458,23 @@ class CatalogReplayRunner:
             )
 
         span = self.batch_span
+        # The catalog runner cannot use the single-table wm//span equality
+        # check (a mid-batch crash legitimately leaves table sub-ids ahead
+        # of the catalog watermark), so the span is recorded explicitly at
+        # first run and a resume under a different one refuses — the same
+        # silent-no-op / re-append hazards as ReplayRunner's guard.
+        recorded = self.catalog.properties.get("replay_batch_span")
+        if recorded is not None and int(recorded) != span:
+            raise ValueError(
+                f"batch_span={span} does not match this catalog's recorded "
+                f"replay_batch_span={recorded}; resume with the original "
+                "span (a changed span silently no-ops or re-appends "
+                "batches)")
+        if recorded is None:
+            # rides the O(1) PROGRESS channel (merged, durable) — a
+            # registry version per run would violate the progress-channel
+            # invariant the round-3 fix pinned
+            self.catalog.set_progress({"replay_batch_span": str(span)})
         done = int(self.catalog.properties.get("last_complete_batch", "-1"))
         k0 = max(lo // span, (wm // span) if wm >= 0 else 0, done + 1)
 
