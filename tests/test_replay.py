@@ -117,3 +117,36 @@ def test_resume_refuses_changed_batch_span(spark, tmp_path):
     # the original span resumes to completion
     r = ReplayRunner(spark, t, batch_span=300).run(full)
     assert r["watermark_gtid"] == 1199 and r["events"] > 0
+
+
+def test_resume_same_span_survives_empty_batch_history(spark, tmp_path):
+    """An EMPTY batch commits last_batch_id without advancing the
+    watermark (whole-batch gtid gap — a supported non-dense shape), so no
+    (watermark, last_batch_id) arithmetic identifies the span; the
+    recorded-property guard must accept the same-span resume this shape
+    used to false-refuse (review repro) and still refuse a changed one."""
+    import pytest
+
+    from th2_listener_mysql_binlog_go_spark.plans.lake import LakeTable
+    from th2_listener_mysql_binlog_go_spark.sources.changestream import (
+        synthetic_changestream,
+    )
+    from th2_listener_mysql_binlog_go_spark.streaming.runner import ReplayRunner
+
+    SCHEMA = [("repo", "string"), ("path", "string"), ("commit", "string"),
+              ("lang", "string"), ("content", "string")]
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], num_buckets=4)
+    full = synthetic_changestream(spark, 1200, n_repos=10, n_paths=20,
+                                  truncate_per_10k=0)
+    gappy = full.filter("gtid < 300 or gtid >= 600")  # batch 1 is EMPTY
+    ReplayRunner(spark, t, batch_span=300).run(gappy, max_batches=2)
+    assert t.watermark_gtid == 299  # empty batch advanced ids, not wm
+
+    t2 = LakeTable.load(spark, str(tmp_path / "t"))
+    # a changed span refuses while work is pending (a fully-caught-up
+    # run clamps before the guard — a harmless no-op either way)
+    with pytest.raises(ValueError, match="recorded replay_batch_span=300"):
+        ReplayRunner(spark, t2, batch_span=400).run(gappy)
+    r = ReplayRunner(spark, t2, batch_span=300).run(gappy)  # same span: OK
+    assert r["watermark_gtid"] == 1199 and r["events"] > 0

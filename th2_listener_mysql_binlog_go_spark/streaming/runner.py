@@ -258,25 +258,27 @@ class ReplayRunner:
         span = self.batch_span
         # Refuse a resume whose batch_span disagrees with the table's
         # replay history. Sub-batch ids are k*1024+segment with k =
-        # gtid//span, and the watermark advances with every segment merge,
-        # so on ANY legitimate resume wm//span == last_batch_id//1024. A
-        # changed span breaks that equality and is silently wrong in both
-        # directions: a larger span regresses k, every merge falls below
-        # the exactly-once guard, and the whole run no-ops while unapplied
+        # gtid//span; a changed span is silently wrong in both directions:
+        # a larger span regresses k, every merge falls below the
+        # exactly-once guard, and the whole run no-ops while unapplied
         # events sit past the watermark (found by a randomized-interleaving
         # test); a smaller span re-enters applied gtids without the
         # within-batch filter and re-appends the overlap (audit/changelog
-        # pollution). Streaming-shell-fed tables (epoch-based ids) land
-        # here too — the reverse handoff is not a supported journey.
-        last = self.table.last_batch_id
-        if last >= 0 and wm >= 0 and last // 1024 != wm // span:
+        # pollution). The span is RECORDED on the run's own batch commits
+        # (no extra snapshot version) — never inferred: no arithmetic
+        # identity over (watermark, last_batch_id) survives legitimate
+        # histories, because an empty batch advances last_batch_id without
+        # the watermark (review repro). A table with pre-guard history
+        # gets the span recorded on its first post-upgrade run — pass the
+        # original one there.
+        recorded = self.table.snapshot.properties.get("replay_batch_span")
+        if recorded is not None and int(recorded) != span:
             raise ValueError(
-                f"batch_span={span} does not match this table's replay "
-                f"history: last sub-batch {last} puts the watermark batch "
-                f"at {last // 1024}, but watermark {wm} // {span} = "
-                f"{wm // span}. Resume with the original batch_span "
-                "(a changed span silently no-ops or re-appends batches)."
-            )
+                f"batch_span={span} does not match this table's recorded "
+                f"replay_batch_span={recorded}; resume with the original "
+                "span (a changed span silently no-ops or re-appends "
+                "batches)")
+        span_prop = {"replay_batch_span": str(span)}
         # A batch whose final segment committed recorded itself complete;
         # resume restarts at the *next* batch, else from the watermark's
         # batch (whose applied prefix replays as guarded no-ops).
@@ -323,7 +325,9 @@ class ReplayRunner:
             # than skip it.
             m = self.applier.apply(
                 batch_df(k), batch_id=k,
-                final_extra_props=None if k == k1 else {"last_complete_batch": str(k)},
+                final_extra_props=dict(
+                    span_prop,
+                    **({} if k == k1 else {"last_complete_batch": str(k)})),
                 precollected_ddl=ddls,
                 resume_within_batch=self.table.last_batch_id // 1024 == k,
             )
@@ -361,7 +365,9 @@ class ReplayRunner:
             staged = fut.result()
             m = self.applier.commit_batch(
                 staged, k,
-                final_extra_props=None if k == k1 else {"last_complete_batch": str(k)},
+                final_extra_props=dict(
+                    span_prop,
+                    **({} if k == k1 else {"last_complete_batch": str(k)})),
             )
             record(k, m, int((time.monotonic() - t0) * 1000))
 
@@ -464,6 +470,7 @@ class CatalogReplayRunner:
         # first run and a resume under a different one refuses — the same
         # silent-no-op / re-append hazards as ReplayRunner's guard.
         recorded = self.catalog.properties.get("replay_batch_span")
+        done = int(self.catalog.properties.get("last_complete_batch", "-1"))
         if recorded is not None and int(recorded) != span:
             raise ValueError(
                 f"batch_span={span} does not match this catalog's recorded "
@@ -471,11 +478,22 @@ class CatalogReplayRunner:
                 "span (a changed span silently no-ops or re-appends "
                 "batches)")
         if recorded is None:
+            # Adopting a span for a catalog with PRE-GUARD replay history
+            # must not enshrine a typo: the catalog's record() always sets
+            # the watermark to its batch's end, so under the true span
+            # wm//span is the last applied batch and last_complete_batch
+            # is that or one less (growing tail) — a span that breaks the
+            # identity is provably not the one the history was built with.
+            if done >= 0 and wm >= 0 and not (0 <= wm // span - done <= 1):
+                raise ValueError(
+                    f"cannot adopt batch_span={span} for a catalog with "
+                    f"pre-guard replay history (watermark {wm} / "
+                    f"last_complete_batch {done} are inconsistent with "
+                    "it); pass the span the history was built with")
             # rides the O(1) PROGRESS channel (merged, durable) — a
             # registry version per run would violate the progress-channel
             # invariant the round-3 fix pinned
             self.catalog.set_progress({"replay_batch_span": str(span)})
-        done = int(self.catalog.properties.get("last_complete_batch", "-1"))
         k0 = max(lo // span, (wm // span) if wm >= 0 else 0, done + 1)
 
         k1 = hi // span
