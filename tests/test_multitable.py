@@ -2,6 +2,7 @@
 of schemas->tables, listener.go:236-241; CREATE/DROP forwarded at
 query.go:25-26 — here they are *executed* against the LakeCatalog)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from th2_listener_mysql_binlog_go_spark.operators.apply import ApplyConfig
@@ -136,7 +137,6 @@ def test_catalog_runner_resume(spark, tmp_path):
     cat_b = LakeCatalog.load(spark, str(tmp_path / "resumed"))
     # the span is recorded at first run; a resume under a different one
     # refuses (silent no-op / re-append hazard — see ReplayRunner's guard)
-    import pytest
     with pytest.raises(ValueError, match="replay_batch_span=1000"):
         CatalogReplayRunner(spark, cat_b, batch_span=600, config=cfg).run(stream)
     total = CatalogReplayRunner(spark, cat_b, batch_span=1000, config=cfg).run(stream)

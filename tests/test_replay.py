@@ -2,6 +2,7 @@
 the independent pandas oracle; resume-mid-stream; lineage invariants."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from th2_listener_mysql_binlog_go_spark.operators.apply import ApplyConfig
 from th2_listener_mysql_binlog_go_spark.plans.lake import LakeTable
@@ -97,16 +98,6 @@ def test_resume_refuses_changed_batch_span(spark, tmp_path):
     span: the run silently no-ops with events pending) or re-enters
     applied gtids without the within-batch filter (smaller span). The
     runner must refuse instead."""
-    import pytest
-
-    from th2_listener_mysql_binlog_go_spark.plans.lake import LakeTable
-    from th2_listener_mysql_binlog_go_spark.sources.changestream import (
-        synthetic_changestream,
-    )
-    from th2_listener_mysql_binlog_go_spark.streaming.runner import ReplayRunner
-
-    SCHEMA = [("repo", "string"), ("path", "string"), ("commit", "string"),
-              ("lang", "string"), ("content", "string")]
     t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
                          ["repo", "path"], num_buckets=4)
     full = synthetic_changestream(spark, 1200, n_repos=10, n_paths=20,
@@ -125,16 +116,6 @@ def test_resume_same_span_survives_empty_batch_history(spark, tmp_path):
     (watermark, last_batch_id) arithmetic identifies the span; the
     recorded-property guard must accept the same-span resume this shape
     used to false-refuse (review repro) and still refuse a changed one."""
-    import pytest
-
-    from th2_listener_mysql_binlog_go_spark.plans.lake import LakeTable
-    from th2_listener_mysql_binlog_go_spark.sources.changestream import (
-        synthetic_changestream,
-    )
-    from th2_listener_mysql_binlog_go_spark.streaming.runner import ReplayRunner
-
-    SCHEMA = [("repo", "string"), ("path", "string"), ("commit", "string"),
-              ("lang", "string"), ("content", "string")]
     t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
                          ["repo", "path"], num_buckets=4)
     full = synthetic_changestream(spark, 1200, n_repos=10, n_paths=20,
@@ -150,3 +131,47 @@ def test_resume_same_span_survives_empty_batch_history(spark, tmp_path):
         ReplayRunner(spark, t2, batch_span=400).run(gappy)
     r = ReplayRunner(spark, t2, batch_span=300).run(gappy)  # same span: OK
     assert r["watermark_gtid"] == 1199 and r["events"] > 0
+
+
+def test_span_recorded_before_mid_batch_ddl_crash(spark, tmp_path):
+    """The span must be durable the moment ANY of a batch's data is: a
+    crash between the segments of a fresh table's first DDL-segmented
+    batch leaves applied sub-batches behind, and a changed-span resume
+    must refuse even though no FINAL segment ever committed (the span
+    rides every segment commit, not just final_extra_props)."""
+    from th2_listener_mysql_binlog_go_spark.sources.changestream import CHANGE_SCHEMA
+
+    def ev(gtid, op, repo=None, path=None, content=None, ddl=None):
+        row = (repo, path, "c" * 40, "py", content) if repo else None
+        return (gtid, "binlog.000001", gtid * 256, gtid // 3, gtid, "repos",
+                "files", op,
+                row if op in ("UPDATE", "DELETE") else None,
+                row if op in ("INSERT", "UPDATE") else None, ddl)
+
+    stream = spark.createDataFrame(
+        [ev(1, "INSERT", "r1", "a.py", "v1"),
+         ev(2, "INSERT", "r2", "b.py", "v2"),
+         ev(3, "ALTER_TABLE", ddl="ALTER TABLE repos.files ADD COLUMN stars INT"),
+         ev(4, "INSERT", "r3", "c.py", "v3")],
+        CHANGE_SCHEMA,
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], num_buckets=4)
+    runner = ReplayRunner(spark, t, batch_span=100)
+
+    def boom(_d):
+        raise RuntimeError("crash between segments")
+
+    runner.applier._apply_ddl = boom  # segment 0 committed, DDL "crashes"
+    with pytest.raises(RuntimeError, match="crash between segments"):
+        runner.run(stream)
+    assert t.last_batch_id >= 0  # segment 0's merge IS durable
+
+    t2 = LakeTable.load(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="recorded replay_batch_span=100"):
+        ReplayRunner(spark, t2, batch_span=50).run(stream)
+    # the original span resumes through the DDL to completion
+    r = ReplayRunner(spark, t2, batch_span=100).run(stream)
+    assert r["watermark_gtid"] == 4 and r["ddl_applied"] == 1
+    rows = {x["repo"]: x for x in t2.read().collect()}
+    assert set(rows) == {"r1", "r2", "r3"} and rows["r3"]["stars"] is None

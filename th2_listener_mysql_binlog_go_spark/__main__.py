@@ -369,6 +369,19 @@ def cmd_tag(args) -> dict:
             "tags": t.tags()}
 
 
+def cmd_rollback(args) -> dict:
+    """Restore the table to an earlier snapshot (by version or tag) as a
+    new commit. Replay bookkeeping restores with it, so a subsequent
+    replay resumes from the restored watermark; history stays
+    time-travelable until expired."""
+    from .plans.lake import LakeTable
+
+    spark = _spark("cdc-rollback")
+    t = LakeTable.load(spark, args.table)
+    ref = int(args.to) if args.to.isdigit() else args.to
+    return {"table": args.table, **t.rollback(ref)}
+
+
 def cmd_changes(args) -> dict:
     """Emit the net row-level changes between two snapshots (the lake's
     CDC-out surface) to a parquet directory."""
@@ -701,6 +714,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--delete", action="store_true",
                     help="drop the tag instead of creating it")
     sp.set_defaults(fn=cmd_tag)
+
+    sp = sub.add_parser("rollback")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--to", required=True,
+                    help="snapshot version number or tag name to restore")
+    sp.set_defaults(fn=cmd_rollback)
 
     sp = sub.add_parser("changes")
     sp.add_argument("--table", required=True)

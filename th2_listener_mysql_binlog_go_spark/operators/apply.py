@@ -345,7 +345,8 @@ class BatchApplier:
     def apply(self, batch: DataFrame, batch_id: int,
               final_extra_props: dict[str, str] | None = None,
               precollected_ddl: list | None = None,
-              resume_within_batch: bool = False) -> dict:
+              resume_within_batch: bool = False,
+              extra_props: dict[str, str] | None = None) -> dict:
         """Apply one micro-batch. Returns lineage metrics.
 
         Exactly-once: every merge carries a monotonically increasing
@@ -353,6 +354,14 @@ class BatchApplier:
         ``last_batch_id`` guard makes re-application of any prefix a
         no-op, so a crash anywhere inside the segment loop is safe to
         replay from the top of the batch.
+
+        ``final_extra_props`` land only on the batch's final segment
+        commit (batch-complete marker, truncate marker). ``extra_props``
+        land on EVERY segment commit: properties that must be durable
+        the moment ANY of the batch's data is (e.g. the runner's
+        ``replay_batch_span`` guard — a crash between segments of a
+        fresh table's first DDL-segmented batch must not leave applied
+        sub-batches with no recorded span).
         """
         ddls = self._collect_ddl(batch, precollected=precollected_ddl)
 
@@ -390,7 +399,8 @@ class BatchApplier:
         # read, so don't even write it.
         trunc_gtids = [d["gtid"] for d in ddls if d["op"] == "TRUNCATE"]
         schema_ddls = [d for d in ddls if d["op"] != "TRUNCATE"]
-        final_props = dict(final_extra_props or {})
+        seg_props = dict(extra_props or {})
+        final_props = dict(seg_props, **(final_extra_props or {}))
         if trunc_gtids:
             trunc_max = max(trunc_gtids)
             gtid_floor = trunc_max if gtid_floor is None else max(gtid_floor, trunc_max)
@@ -446,8 +456,10 @@ class BatchApplier:
                     mor_dedup=self.config.mor_dedup,
                     compact_keep_tombstones=bool(self.config.compact_keep_tombstones),
                     # the last segment's commit carries the truncate marker
-                    # and the batch-complete property (resume skip)
-                    extra_properties=final_props if i == len(segments) - 1 else None,
+                    # and the batch-complete property (resume skip);
+                    # every segment carries the crash-durable extra_props
+                    extra_properties=(final_props if i == len(segments) - 1
+                                      else (seg_props or None)),
                 )
                 if not m.get("skipped"):
                     metrics["rows_inserted"] += m["rows_inserted"]

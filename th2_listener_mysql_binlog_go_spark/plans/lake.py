@@ -796,6 +796,60 @@ class LakeTable:
             return t[ref]
         return ref
 
+    def rollback(self, version: int | str) -> dict:
+        """Restore the table to snapshot ``version`` (a number or tag) as a
+        NEW commit — Iceberg's rollback. History is never rewritten: the
+        undone versions stay time-travelable until expired; readers see
+        the restored state at the next load.
+
+        Everything snapshot-scoped restores together: files, logical
+        schema (columns/key_ids), bucket count, and ALL properties —
+        including the replay bookkeeping (``watermark_gtid``,
+        ``last_batch_id``, ``last_complete_batch``, ``truncate_gtid``), so
+        a subsequent :class:`ReplayRunner` run RESUMES from the restored
+        watermark and re-applies the rolled-back window with aligned
+        exactly-once sub-ids. That is the operational story: undo a bad
+        correction / batch / ALTER, then replay forward. Note config-ish
+        properties (``bloom_keys``, ``compact_sort_by``) restore too —
+        properties are snapshot-scoped by design.
+
+        The restored snapshot takes a FRESH schema epoch (head+1) whose
+        physical columns are the target's: ``epoch_schemas`` only ever
+        grow, so files of the undone versions stay readable for time
+        travel and ``changes()`` across the boundary, and a later re-ADD
+        of a rolled-back column can never collide with the undone epoch's
+        file schemas.
+
+        Downstream consumers need no special cases: ``changes()`` across
+        a rollback window fails its incremental gate (removed files /
+        non-delta adds) and falls back to the full state diff, and the
+        changes feed publishes the compensating ops on its to-version
+        clock, so a consumer converges to the restored state.
+        """
+        target = self.snapshot_at(version)
+        head = self.snapshot
+        if target.version == head.version:
+            return {"version": head.version, "restored": target.version,
+                    "noop": True}
+        new_epoch = head.epoch + 1
+        epoch_schemas = dict(head.epoch_schemas)
+        epoch_schemas[str(new_epoch)] = [
+            ColumnSpec(c.id, c.name, c.type, c.nullable) for c in target.columns
+        ]
+        props = dict(target.properties)
+        # provenance marker; carries forward like any property, reading as
+        # "this lineage's most recent rollback restored that version"
+        props["rollback_of"] = str(target.version)
+        self._write_snapshot(Snapshot(
+            version=head.version + 1, columns=target.columns,
+            key_ids=target.key_ids, num_buckets=target.num_buckets,
+            epoch=new_epoch, epoch_schemas=epoch_schemas,
+            files=list(target.files), properties=props, parent=head.version,
+        ))
+        return {"version": head.version + 1, "restored": target.version,
+                "noop": False, "n_files": len(target.files),
+                "watermark_gtid": self.watermark_gtid}
+
     def _hybrid_snapshot(self, files: list[dict], properties: dict,
                          num_buckets: int) -> Snapshot:
         """A read-only snapshot view: HEAD's logical schema (columns +

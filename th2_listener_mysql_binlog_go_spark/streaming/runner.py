@@ -37,6 +37,24 @@ from ..plans.lake import LakeTable
 from .lineage import LineageWriter
 
 
+def _check_recorded_span(recorded: str | None, span: int, kind: str) -> None:
+    """Refuse a resume whose batch_span disagrees with the recorded one.
+
+    Shared by both runners so the guard (and its message) cannot drift:
+    a changed span is silently wrong in both directions — larger
+    regresses sub-batch ids below the exactly-once guard (whole run
+    no-ops), smaller re-enters applied gtids without the within-batch
+    filter (re-appended overlap). ``recorded is None`` (pre-guard
+    history, or a fresh table) passes; callers record the span on first
+    use.
+    """
+    if recorded is not None and int(recorded) != span:
+        raise ValueError(
+            f"batch_span={span} does not match this {kind}'s recorded "
+            f"replay_batch_span={recorded}; resume with the original "
+            "span (a changed span silently no-ops or re-appends batches)")
+
+
 def _ddl_windows(runner, stream: DataFrame, ks: list[int], span: int):
     """Yield ``(window_ks, {k: ddl_rows})`` with one driver collect per
     ``runner.prescan_window`` batches. DDL is ~1e-4 of a change stream and
@@ -271,13 +289,8 @@ class ReplayRunner:
         # the watermark (review repro). A table with pre-guard history
         # gets the span recorded on its first post-upgrade run — pass the
         # original one there.
-        recorded = self.table.snapshot.properties.get("replay_batch_span")
-        if recorded is not None and int(recorded) != span:
-            raise ValueError(
-                f"batch_span={span} does not match this table's recorded "
-                f"replay_batch_span={recorded}; resume with the original "
-                "span (a changed span silently no-ops or re-appends "
-                "batches)")
+        _check_recorded_span(
+            self.table.snapshot.properties.get("replay_batch_span"), span, "table")
         span_prop = {"replay_batch_span": str(span)}
         # A batch whose final segment committed recorded itself complete;
         # resume restarts at the *next* batch, else from the watermark's
@@ -325,9 +338,13 @@ class ReplayRunner:
             # than skip it.
             m = self.applier.apply(
                 batch_df(k), batch_id=k,
-                final_extra_props=dict(
-                    span_prop,
-                    **({} if k == k1 else {"last_complete_batch": str(k)})),
+                final_extra_props=(
+                    {} if k == k1 else {"last_complete_batch": str(k)}),
+                # span rides EVERY segment commit: a crash between segments
+                # of a fresh table's first DDL-segmented batch must still
+                # leave the span recorded, or a changed-span resume slips
+                # past the guard above (review finding)
+                extra_props=span_prop,
                 precollected_ddl=ddls,
                 resume_within_batch=self.table.last_batch_id // 1024 == k,
             )
@@ -464,19 +481,16 @@ class CatalogReplayRunner:
             )
 
         span = self.batch_span
-        # The catalog runner cannot use the single-table wm//span equality
-        # check (a mid-batch crash legitimately leaves table sub-ids ahead
-        # of the catalog watermark), so the span is recorded explicitly at
-        # first run and a resume under a different one refuses — the same
-        # silent-no-op / re-append hazards as ReplayRunner's guard.
+        # Same recorded-span guard as ReplayRunner, different channel: the
+        # catalog records via the O(1) PROGRESS file (up-front, before any
+        # batch applies), the table on its own merge commits. The catalog
+        # additionally gets the pre-guard adoption sanity below, which the
+        # table cannot have (a mid-batch crash legitimately leaves table
+        # sub-ids ahead of the watermark; the catalog's record() always
+        # sets wm to its batch's end).
         recorded = self.catalog.properties.get("replay_batch_span")
         done = int(self.catalog.properties.get("last_complete_batch", "-1"))
-        if recorded is not None and int(recorded) != span:
-            raise ValueError(
-                f"batch_span={span} does not match this catalog's recorded "
-                f"replay_batch_span={recorded}; resume with the original "
-                "span (a changed span silently no-ops or re-appends "
-                "batches)")
+        _check_recorded_span(recorded, span, "catalog")
         if recorded is None:
             # Adopting a span for a catalog with PRE-GUARD replay history
             # must not enshrine a typo: the catalog's record() always sets
