@@ -596,6 +596,27 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read_at(v_mid).select("repo", "path", "commit", "lang", "content")
 
 
+def q_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback (Iceberg rollback analogue): replay to head,
+    then 'fat-finger' a destructive correction (``delete_where`` of every
+    key whose md5 starts with '1'), roll back to the mid-replay snapshot,
+    and replay forward. The result hash-matches the full-state oracle
+    ONLY if the rollback restored both the file set (undoing the
+    correction — no stream event can resurrect those keys) and the replay
+    bookkeeping (the restored watermark re-admits the second half's
+    batches under the exactly-once guard)."""
+    table, v_mid = _replay_to_mid(spark, sf_dir, "cdc_rb_")
+    table.delete_where("md5(repo || '|' || path) LIKE '1%'")
+    r = table.rollback(v_mid)
+    assert not r["noop"] and r["restored"] == v_mid
+    flat = derived_changestream(spark, sf_dir)
+    nested = to_change_schema(flat)
+    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
+    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 8)  # _replay_to_mid's arithmetic
+    ReplayRunner(spark, table, batch_span=span).run(nested)
+    return table.read().select("repo", "path", "commit", "lang", "content")
+
+
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-pruned point reads: replay the stream into a lake, then
     answer 12 deterministic single-key questions via
@@ -966,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_size_split_cumsum": q_size_split_cumsum,
         "cdc_batch_plan": q_batch_plan,
         "cdc_time_travel": q_time_travel,
+        "cdc_rollback": q_rollback,
         "cdc_point_lookup": q_point_lookup,
         "cdc_key_history": q_key_history,
         "cdc_changes_diff": q_changes_diff,
@@ -1441,6 +1463,15 @@ dml AS (
   SELECT * FROM observed
   WHERE op IN ('INSERT','UPDATE','DELETE') AND gtid < (SELECT c FROM cut)
 ),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY gtid DESC) AS rn FROM dml
+)
+SELECT repo, path, commit, lang, content
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+""".strip(),
+        "cdc_rollback": f"""
+WITH {stream}, {observed},
+dml AS (SELECT * FROM observed WHERE op IN ('INSERT','UPDATE','DELETE')),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY gtid DESC) AS rn FROM dml
 )
