@@ -617,6 +617,32 @@ def q_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("repo", "path", "commit", "lang", "content")
 
 
+def q_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (Iceberg branch refs): main replays the first
+    half of the stream; the rest backfills on a branch through the normal
+    ReplayRunner (branch snapshots carry the bookkeeping, main's chain is
+    untouched — asserted), is 'audited' by reading the branch, then
+    publishes via the fast-forward-only swap. The returned main state
+    hash-matches the full-replay oracle ONLY if the staged commits landed
+    on the branch and the publish made them main's history."""
+    flat = derived_changestream(spark, sf_dir)
+    nested = to_change_schema(flat)
+    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
+    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 8)
+    tmp = _mkdtemp("cdc_wap_")
+    table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
+                             key_cols=["repo", "path"], num_buckets=16)
+    ReplayRunner(spark, table, batch_span=span).run(nested, max_batches=4)
+    v_main, wm_main = table.snapshot.version, table.watermark_gtid
+    branch = table.create_branch("backfill")
+    ReplayRunner(spark, branch, batch_span=span).run(nested)
+    assert branch.read().count() > 0  # the audit read
+    fresh = LakeTable.load(spark, table.root)
+    assert (fresh.snapshot.version, fresh.watermark_gtid) == (v_main, wm_main)
+    table.publish_branch("backfill")
+    return table.read().select("repo", "path", "commit", "lang", "content")
+
+
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-pruned point reads: replay the stream into a lake, then
     answer 12 deterministic single-key questions via
@@ -988,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_batch_plan": q_batch_plan,
         "cdc_time_travel": q_time_travel,
         "cdc_rollback": q_rollback,
+        "cdc_branch_wap": q_branch_wap,
         "cdc_point_lookup": q_point_lookup,
         "cdc_key_history": q_key_history,
         "cdc_changes_diff": q_changes_diff,
@@ -1470,6 +1497,15 @@ SELECT repo, path, commit, lang, content
 FROM ranked WHERE rn = 1 AND op <> 'DELETE'
 """.strip(),
         "cdc_rollback": f"""
+WITH {stream}, {observed},
+dml AS (SELECT * FROM observed WHERE op IN ('INSERT','UPDATE','DELETE')),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY gtid DESC) AS rn FROM dml
+)
+SELECT repo, path, commit, lang, content
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+""".strip(),
+        "cdc_branch_wap": f"""
 WITH {stream}, {observed},
 dml AS (SELECT * FROM observed WHERE op IN ('INSERT','UPDATE','DELETE')),
 ranked AS (

@@ -110,7 +110,7 @@ def cmd_replay(args) -> dict:
     from .streaming.runner import ReplayRunner
 
     spark = _spark("cdc-replay")
-    table = LakeTable.load(spark, args.table)
+    table = LakeTable.load(spark, args.table, branch=getattr(args, "branch", None))
     stream = spark.read.parquet(args.source)
     runner = ReplayRunner(
         spark, table, batch_span=args.batch_span, config=_apply_config(args),
@@ -458,7 +458,7 @@ def cmd_show(args) -> dict:
     from .plans.lake import LakeTable
 
     spark = _spark("cdc-show")
-    t = LakeTable.load(spark, args.table)
+    t = LakeTable.load(spark, args.table, branch=getattr(args, "branch", None))
     s = t.snapshot
     return {
         "table": args.table, "version": s.version, "epoch": s.epoch,
@@ -466,7 +466,37 @@ def cmd_show(args) -> dict:
         "columns": [(c.id, c.name, c.type) for c in s.columns],
         "keys": s.key_names, "files": len(s.files),
         "properties": s.properties,
+        "branches": {} if t.branch else t.branches(),
     }
+
+
+def cmd_branch(args) -> dict:
+    """Create, list, or drop WAP branch refs (write-audit-publish:
+    stage commits on the branch with ``replay --branch``, audit with
+    ``show --branch``, then ``publish``)."""
+    from .plans.lake import LakeTable
+
+    spark = _spark("cdc-branch")
+    t = LakeTable.load(spark, args.table)
+    if args.list:
+        return {"table": args.table, "branches": t.branches()}
+    if args.drop:
+        return {"table": args.table, "dropped": args.name,
+                "existed": t.drop_branch(args.name)}
+    b = t.create_branch(args.name,
+                        at=(int(args.at) if args.at and args.at.isdigit()
+                            else args.at))
+    return {"table": args.table, "branch": args.name,
+            "fork_version": int(b.snapshot.properties["branch_fork_version"])}
+
+
+def cmd_publish(args) -> dict:
+    """Fast-forward main onto a branch tip (the WAP publish)."""
+    from .plans.lake import LakeTable
+
+    spark = _spark("cdc-publish")
+    t = LakeTable.load(spark, args.table)
+    return {"table": args.table, **t.publish_branch(args.name)}
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -506,6 +536,8 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("replay")
     sp.add_argument("--table", required=True)
+    sp.add_argument("--branch", default=None,
+                    help="apply onto a WAP branch instead of main")
     common_replay(sp)
     sp.set_defaults(fn=cmd_replay)
 
@@ -680,7 +712,23 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("show")
     sp.add_argument("--table", required=True)
+    sp.add_argument("--branch", default=None,
+                    help="show a WAP branch's tip instead of main")
     sp.set_defaults(fn=cmd_show)
+
+    sp = sub.add_parser("branch")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--name", default=None)
+    sp.add_argument("--at", default=None,
+                    help="fork at this version or tag (default: head)")
+    sp.add_argument("--drop", action="store_true")
+    sp.add_argument("--list", action="store_true")
+    sp.set_defaults(fn=cmd_branch)
+
+    sp = sub.add_parser("publish")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--name", required=True)
+    sp.set_defaults(fn=cmd_publish)
 
     sp = sub.add_parser("history")
     sp.add_argument("--table", required=True)

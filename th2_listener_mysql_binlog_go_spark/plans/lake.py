@@ -51,6 +51,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -323,10 +325,19 @@ def _parse_type(s: str) -> T.DataType:
 class LakeTable:
     """A snapshot-versioned bucketed table rooted at a directory."""
 
-    def __init__(self, spark: SparkSession, root: str, snapshot: Snapshot):
+    def __init__(self, spark: SparkSession, root: str, snapshot: Snapshot,
+                 branch: str | None = None):
         self.spark = spark
         self.root = root
         self.snapshot = snapshot
+        # WAP branches: a branch table shares the data directory (file
+        # paths are root-relative) but commits its snapshots under its own
+        # _meta/branches/<name>/ namespace — main's version numbering and
+        # the branch's can never collide on a filename, so the CAS layer
+        # needs no cross-ref awareness.
+        self.branch = branch
+        self._meta_dir = (os.path.join(root, "_meta", "branches", branch)
+                          if branch else os.path.join(root, "_meta"))
 
     # ---------------------------------------------------------------- create/load
 
@@ -365,13 +376,22 @@ class LakeTable:
         return table
 
     @staticmethod
-    def load(spark: SparkSession, root: str) -> "LakeTable":
-        head = os.path.join(root, "_meta", "HEAD")
-        with open(head) as f:
-            snap_file = f.read().strip()
-        with open(os.path.join(root, "_meta", snap_file)) as f:
+    def load(spark: SparkSession, root: str, branch: str | None = None) -> "LakeTable":
+        meta = (os.path.join(root, "_meta", "branches", branch)
+                if branch else os.path.join(root, "_meta"))
+        head = os.path.join(meta, "HEAD")
+        try:
+            with open(head) as f:
+                snap_file = f.read().strip()
+        except FileNotFoundError:
+            if branch:
+                raise ValueError(
+                    f"unknown branch {branch!r} on table {root} "
+                    "(create_branch first, or it was published/dropped)") from None
+            raise
+        with open(os.path.join(meta, snap_file)) as f:
             snap = Snapshot.from_json(json.load(f))
-        return LakeTable(spark, root, snap)
+        return LakeTable(spark, root, snap, branch=branch)
 
     @staticmethod
     def exists(root: str) -> bool:
@@ -391,7 +411,7 @@ class LakeTable:
         design — this guard catches misconfiguration; the one sanctioned
         concurrent pair is ingest + maintenance, where a losing
         compaction REBASES instead of re-running (:meth:`_commit_rewrite`)."""
-        meta = os.path.join(self.root, "_meta")
+        meta = self._meta_dir
         if snap.version > 0:
             expected_parent = snap.parent if snap.parent is not None else snap.version - 1
             expected = f"v{expected_parent:012d}.json"
@@ -694,15 +714,20 @@ class LakeTable:
         with a clear message instead of resurrecting a file
         :meth:`vacuum` may have reclaimed."""
         version = self._resolve_version(version)
-        fname = os.path.join(self.root, "_meta", f"v{version:012d}.json")
-        try:
-            with open(fname) as f:
-                return Snapshot.from_json(json.load(f))
-        except FileNotFoundError:
-            raise ValueError(
-                f"snapshot v{version} is unknown or expired "
-                "(expire_snapshots bounds time-travel history)"
-            ) from None
+        lookups = [self._meta_dir]
+        if self.branch:
+            # pre-fork versions live only on main's chain
+            lookups.append(os.path.join(self.root, "_meta"))
+        for meta in lookups:
+            try:
+                with open(os.path.join(meta, f"v{version:012d}.json")) as f:
+                    return Snapshot.from_json(json.load(f))
+            except FileNotFoundError:
+                continue
+        raise ValueError(
+            f"snapshot v{version} is unknown or expired "
+            "(expire_snapshots bounds time-travel history)"
+        )
 
     def read_at(self, version: int | str, include_meta: bool = False) -> DataFrame:
         """Time-travel read: the table state as of snapshot ``version``
@@ -713,8 +738,9 @@ class LakeTable:
     def history(self) -> list[dict]:
         """Available snapshot history, oldest first (Iceberg's
         ``history`` metadata table). Driver-side O(retained versions) —
-        bounded by :meth:`expire_snapshots`, never O(data)."""
-        meta = os.path.join(self.root, "_meta")
+        bounded by :meth:`expire_snapshots`, never O(data). On a branch
+        table this lists the BRANCH's versions (fork copy onward)."""
+        meta = self._meta_dir
         out = []
         for fn in sorted(os.listdir(meta)):
             if not (fn.startswith("v") and fn.endswith(".json")):
@@ -760,6 +786,7 @@ class LakeTable:
     def tag(self, name: str, version: int | None = None) -> int:
         """Pin ``name`` to ``version`` (default: current head). Re-tagging
         an existing name moves it. Returns the pinned version."""
+        self._require_main("tag")
         if not name or name.isdigit():
             raise ValueError(f"invalid tag name {name!r} (must be "
                              "non-empty and not a bare number)")
@@ -776,6 +803,7 @@ class LakeTable:
     def untag(self, name: str) -> bool:
         """Drop a tag; the version it pinned becomes expirable again.
         Returns whether the tag existed."""
+        self._require_main("untag")
         t = self.tags()
         existed = name in t
         if existed:
@@ -795,6 +823,136 @@ class LakeTable:
                 raise ValueError(f"unknown tag {ref!r} (have: {sorted(t)})")
             return t[ref]
         return ref
+
+    # -------------------------------------------------------- WAP branches
+    # Write-audit-publish (Iceberg branch refs): stage risky commits — a
+    # backfill, a bulk correction, a schema change — on a named branch that
+    # shares the table's data directory but keeps its own snapshot chain
+    # under _meta/branches/<name>/ (own HEAD, own CAS; version numbers
+    # continue main's from the fork, and the separate namespace is what
+    # makes that collision-free). Audit by reading the branch, then
+    # publish: a fast-forward-only swap of main's HEAD onto the branch tip
+    # that first copies the branch's immutable version files onto main's
+    # chain, so post-publish history/time-travel/changes() see every
+    # staged commit. The branch dir holds a full COPY of the fork snapshot,
+    # so a branch stays readable even after main expires the fork version.
+
+    _BRANCH_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
+    def _branches_dir(self) -> str:
+        return os.path.join(self.root, "_meta", "branches")
+
+    def _require_main(self, what: str) -> None:
+        if self.branch:
+            raise ValueError(
+                f"{what} must run on the main table, not branch "
+                f"{self.branch!r} (branch refs and maintenance are "
+                "main-scoped)")
+
+    def branches(self) -> dict[str, dict]:
+        """Live branch refs: name -> {tip, fork} (empty when none)."""
+        bdir = self._branches_dir()
+        out: dict[str, dict] = {}
+        if not os.path.isdir(bdir):
+            return out
+        for name in sorted(os.listdir(bdir)):
+            head = os.path.join(bdir, name, "HEAD")
+            try:
+                with open(head) as f:
+                    tip_fname = f.read().strip()
+                with open(os.path.join(bdir, name, tip_fname)) as f:
+                    tip = Snapshot.from_json(json.load(f))
+            except FileNotFoundError:
+                continue  # mid-create or mid-drop
+            out[name] = {"tip": tip.version,
+                         "fork": int(tip.properties.get("branch_fork_version", "-1"))}
+        return out
+
+    def create_branch(self, name: str, at: int | str | None = None) -> "LakeTable":
+        """Fork a branch at the current head (or at a retained ``at``
+        version/tag) and return the branch's table handle. Everything a
+        table does — merge, replay, corrections, compaction, rollback,
+        reads — works on the handle, committing to the branch only; main
+        is untouched until :meth:`publish_branch`."""
+        self._require_main("create_branch")
+        if not self._BRANCH_NAME_RE.match(name or ""):
+            raise ValueError(f"invalid branch name {name!r} (letters, "
+                             "digits, . _ -, max 64 chars)")
+        target = (self.snapshot if at is None else self.snapshot_at(at))
+        bdir = os.path.join(self._branches_dir(), name)
+        if os.path.exists(os.path.join(bdir, "HEAD")):
+            raise ValueError(f"branch {name!r} already exists "
+                             "(publish or drop it first)")
+        os.makedirs(bdir, exist_ok=True)
+        props = dict(target.properties)
+        props["branch_fork_version"] = str(target.version)
+        fork = Snapshot(
+            version=target.version, columns=target.columns,
+            key_ids=target.key_ids, num_buckets=target.num_buckets,
+            epoch=target.epoch, epoch_schemas=target.epoch_schemas,
+            files=list(target.files), properties=props, parent=target.parent,
+        )
+        bt = LakeTable(self.spark, self.root, fork, branch=name)
+        bt._write_snapshot(fork)  # empty branch dir: missing HEAD passes CAS
+        return bt
+
+    def branch_table(self, name: str) -> "LakeTable":
+        """Load the tip of an existing branch."""
+        self._require_main("branch_table")
+        return LakeTable.load(self.spark, self.root, branch=name)
+
+    def publish_branch(self, name: str) -> dict:
+        """Fast-forward main onto branch ``name``'s tip and drop the
+        branch ref — the WAP 'publish'. Refuses if main has advanced past
+        the fork (this is a fast-forward, not a merge: re-stage on a fresh
+        branch). The branch's version files copy onto main's chain first
+        (immutable JSON, O(branch commits)), so the published window is
+        fully time-travelable and ``changes()`` windows spanning it see
+        real endpoints; the tip copy sheds the branch markers and records
+        ``published_from_branch`` provenance instead."""
+        self._require_main("publish_branch")
+        tip_t = LakeTable.load(self.spark, self.root, branch=name)
+        tip = tip_t.snapshot
+        fork = int(tip.properties.get("branch_fork_version", "-1"))
+        meta = self._meta_dir
+        with open(os.path.join(meta, "HEAD")) as f:
+            main_head = _version_of(f.read().strip(), "v")
+        if main_head != fork:
+            raise ConcurrentCommitError(
+                f"cannot fast-forward: main is at v{main_head} but branch "
+                f"{name!r} forked at v{fork} — main advanced since the "
+                "fork; re-stage the work on a fresh branch")
+        if tip.version == fork:
+            shutil.rmtree(os.path.join(self._branches_dir(), name))
+            return {"published": name, "version": main_head, "commits": 0,
+                    "noop": True}
+        bdir = os.path.join(self._branches_dir(), name)
+        for v in range(fork + 1, tip.version + 1):
+            with open(os.path.join(bdir, f"v{v:012d}.json")) as f:
+                payload = json.load(f)
+            if v == tip.version:
+                payload["properties"].pop("branch_fork_version", None)
+                payload["properties"]["published_from_branch"] = name
+            _excl_write_json(meta, f"v{v:012d}.json", payload,
+                             head_is_behind=lambda cur: _version_of(cur, "v") < v)
+        tmp = os.path.join(meta, f"HEAD.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(f"v{tip.version:012d}.json")
+        os.replace(tmp, os.path.join(meta, "HEAD"))
+        shutil.rmtree(bdir, ignore_errors=True)
+        self.snapshot = self.snapshot_at(tip.version)
+        return {"published": name, "version": tip.version,
+                "commits": tip.version - fork, "noop": False}
+
+    def drop_branch(self, name: str) -> bool:
+        """Abandon a branch: remove its ref; its exclusive data files
+        become orphans for :meth:`vacuum`. Returns whether it existed."""
+        self._require_main("drop_branch")
+        bdir = os.path.join(self._branches_dir(), name)
+        existed = os.path.exists(os.path.join(bdir, "HEAD"))
+        if existed:
+            shutil.rmtree(bdir)
+        return existed
 
     def rollback(self, version: int | str) -> dict:
         """Restore the table to snapshot ``version`` (a number or tag) as a
@@ -1929,9 +2087,10 @@ class LakeTable:
         never a version a :meth:`tag` pins — tagged snapshots ride out
         retention until untagged. Returns the number of snapshot files
         removed."""
+        self._require_main("expire_snapshots")
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        meta = os.path.join(self.root, "_meta")
+        meta = self._meta_dir
         cutoff = self.snapshot.version - keep_last + 1
         pinned = set(self.tags().values())
         removed = 0
@@ -1973,13 +2132,22 @@ class LakeTable:
         the Iceberg remove_orphan_files analogue."""
         import time as _time
 
+        self._require_main("vacuum")
         meta = os.path.join(self.root, "_meta")
+        # live BRANCH snapshots pin files too: a branch's staged-but-not-
+        # published commits reference data files no main snapshot knows
+        scan_dirs = [meta]
+        bdir = self._branches_dir()
+        if os.path.isdir(bdir):
+            scan_dirs += [os.path.join(bdir, b) for b in os.listdir(bdir)
+                          if os.path.isdir(os.path.join(bdir, b))]
         referenced: set[str] = set()
-        for fn in os.listdir(meta):
-            if fn.startswith("v") and fn.endswith(".json"):
-                with open(os.path.join(meta, fn)) as f:
-                    snap = json.load(f)
-                referenced.update(fi["path"] for fi in snap["files"])
+        for d in scan_dirs:
+            for fn in os.listdir(d):
+                if fn.startswith("v") and fn.endswith(".json"):
+                    with open(os.path.join(d, fn)) as f:
+                        snap = json.load(f)
+                    referenced.update(fi["path"] for fi in snap["files"])
         # Commit dirs with at least one live file keep their job sidecars
         # (_SUCCESS markers, Hadoop LocalFileSystem .crc companions) — a
         # .crc left behind for a live parquet would otherwise be swept,
@@ -2150,7 +2318,8 @@ class LakeTable:
             except ConcurrentCommitError:
                 if attempt >= max_retries:
                     raise
-                head = LakeTable.load(self.spark, self.root).snapshot
+                head = LakeTable.load(self.spark, self.root,
+                                      branch=self.branch).snapshot
                 added = [fi for fi in head.files if fi["path"] not in based]
                 if not (
                     head.num_buckets == snap.num_buckets
