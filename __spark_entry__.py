@@ -568,11 +568,16 @@ def q_size_split_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "est_size", "op", "part_idx")
 
 
-def _replay_to_mid(spark: SparkSession, sf_dir: str, prefix: str):
-    """Shared setup for the time-travel / changelog queries: replay the
-    derived stream in 8 gtid-span batches, capturing the snapshot version
-    after batch 4 — the same cutoff arithmetic the DuckDB oracles redo
-    (span = greatest(1, (hi-lo+1)//8); cutoff = (lo//span + 4) * span)."""
+def _replay_to_mid(spark: SparkSession, sf_dir: str, prefix: str,
+                   finish: bool = True):
+    """Shared setup for the time-travel / changelog / WAP queries: replay
+    the derived stream in 8 gtid-span batches, capturing the snapshot
+    version after batch 4 — the same cutoff arithmetic the DuckDB oracles
+    redo (span = greatest(1, (hi-lo+1)//8); cutoff = (lo//span + 4) *
+    span). Returns (table, v_mid, nested, span) so callers that replay
+    further (rollback-forward, branch backfill) reuse the stream and span
+    instead of re-deriving and re-scanning. ``finish=False`` stops at the
+    mid point."""
     flat = derived_changestream(spark, sf_dir)
     nested = to_change_schema(flat)
     b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
@@ -582,8 +587,9 @@ def _replay_to_mid(spark: SparkSession, sf_dir: str, prefix: str):
                              key_cols=["repo", "path"], num_buckets=16)
     ReplayRunner(spark, table, batch_span=span).run(nested, max_batches=4)
     v_mid = table.snapshot.version
-    ReplayRunner(spark, table, batch_span=span).run(nested)
-    return table, v_mid
+    if finish:
+        ReplayRunner(spark, table, batch_span=span).run(nested)
+    return table, v_mid, nested, span
 
 
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,7 +597,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     committed after 4 of 8 replay batches, read back after the head has
     moved on — through a compaction, so the old snapshot's file pins are
     what make the answer, not the live file set."""
-    table, v_mid = _replay_to_mid(spark, sf_dir, "cdc_tt_")
+    table, v_mid, _, _ = _replay_to_mid(spark, sf_dir, "cdc_tt_")
     table.compact()
     return table.read_at(v_mid).select("repo", "path", "commit", "lang", "content")
 
@@ -605,14 +611,10 @@ def q_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     correction — no stream event can resurrect those keys) and the replay
     bookkeeping (the restored watermark re-admits the second half's
     batches under the exactly-once guard)."""
-    table, v_mid = _replay_to_mid(spark, sf_dir, "cdc_rb_")
+    table, v_mid, nested, span = _replay_to_mid(spark, sf_dir, "cdc_rb_")
     table.delete_where("md5(repo || '|' || path) LIKE '1%'")
     r = table.rollback(v_mid)
     assert not r["noop"] and r["restored"] == v_mid
-    flat = derived_changestream(spark, sf_dir)
-    nested = to_change_schema(flat)
-    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
-    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 8)  # _replay_to_mid's arithmetic
     ReplayRunner(spark, table, batch_span=span).run(nested)
     return table.read().select("repo", "path", "commit", "lang", "content")
 
@@ -625,14 +627,8 @@ def q_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     publishes via the fast-forward-only swap. The returned main state
     hash-matches the full-replay oracle ONLY if the staged commits landed
     on the branch and the publish made them main's history."""
-    flat = derived_changestream(spark, sf_dir)
-    nested = to_change_schema(flat)
-    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
-    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 8)
-    tmp = _mkdtemp("cdc_wap_")
-    table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
-                             key_cols=["repo", "path"], num_buckets=16)
-    ReplayRunner(spark, table, batch_span=span).run(nested, max_batches=4)
+    table, _, nested, span = _replay_to_mid(spark, sf_dir, "cdc_wap_",
+                                            finish=False)
     v_main, wm_main = table.snapshot.version, table.watermark_gtid
     branch = table.create_branch("backfill")
     ReplayRunner(spark, branch, batch_span=span).run(nested)
@@ -724,7 +720,7 @@ def q_changes_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     + touched-bucket join, never a full-table read) is asserted, and the
     DuckDB oracle recomputes the full-state diff — fast path vs
     semantic ground truth."""
-    table, v_mid = _replay_to_mid(spark, sf_dir, "cdc_changes_")
+    table, v_mid, _, _ = _replay_to_mid(spark, sf_dir, "cdc_changes_")
     assert table.changes_plan(v_mid) == "incremental"
     return table.changes(v_mid).select(
         "repo", "path", "commit", "lang", "content",

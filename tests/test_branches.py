@@ -183,6 +183,107 @@ def test_branch_fork_at_older_version_and_expire(spark, tmp_path):
         t.publish_branch("old")
 
 
+def test_branch_time_travel_bounded_at_fork(spark, tmp_path):
+    """The main-chain fallback for branch time travel stops AT the fork:
+    main's post-fork versions belong to a lineage the branch never
+    contained and must read as unknown, not silently served (and a branch
+    rollback() onto one would mix lineages)."""
+    t = _mk(spark, tmp_path)
+    for i in range(1, 9):
+        t.merge(_changes(spark, [("r1", "a.py", f"c{i}", "py", f"v{i}",
+                                  "INSERT" if i == 1 else "UPDATE", i)]),
+                batch_id=i, mode="mor")
+    b = t.create_branch("old", at=2)
+    assert b.read_at(2).collect()[0]["content"] == "v2"   # fork copy
+    assert b.read_at(1).collect()[0]["content"] == "v1"   # pre-fork, via main
+    for bad in (5, 8):  # main's divergent versions
+        with pytest.raises(ValueError, match="unknown or expired"):
+            b.read_at(bad)
+        with pytest.raises(ValueError, match="unknown or expired"):
+            b.rollback(bad)
+
+
+def test_branch_rollback_prefork_keeps_fork_marker(spark, tmp_path):
+    """rollback() on a branch to a PRE-fork (main-chain) target must
+    re-stamp branch_fork_version — the target's main properties lack it,
+    and losing it bricks publish_branch / misreports branches()."""
+    t = _mk(spark, tmp_path)
+    for i in (1, 2, 3):
+        t.merge(_changes(spark, [("r1", "a.py", f"c{i}", "py", f"v{i}",
+                                  "INSERT" if i == 1 else "UPDATE", i)]),
+                batch_id=i, mode="mor")
+    b = t.create_branch("fix")  # fork at main head v3
+    b.merge(_changes(spark, [("r1", "a.py", "cx", "py", "bad", "UPDATE", 4)]),
+            batch_id=4, mode="mor")
+    rb = b.rollback(2)  # undo everything staged, back to a pre-fork state
+    assert not rb["noop"]
+    assert b.read().collect()[0]["content"] == "v2"
+    assert t.branches()["fix"]["fork"] == 3
+    r = t.publish_branch("fix")  # main head == fork: fast-forward works
+    assert not r["noop"]
+    assert LakeTable.load(spark, t.root).read().collect()[0]["content"] == "v2"
+
+
+def test_publish_retry_after_crash_before_cleanup(spark, tmp_path):
+    """A publish that swapped main's HEAD but crashed before removing the
+    branch ref must be retryable: the retry detects main already carries
+    this exact tip (provenance + content) and finishes the cleanup."""
+    import shutil
+
+    t = _mk(spark, tmp_path)
+    t.merge(_changes(spark, [("r1", "a.py", "c1", "py", "v1", "INSERT", 1)]),
+            batch_id=1, mode="mor")
+    b = t.create_branch("bf")
+    b.merge(_changes(spark, [("r2", "b.py", "c2", "py", "v2", "INSERT", 2)]),
+            batch_id=2, mode="mor")
+    bdir = os.path.join(t.root, "_meta", "branches", "bf")
+    saved = str(tmp_path / "saved_ref")
+    shutil.copytree(bdir, saved)
+    t.publish_branch("bf")
+    shutil.copytree(saved, bdir)  # resurrect the ref = the crash window
+    t2 = LakeTable.load(spark, t.root)
+    r = t2.publish_branch("bf")
+    assert r["noop"] and r["published"] == "bf" and r["version"] == 2
+    assert t2.branches() == {}
+    assert {x["repo"] for x in t2.read().collect()} == {"r1", "r2"}
+    # but a REAL divergence (same tip version, different content) refuses
+    b2 = t2.create_branch("bf", at=1)
+    b2.merge(_changes(spark, [("r3", "c.py", "c3", "py", "v3", "INSERT", 3)]),
+             batch_id=3, mode="mor")  # tip v2 == main head v2, different state
+    with pytest.raises(ConcurrentCommitError, match="fast-forward"):
+        t2.publish_branch("bf")
+
+
+def test_cli_branch_drop_requires_name(spark, tmp_path):
+    import argparse
+
+    from th2_listener_mysql_binlog_go_spark.__main__ import cmd_branch
+
+    t = _mk(spark, tmp_path)
+    ns = argparse.Namespace(table=t.root, name=None, at=None,
+                            drop=True, list=False)
+    with pytest.raises(SystemExit, match="--name is required"):
+        cmd_branch(ns)
+
+
+def test_publish_strips_fork_marker_from_all_copied_versions(spark, tmp_path):
+    """Intermediate published versions must not carry branch_fork_version
+    onto main's chain: a later main rollback() to one would resurrect the
+    marker into main's live property chain forever."""
+    t = _mk(spark, tmp_path)
+    b = t.create_branch("multi")
+    for i in (1, 2, 3):
+        b.merge(_changes(spark, [("r1", "a.py", f"c{i}", "py", f"v{i}",
+                                  "INSERT" if i == 1 else "UPDATE", i)]),
+                batch_id=i, mode="mor")
+    t.publish_branch("multi")
+    t2 = LakeTable.load(spark, t.root)
+    for v in (1, 2, 3):
+        assert "branch_fork_version" not in t2.snapshot_at(v).properties
+    t2.rollback(2)
+    assert "branch_fork_version" not in t2.snapshot.properties
+
+
 def test_publish_empty_branch_is_noop(spark, tmp_path):
     t = _mk(spark, tmp_path)
     t.create_branch("idle")

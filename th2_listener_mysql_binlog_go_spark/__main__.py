@@ -480,6 +480,8 @@ def cmd_branch(args) -> dict:
     t = LakeTable.load(spark, args.table)
     if args.list:
         return {"table": args.table, "branches": t.branches()}
+    if not args.name:
+        raise SystemExit("branch: --name is required unless --list is given")
     if args.drop:
         return {"table": args.table, "dropped": args.name,
                 "existed": t.drop_branch(args.name)}

@@ -716,8 +716,15 @@ class LakeTable:
         version = self._resolve_version(version)
         lookups = [self._meta_dir]
         if self.branch:
-            # pre-fork versions live only on main's chain
-            lookups.append(os.path.join(self.root, "_meta"))
+            # Pre-fork versions live only on main's chain — but the
+            # fallback is BOUNDED at the fork: past it, main's versions
+            # belong to a lineage this branch never contained (main may
+            # advance concurrently), and serving them as branch time
+            # travel would silently mix lineages.
+            fork = int(self.snapshot.properties.get(
+                "branch_fork_version", "-1"))
+            if 0 <= version <= fork:
+                lookups.append(os.path.join(self.root, "_meta"))
         for meta in lookups:
             try:
                 with open(os.path.join(meta, f"v{version:012d}.json")) as f:
@@ -918,6 +925,34 @@ class LakeTable:
         with open(os.path.join(meta, "HEAD")) as f:
             main_head = _version_of(f.read().strip(), "v")
         if main_head != fork:
+            # Crash-idempotency: a prior publish that swapped main's HEAD
+            # but died before removing the branch ref leaves main at the
+            # tip with the tip's provenance marker. Detect that exact
+            # shape and finish the cleanup instead of refusing.
+            done = False
+            if main_head == tip.version:
+                try:
+                    with open(os.path.join(
+                            meta, f"v{main_head:012d}.json")) as f:
+                        mpay = json.load(f)
+                    # provenance name alone could false-positive if a
+                    # same-named branch was re-forked at an older version
+                    # after an earlier publish — require the main copy to
+                    # BE this tip (same transform publish applies below)
+                    expect = json.loads(json.dumps(tip.to_json()))
+                    expect["properties"].pop("branch_fork_version", None)
+                    expect["properties"]["published_from_branch"] = name
+                    done = (mpay.get("properties", {}).get(
+                                "published_from_branch") == name
+                            and mpay == expect)
+                except (FileNotFoundError, json.JSONDecodeError):
+                    done = False
+            if done:
+                shutil.rmtree(os.path.join(self._branches_dir(), name),
+                              ignore_errors=True)
+                self.snapshot = self.snapshot_at(tip.version)
+                return {"published": name, "version": tip.version,
+                        "commits": tip.version - fork, "noop": True}
             raise ConcurrentCommitError(
                 f"cannot fast-forward: main is at v{main_head} but branch "
                 f"{name!r} forked at v{fork} — main advanced since the "
@@ -930,8 +965,11 @@ class LakeTable:
         for v in range(fork + 1, tip.version + 1):
             with open(os.path.join(bdir, f"v{v:012d}.json")) as f:
                 payload = json.load(f)
+            # the fork marker must not leak onto main's chain from ANY
+            # copied version: a later main rollback() to an intermediate
+            # one would resurrect it into main's live property chain
+            payload["properties"].pop("branch_fork_version", None)
             if v == tip.version:
-                payload["properties"].pop("branch_fork_version", None)
                 payload["properties"]["published_from_branch"] = name
             _excl_write_json(meta, f"v{v:012d}.json", payload,
                              head_is_behind=lambda cur: _version_of(cur, "v") < v)
@@ -998,6 +1036,13 @@ class LakeTable:
         # provenance marker; carries forward like any property, reading as
         # "this lineage's most recent rollback restored that version"
         props["rollback_of"] = str(target.version)
+        if self.branch:
+            # A pre-fork target's properties come from MAIN's chain and
+            # carry no fork marker; dropping it would brick
+            # publish_branch (fork reads as -1) and branches(). The
+            # branch's own head always has it — re-stamp.
+            props["branch_fork_version"] = head.properties[
+                "branch_fork_version"]
         self._write_snapshot(Snapshot(
             version=head.version + 1, columns=target.columns,
             key_ids=target.key_ids, num_buckets=target.num_buckets,
