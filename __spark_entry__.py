@@ -873,6 +873,59 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-corpus pipeline a 100-TB data-curation run
+    actually executes, composed from the engine's first-class pieces in
+    one declarative plan:
+
+      1. text analysis   — lang-id, quality score, BPE-ish token count,
+                           canonical fingerprint (pure Catalyst);
+      2. quality gate    — keep quality >= 0.75 and identified language;
+      3. exact dedup     — one row per canonical fingerprint (min id);
+      4. near-dup dedup  — MinHash-LSH pairs -> connected components ->
+                           keep the component representative;
+      5. sequence pack   — size-balanced packing by token budget (2048
+                           BPE tokens/pack) via the two-level cumsum.
+
+    Every stage shuffles on a bounded key (fp / band bucket / chunk id),
+    never all-pairs; the only driver traffic is the O(chunks) pack
+    offsets. The DuckDB oracle recomputes the full pipeline — stats,
+    gates, both dedups (recursive-CTE closure), and the pack prefix-sum —
+    so the hash gate certifies stage COMPOSITION, not just each stage."""
+    from th2_listener_mysql_binlog_go_spark.functions.multimodal import (
+        size_balanced_pack_ids,
+    )
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    stats = d.select(
+        "doc_id", "text",
+        tx.lang_id(F.col("text")).alias("lang_guess"),
+        tx.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        tx.quality_score(F.col("text")).alias("quality"),
+        tx.fingerprint(F.col("text")).alias("fp"),
+    )
+    gated = stats.filter((F.col("quality") >= 0.75)
+                         & (F.col("lang_guess") != "und"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    uniq = (gated.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+    pairs = dd.minhash_lsh_pairs(uniq.select("doc_id", "text"),
+                                 n_hashes=16, bands=4, k=5, min_sig_sim=0.5)
+    comp = dd.neardup_components(pairs)  # small: only docs in some pair
+    kept = (uniq.join(F.broadcast(comp), uniq["doc_id"] == comp["id"], "left")
+            .filter(F.col("component").isNull()
+                    | (F.col("component") == F.col("doc_id"))))
+    packed, _ = size_balanced_pack_ids(
+        kept.select("doc_id", "lang_guess", "quality", "n_bpe_tokens"),
+        bytes_col="n_bpe_tokens", order_col="doc_id", target_bytes=2048)
+    return packed.select(
+        "doc_id", "lang_guess", "quality",
+        F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.col("_pack_id").cast("bigint").alias("pack_id"),
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for the 10 lowest-id vectors."""
     e = _embs(spark, sf_dir)
@@ -1023,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_text_stats": q_doc_text_stats,
         "doc_winnow": q_doc_winnow,
+        "train_corpus": q_train_corpus,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1040,6 +1094,12 @@ _NORM_DUCK = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), "
     "'\\s+', ' ', 'g'))"
 )
+def _shingle_ctes(src: str = "documents") -> str:
+    """The 5-gram shingle CTE chain, rooted on ``src`` (any relation with
+    doc_id + text) so pipeline oracles can shingle a filtered subset."""
+    return _SHINGLE_CTES.replace("FROM documents", f"FROM {src}", 1)
+
+
 _SHINGLE_CTES = f"""
 norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
 toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
@@ -1065,7 +1125,8 @@ SELECT doc_id, fp, dup_count FROM g WHERE rn = 1
 """.strip()
 
 
-def _minhash_oracle(n_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_oracle(n_hashes: int = 16, bands: int = 4,
+                    src: str = "documents") -> str:
     from th2_listener_mysql_binlog_go_spark.functions.dedup import MINHASH_P, minhash_coeffs
 
     coeffs = minhash_coeffs(n_hashes)
@@ -1082,7 +1143,7 @@ def _minhash_oracle(n_hashes: int = 16, bands: int = 4) -> str:
     )
     agree = " + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(n_hashes))
     return f"""
-WITH {_SHINGLE_CTES},
+WITH {_shingle_ctes(src)},
 bs AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT % {MINHASH_P} AS b FROM sh),
 sig AS (SELECT doc_id, {hs} FROM bs GROUP BY doc_id),
 bands AS ({band_selects}),
@@ -1171,6 +1232,58 @@ reach(id, r) AS (
   SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
 )
 SELECT id, min(r) AS component FROM reach GROUP BY id
+""".strip()
+
+
+def _train_corpus_oracle() -> str:
+    """The full curation pipeline recomputed in DuckDB: text stats ->
+    quality/lang gate -> exact dedup -> MinHash-LSH components (recursive
+    closure) -> keep representatives -> token-budget packing as a plain
+    exclusive prefix sum (mathematically identical to the engine's
+    two-level chunked cumsum)."""
+    return f"""
+WITH RECURSIVE
+stats AS (
+{_text_stats_oracle()}
+),
+gated AS (
+  SELECT s.doc_id, s.lang_guess, s.quality, s.n_bpe_tokens, d.text,
+         s.fp
+  FROM stats s JOIN documents d USING (doc_id)
+  WHERE s.quality >= 0.75 AND s.lang_guess <> 'und'
+),
+uniq AS (
+  SELECT doc_id, lang_guess, quality, n_bpe_tokens, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+mh AS (
+{_minhash_oracle(src="uniq")}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM mh
+  UNION
+  SELECT id_b AS a, id_a AS b FROM mh
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+kept AS (
+  SELECT u.doc_id, u.lang_guess, u.quality, u.n_bpe_tokens
+  FROM uniq u LEFT JOIN comp c ON c.id = u.doc_id
+  WHERE c.component IS NULL OR c.component = u.doc_id
+)
+SELECT doc_id, lang_guess, quality,
+  CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+  CAST(floor(coalesce(sum(n_bpe_tokens) OVER (ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
+       AS BIGINT) AS pack_id
+FROM kept
 """.strip()
 
 
@@ -1774,6 +1887,7 @@ FROM documents
         "doc_ngram_jaccard": _jaccard_oracle(),
         "doc_text_stats": _text_stats_oracle(),
         "doc_winnow": _winnow_oracle(),
+        "train_corpus": _train_corpus_oracle(),
         "ann_cosine_topk": _ann_oracle(),
         "ann_lsh_topk": _ann_planted_oracle(),
         "ann_ivf_topk": _ann_planted_oracle(),
