@@ -712,6 +712,45 @@ def q_key_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_is_current").cast("int").alias("is_current"))
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS-OF) join: replay the stream into a
+    full-retention MOR lake, then join a deterministic probe set
+    (every md5-prefix-0 key at three positions across the gtid range) to
+    the row image current AS OF each position via
+    :meth:`LakeTable.asof_join` — ONE window over the union of probes
+    and the bucket-pruned event log, never an O(probes x versions) range
+    join. Inclusive at the position; a last-event DELETE yields NULL
+    payload with ``match_op='DELETE'`` (deleted-then vs never-existed
+    stays distinguishable). The training-pipeline use: label at time t
+    joins features as of t — no leakage. DuckDB recomputes every probe's
+    winner from the raw stream with an inequality join + row_number."""
+    from th2_listener_mysql_binlog_go_spark.operators.apply import ApplyConfig
+
+    flat = derived_changestream(spark, sf_dir)
+    nested = to_change_schema(flat)
+    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
+    lo, hi = int(b["lo"]), int(b["hi"])
+    span = max(1, (hi - lo + 1) // 4)
+    tmp = _mkdtemp("cdc_asof_")
+    table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
+                             key_cols=["repo", "path"], num_buckets=16)
+    ReplayRunner(spark, table, batch_span=span,
+                 config=ApplyConfig(auto_compact_deltas=None)).run(nested)
+    keys = (flat.filter(
+        (F.col("schema_name") == "repos") & (F.col("table_name") == "files")
+        & F.col("op").isin("INSERT", "UPDATE", "DELETE"))
+        .select("repo", "path").distinct()
+        .filter(F.md5(F.concat_ws("|", "repo", "path")).startswith("0")))
+    positions = [lo + ((hi - lo) * j) // 4 for j in (1, 2, 3)]
+    probes = keys.crossJoin(
+        spark.createDataFrame([(p,) for p in positions], "as_of_gtid long"))
+    out = table.asof_join(probes)
+    return out.select(
+        "repo", "path", "as_of_gtid", "commit", "lang", "content",
+        F.col("_match_gtid").cast("bigint").alias("match_gtid"),
+        F.col("_match_op").alias("match_op"))
+
+
 def q_changes_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The lake as a CDC *source* (Iceberg changelog / Delta CDF
     analogue): net row-level changes between the mid-replay snapshot and
@@ -1066,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_branch_wap": q_branch_wap,
         "cdc_point_lookup": q_point_lookup,
         "cdc_key_history": q_key_history,
+        "cdc_asof_join": q_asof_join,
         "cdc_changes_diff": q_changes_diff,
         "cdc_incremental_agg": q_incremental_agg,
         "cdc_minmax_agg": q_minmax_agg,
@@ -1657,6 +1697,39 @@ hist AS (
 SELECT repo, path, commit, lang, content, op, gtid,
        CASE WHEN rn = 1 AND op <> 'DELETE' THEN 1 ELSE 0 END AS is_current
 FROM hist
+""".strip(),
+        "cdc_asof_join": f"""
+WITH {stream}, {observed},
+dml AS (SELECT * FROM observed WHERE op IN ('INSERT','UPDATE','DELETE')),
+b AS (SELECT min(gtid) AS lo, max(gtid) AS hi FROM stream),
+keys AS (
+  SELECT DISTINCT repo, path FROM dml
+  WHERE md5(repo || '|' || path) LIKE '0%'
+),
+probes AS (
+  SELECT k.repo, k.path,
+         b.lo + ((b.hi - b.lo) * j.j) // 4 AS as_of_gtid
+  FROM keys k, b, (SELECT unnest([1, 2, 3]) AS j) j
+),
+winners AS (
+  SELECT p.repo, p.path, p.as_of_gtid,
+         d.commit, d.lang, d.content, d.gtid, d.op,
+         row_number() OVER (
+           PARTITION BY p.repo, p.path, p.as_of_gtid
+           ORDER BY d.gtid DESC) AS rn
+  FROM probes p
+  JOIN dml d ON d.repo = p.repo AND d.path = p.path
+            AND d.gtid <= p.as_of_gtid
+)
+SELECT p.repo, p.path, p.as_of_gtid,
+       CASE WHEN w.op = 'DELETE' THEN NULL ELSE w.commit END AS commit,
+       CASE WHEN w.op = 'DELETE' THEN NULL ELSE w.lang END AS lang,
+       CASE WHEN w.op = 'DELETE' THEN NULL ELSE w.content END AS content,
+       CASE WHEN w.op = 'DELETE' THEN NULL ELSE w.gtid END AS match_gtid,
+       w.op AS match_op
+FROM probes p
+LEFT JOIN (SELECT * FROM winners WHERE rn = 1) w
+  ON w.repo = p.repo AND w.path = p.path AND w.as_of_gtid = p.as_of_gtid
 """.strip(),
         "cdc_changes_diff": f"""
 WITH {stream}, {observed},

@@ -705,6 +705,103 @@ class LakeTable:
                          ).alias("_is_current"))
                 .orderBy(F.col(GTID_COL), F.col(SEQ_COL)))
 
+    def events_log(self, snapshot: Snapshot | None = None,
+                   buckets: set[int] | None = None) -> DataFrame:
+        """Table-wide retained change-event log: :meth:`key_history`'s
+        read generalized to every key (no winner flag, no per-key
+        ordering) — the input relation of :func:`..operators.asof.
+        asof_join` and of any consumer that replays history itself.
+
+        One row per RETAINED applied change event — table columns +
+        ``(_gtid, _seq, _op)``, ``_op`` = ``KEEP`` for rows folded into a
+        base file (the surviving image at its original position). Same
+        retention disclosure as :meth:`key_history`: history reaches back
+        to each bucket's last fold (compaction / CoW rewrite), and rows
+        at or below a TRUNCATE marker are dead. ``buckets`` prunes the
+        scan to those buckets' files (probe-side pruning for as-of
+        joins); the plan is scan + union only — NO shuffle, no window."""
+        snap = snapshot or self.snapshot
+        trunc = int(snap.properties.get("truncate_gtid", "-1"))
+        files = (snap.files if buckets is None
+                 else [fi for fi in snap.files if fi["bucket"] in buckets])
+        live = [fi for fi in files if not self._gtid_dead(fi, trunc)]
+        base = self._read_mapped(
+            snap, [fi for fi in live if fi.get("kind", "base") == "base"],
+            with_op=False)
+        if base is not None:
+            base = base.withColumn(OP_COL, F.lit(_KEEP))
+        delta = self._read_mapped(
+            snap, [fi for fi in live if fi.get("kind") == "delta"],
+            with_op=True)
+        df = (base.unionByName(delta)
+              if base is not None and delta is not None else (base or delta))
+        if df is None:
+            df = self.spark.createDataFrame(
+                [], _struct_of(snap.columns, with_op=True))
+        if trunc >= 0:
+            df = df.filter(F.col(GTID_COL) > trunc)
+        cols = [c.name for c in snap.columns]
+        return df.select(*cols, F.col(GTID_COL), F.col(SEQ_COL),
+                         F.col(OP_COL))
+
+    def asof_join(self, probes: DataFrame, pos_col: str = "as_of_gtid",
+                  how: str = "left", snapshot: Snapshot | None = None,
+                  keyset_pushdown_max: int = 4096,
+                  pos_max: int | None = None) -> DataFrame:
+        """Point-in-time join: each probe row ``(key..., pos_col)`` gets
+        the row image current AS OF that position (see
+        :mod:`..operators.asof` for semantics and the single-window plan).
+
+        Scale levers, both optional and exactness-preserving:
+
+        - when the probes' distinct keyset fits ``keyset_pushdown_max``
+          (ONE bounded driver job, the ``changes()`` keyset-pushdown
+          protocol), the log scan prunes to the PROBED buckets and a
+          per-column membership prefilter reaches the parquet scans —
+          a small probe set over a billion-row table reads only its own
+          buckets' files;
+        - ``pos_max`` (a known upper bound on probe positions, e.g. the
+          batch watermark) plan-time-drops every file whose stamped
+          commit-level ``gtid_lo`` exceeds it and row-filters the rest
+          (envelope semantics: unstamped files are never dropped).
+        """
+        from ..operators.asof import asof_join as _asof
+
+        snap = snapshot or self.snapshot
+        keys = snap.key_names
+        missing = [k for k in keys if k not in probes.columns]
+        if missing:
+            raise ValueError(f"probes lack key columns {missing}")
+        buckets = None
+        membership = None
+        if keyset_pushdown_max and keyset_pushdown_max > 0:
+            sample = (probes.select(*keys).distinct()
+                      .limit(keyset_pushdown_max + 1).collect())
+            if len(sample) <= keyset_pushdown_max:
+                st = _struct_of(snap.columns)
+                kdf = self.spark.createDataFrame(
+                    [tuple(r[k] for k in keys) for r in sample],
+                    T.StructType([T.StructField(k, st[k].dataType)
+                                  for k in keys]))
+                bucket_of = self._bucket_expr_of(keys, snap.num_buckets)
+                buckets = {r["b"] for r in
+                           kdf.select(bucket_of.alias("b"))
+                           .distinct().collect()}
+                membership = self._membership_cond(
+                    [dict(zip(keys, (r[k] for k in keys))) for r in sample],
+                    keys)
+        sub = snap
+        if pos_max is not None:
+            sub = snap.sub([fi for fi in snap.files
+                            if fi.get("gtid_lo") is None
+                            or fi["gtid_lo"] <= pos_max])
+        log = self.events_log(snapshot=sub, buckets=buckets)
+        if membership is not None:
+            log = log.filter(membership)
+        if pos_max is not None:
+            log = log.filter(F.col(GTID_COL) <= pos_max)
+        return _asof(log, probes, list(keys), pos_col=pos_col, how=how)
+
     # ------------------------------------------------------- time travel / CDC-out
 
     def snapshot_at(self, version: int | str) -> Snapshot:
