@@ -159,6 +159,34 @@ def test_asof_operator_contract_errors(spark, tmp_path):
         t.asof_join(_probes(spark, [("r1", "a", 5)]), how="outer")
 
 
+def test_cli_asof(spark, tmp_path):
+    """The asof CLI subcommand (in-process main(); spark-submit surface
+    covered by the journey test) answers the single-probe form, both
+    modes: a live image, and a deleted-as-of-then probe."""
+    import contextlib
+    import io
+    import json
+
+    from th2_listener_mysql_binlog_go_spark.__main__ import main
+
+    _table(spark, tmp_path, "tcli")  # the CLI loads it fresh
+
+    def run(at):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(["asof", "--table", str(tmp_path / "tcli"),
+                       "--values", "r1,a", "--at", str(at)])
+        assert rc == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    live = run(25)
+    assert live["rows"][0]["commit"] == "c2"
+    assert live["rows"][0]["_match_op"] == "UPDATE"
+    dead = run(30)
+    assert dead["rows"][0]["commit"] is None
+    assert dead["rows"][0]["_match_op"] == "DELETE"
+
+
 def test_asof_carry_through_and_plain_operator(spark, tmp_path):
     # the pure-function form works on any event-shaped DF, and probe
     # carry-through columns (a label, an event id) survive untouched

@@ -34,6 +34,7 @@ the persisted watermark):
   tag             pin/move/drop a named tag on a snapshot version
   lookup          bucket-pruned point read of one key
   key-history     per-key audit: every retained change event, winner flagged
+  asof            point-in-time read: the key's image current as of a gtid
   changes         net row-level changes between two snapshots -> parquet
   view-create     materialize a GROUP BY aggregate view over a table
   view-refresh    advance a view from the source changelog (incremental)
@@ -351,6 +352,35 @@ def cmd_key_history(args) -> dict:
     rows = [r.asDict() for r in t.key_history(*vals, snapshot=snap).collect()]
     return {"table": args.table, "keys": dict(zip(t.snapshot.key_names, vals)),
             "events": rows}
+
+
+def cmd_asof(args) -> dict:
+    """Point-in-time read: one key's image current AS OF a position —
+    the single-probe form of ``LakeTable.asof_join`` (bucket-pruned log
+    scan + one tiny window). ``match_op`` distinguishes 'deleted as of
+    then' (DELETE) from 'never existed' (null)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from .plans.lake import LakeTable
+
+    spark = _spark("cdc-asof")
+    t = LakeTable.load(spark, args.table)
+    snap = t.snapshot_at(args.version) if args.version is not None else None
+    keys = t.snapshot.key_names
+    vals = args.values.split(",")
+    if len(vals) != len(keys):
+        raise SystemExit(
+            f"expected {len(keys)} key values {tuple(keys)}, got {len(vals)}")
+    st = T.StructType([T.StructField(k, T.StringType()) for k in keys]
+                      + [T.StructField("as_of_gtid", T.LongType())])
+    probes = spark.createDataFrame([tuple(vals) + (int(args.at),)], st)
+    key_types = {c.name: c.type for c in t.snapshot.columns}
+    for k in keys:  # string CLI values -> the table's key types
+        probes = probes.withColumn(k, F.col(k).cast(key_types[k]))
+    rows = [r.asDict() for r in t.asof_join(probes, snapshot=snap).collect()]
+    return {"table": args.table, "keys": dict(zip(keys, vals)),
+            "as_of_gtid": int(args.at), "rows": rows}
 
 
 def cmd_tag(args) -> dict:
@@ -755,6 +785,16 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--version", type=_ver, default=None,
                     help="snapshot version or tag name (default: head)")
     sp.set_defaults(fn=cmd_key_history)
+
+    sp = sub.add_parser("asof")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--values", required=True,
+                    help="comma-separated key values in key-column order")
+    sp.add_argument("--at", required=True, type=int,
+                    help="gtid position the read is as of (inclusive)")
+    sp.add_argument("--version", type=_ver, default=None,
+                    help="snapshot version or tag name (default: head)")
+    sp.set_defaults(fn=cmd_asof)
 
     sp = sub.add_parser("tag")
     sp.add_argument("--table", required=True)
