@@ -159,6 +159,77 @@ def test_asof_operator_contract_errors(spark, tmp_path):
         t.asof_join(_probes(spark, [("r1", "a", 5)]), how="outer")
 
 
+import pytest
+
+from th2_listener_mysql_binlog_go_spark.sources.changestream import (
+    synthetic_changestream,
+)
+from th2_listener_mysql_binlog_go_spark.streaming.runner import ReplayRunner
+from th2_listener_mysql_binlog_go_spark.operators.apply import ApplyConfig
+
+FULL_SCHEMA = [("repo", "string"), ("path", "string"), ("commit", "string"),
+               ("lang", "string"), ("content", "string")]
+
+
+@pytest.mark.parametrize("seed,n,nr,np_,t10k,buckets", [
+    (23, 1500, 3, 5, 0, 2),    # tiny keyspace: deep per-key histories
+    (29, 2500, 60, 80, 40, 8), # truncate-dense: marker kills old probes
+])
+def test_randomized_asof_matches_python_oracle(spark, tmp_path, seed, n,
+                                               nr, np_, t10k, buckets):
+    """Seeded randomized property: for random streams and random probe
+    positions (including beyond-max and pre-history), asof_join equals a
+    pure-Python per-key replay-to-position oracle — the same protocol as
+    test_property_replay, extended with the time axis."""
+    stream = synthetic_changestream(
+        spark, n, n_repos=nr, n_paths=np_, seed=seed,
+        truncate_per_10k=t10k, with_truncate=t10k > 0)
+    table = LakeTable.create(spark, str(tmp_path / "t"), FULL_SCHEMA,
+                             ["repo", "path"], num_buckets=buckets)
+    ReplayRunner(spark, table, batch_span=max(n // 5, 1),
+                 config=ApplyConfig(auto_compact_deltas=None)).run(stream)
+    trunc = int(table.snapshot.properties.get("truncate_gtid", "-1"))
+
+    events = [
+        {"gtid": r["gtid"], "op": r["op"], "table_name": r["table_name"],
+         "schema_name": r["schema_name"],
+         "row": (r["after"] or r["before"]).asDict()
+         if (r["after"] or r["before"]) else None}
+        for r in stream.collect()
+    ]
+    dml = sorted(
+        (e for e in events
+         if e["op"] in ("INSERT", "UPDATE", "DELETE")
+         and e["schema_name"] == "repos" and e["table_name"] == "files"),
+        key=lambda e: e["gtid"])
+    by_key = {}
+    for e in dml:
+        by_key.setdefault((e["row"]["repo"], e["row"]["path"]), []).append(e)
+
+    keys = sorted(by_key)[::3]
+    probe_rows, expected = [], {}
+    for i, (repo, path) in enumerate(keys):
+        g = (seed * 7919 + i * 104729) % (n + n // 5)
+        probe_rows.append((repo, path, g))
+        winner = None
+        for e in by_key[(repo, path)]:
+            if e["gtid"] <= g and e["gtid"] > trunc:
+                winner = e
+        if winner is None:
+            expected[(repo, path, g)] = (None, None, None)
+        elif winner["op"] == "DELETE":
+            expected[(repo, path, g)] = (None, None, "DELETE")
+        else:
+            expected[(repo, path, g)] = (
+                winner["row"]["commit"], winner["gtid"], winner["op"])
+    probes = spark.createDataFrame(
+        probe_rows, "repo string, path string, as_of_gtid long")
+    got = {(r["repo"], r["path"], r["as_of_gtid"]):
+           (r["commit"], r["_match_gtid"], r["_match_op"])
+           for r in table.asof_join(probes).collect()}
+    assert got == expected
+
+
 def test_cli_asof(spark, tmp_path):
     """The asof CLI subcommand (in-process main(); spark-submit surface
     covered by the journey test) answers the single-probe form, both
