@@ -159,6 +159,22 @@ def test_asof_operator_contract_errors(spark, tmp_path):
         t.asof_join(_probes(spark, [("r1", "a", 5)]), how="outer")
 
 
+def test_asof_plan_one_exchange_no_join(spark, tmp_path):
+    """The documented plan shape, pinned: the probes+log union flows
+    through exactly ONE hash exchange into the window — no join node of
+    any kind, no range-join blowup, no per-probe jobs."""
+    import re
+
+    ev = spark.createDataFrame(
+        [("k1", "v1", 10, 1, "INSERT")],
+        "k string, val string, _gtid long, _seq long, _op string")
+    probes = spark.createDataFrame([("k1", 15)], "k string, as_of_gtid long")
+    plan = (asof_join(ev, probes, ["k"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert len(re.findall(r"Exchange", plan)) == 1, plan
+    assert not re.findall(r"\w*Join\w*", plan), plan
+
+
 import pytest
 
 from th2_listener_mysql_binlog_go_spark.sources.changestream import (

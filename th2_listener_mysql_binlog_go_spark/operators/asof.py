@@ -15,9 +15,10 @@ union them, and run ONE window per key ordered by ``(position,
 side, _seq)`` carrying ``last(image, ignorenulls=True)`` — every probe
 row picks up the latest preceding event image in a single pass.
 
-- one hash exchange per side on the key columns (the events side is
-  already bucketed by key hash on disk), one sort inside the window —
-  no O(probes x versions) inequality-join blowup, no per-probe jobs;
+- ONE hash exchange total — the union flows through a single
+  key-hash shuffle into the window (pinned by a plan test: 1 Exchange,
+  0 join nodes) — no O(probes x versions) inequality-join blowup, no
+  per-probe jobs;
 - cost is O((events + probes) log) per key group, independent of how
   far back probes reach;
 - at 100 TB the events side prunes to the PROBED buckets when the probe
