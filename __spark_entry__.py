@@ -887,6 +887,38 @@ def q_doc_dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.neardup_components(pairs, max_iters=1).select("id", "component")
 
 
+def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5-threshold hashing
+    (functions/sampling.py): exact, order-independent, stable under
+    repartitioning — the reproducible held-out-split step Spark's own
+    randomSplit/sampleBy can't give. Zero shuffles (one codegen'd
+    projection); the DuckDB oracle recomputes every assignment from the
+    same md5 + integer-threshold arithmetic."""
+    from th2_listener_mysql_binlog_go_spark.functions import sampling as sp
+
+    d = _docs(spark, sf_dir)
+    out = sp.deterministic_split(
+        d, "doc_id", {"train": 98, "val": 1, "test": 1}, seed=7)
+    return out.select("doc_id", "lang", "split")
+
+
+def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling under a row budget (static data
+    mixing): equal target shares over five languages, per-domain
+    acceptance thresholds from INTEGER arithmetic over the observed
+    counts, rows kept by the same md5 hash primitive — deterministic in
+    WHICH rows survive, which is exactly what the DuckDB oracle replays
+    (it recomputes the counts, the thresholds, and the hash decisions)."""
+    from th2_listener_mysql_binlog_go_spark.functions import sampling as sp
+
+    d = _docs(spark, sf_dir)
+    out = sp.mixture_sample(
+        d, "lang", "doc_id",
+        {"en": 1, "zh": 1, "es": 1, "de": 1, "fr": 1},
+        budget_rows=150, seed=3)
+    return out.select("doc_id", "lang")
+
+
 def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID + quality score + whitespace AND BPE-ish token counts
     + fingerprint per doc."""
@@ -1109,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changes_diff": q_changes_diff,
         "cdc_incremental_agg": q_incremental_agg,
         "cdc_minmax_agg": q_minmax_agg,
+        "doc_split_assign": q_doc_split_assign,
+        "doc_mixture_sample": q_doc_mixture_sample,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_dedup_clusters_bigstar": q_doc_dedup_clusters_bigstar,
@@ -1952,6 +1986,33 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
             ELSE 8 + doc_id % 13 END AS INT) AS width,
   CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 6 + doc_id % 11 END AS INT) AS height
 FROM documents
+""".strip(),
+        "doc_split_assign": """
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || '7'), 1, 8))::BIGINT AS u
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN u < (98::BIGINT * 4294967296) // 100 THEN 'train'
+            WHEN u < (99::BIGINT * 4294967296) // 100 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+""".strip(),
+        "doc_mixture_sample": """
+WITH c AS (
+  SELECT lang, count(*) AS n FROM documents
+  WHERE lang IN ('en','zh','es','de','fr') GROUP BY lang
+),
+th AS (
+  SELECT lang,
+         least(4294967296::BIGINT,
+               (150::BIGINT * 1 * 4294967296) // (5 * n)) AS t
+  FROM c
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN th ON th.lang = d.lang
+WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || '|' || '3'), 1, 8))::BIGINT < th.t
 """.strip(),
         "doc_dedup_exact": _dedup_exact_oracle(),
         "doc_dedup_clusters": _components_oracle(),

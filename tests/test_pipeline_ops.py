@@ -282,3 +282,73 @@ def test_neardup_components_reliable_checkpoint(spark, tmp_path):
     files = [os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs]
     assert files, "reliable checkpoint must write files under checkpoint_dir"
     release_cache(out, blocking=True)
+
+
+# ---------------------------------------------------------------- sampling
+
+def test_deterministic_split_properties(spark):
+    """Hash splits are exact, order/partitioning-independent, total, and
+    proportional; equal ids co-assign; plan is a pure projection (zero
+    exchanges beyond the input's own)."""
+    import re
+
+    from th2_listener_mysql_binlog_go_spark.functions import sampling as sp
+
+    df = spark.range(20000).select(F.col("id").alias("doc_id"))
+    out = sp.deterministic_split(df, "doc_id",
+                                 {"train": 8, "val": 1, "test": 1}, seed=5)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 20000                      # total
+    assert abs(counts["train"] - 16000) < 400                 # ~proportional
+    assert abs(counts["val"] - 2000) < 200
+    # repartition-stability: identical assignment under a different layout
+    again = sp.deterministic_split(df.repartition(17), "doc_id",
+                                   {"train": 8, "val": 1, "test": 1}, seed=5)
+    a = dict((r["doc_id"], r["split"]) for r in out.collect())
+    b = dict((r["doc_id"], r["split"]) for r in again.collect())
+    assert a == b
+    # a different seed reassigns some rows
+    other = sp.deterministic_split(df, "doc_id",
+                                   {"train": 8, "val": 1, "test": 1}, seed=6)
+    c = dict((r["doc_id"], r["split"]) for r in other.collect())
+    assert a != c
+    # zero exchanges: the split is a narrow projection
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # weight validation
+    with pytest.raises(ValueError, match="positive integers"):
+        sp.deterministic_split(df, "doc_id", {"train": 0.9})  # type: ignore[dict-item]
+
+
+def test_mixture_sample_hits_targets_and_caps(spark):
+    """Mixture sampling lands near the per-domain targets, keeps ALL of
+    an under-sized domain (no upsampling — disclosed), drops unlisted
+    domains, and never key-shuffles the corpus (broadcast join only)."""
+    import re
+
+    from th2_listener_mysql_binlog_go_spark.functions import sampling as sp
+
+    df = spark.range(30000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 100 < 80, "en")     # 24000 rows
+         .when(F.col("id") % 100 < 99, "de")     # 5700 rows
+         .otherwise("rare").alias("lang"))       # 300 rows
+    out = sp.mixture_sample(df, "lang", "doc_id",
+                            {"en": 1, "de": 1, "rare": 1},
+                            budget_rows=3000, seed=11).cache()
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["en"] - 1000) < 150       # downsampled to target
+    assert abs(counts["de"] - 1000) < 150
+    assert counts["rare"] == 300                # under-sized: kept whole
+    # unlisted domains are dropped entirely
+    out2 = sp.mixture_sample(df, "lang", "doc_id", {"en": 1},
+                             budget_rows=100, seed=11)
+    assert out2.filter(F.col("lang") != "en").count() == 0
+    # plan: the corpus side reaches the join without a key shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    out.unpersist()
