@@ -157,6 +157,11 @@ def test_asof_operator_contract_errors(spark, tmp_path):
         t.asof_join(spark.createDataFrame([(1,)], "x long"))
     with pytest.raises(ValueError, match="how"):
         t.asof_join(_probes(spark, [("r1", "a", 5)]), how="outer")
+    with pytest.raises(ValueError, match="internals"):
+        asof_join(t.events_log(), spark.createDataFrame(
+            [("r1", "a", 5, 1)],
+            "repo string, path string, as_of_gtid long, _t int"),
+            ["repo", "path"])
 
 
 def test_asof_plan_one_exchange_no_join(spark, tmp_path):

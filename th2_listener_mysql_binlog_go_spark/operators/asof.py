@@ -85,6 +85,12 @@ def asof_join(
             "columns; alias them on the probe side")
     if pos_col not in probes.columns:
         raise ValueError(f"probes lack position column {pos_col!r}")
+    reserved = {"_g", "_t", "_s", "_img", "_st",
+                _MATCH_GTID, _MATCH_OP} & set(probes.columns)
+    if reserved:
+        raise ValueError(
+            f"probe columns {sorted(reserved)} collide with asof_join "
+            "internals; alias them on the probe side")
     carry = [c for c in probes.columns if c not in key_cols]
 
     # One unified relation: events tagged _t=0 carrying their image as a
