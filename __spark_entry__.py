@@ -858,6 +858,23 @@ def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 min_sig_sim=0.5)
 
 
+def q_doc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup (functions/dedup.py minhash_index +
+    minhash_lsh_incremental): 3/4 of the corpus (md5(doc_id) first hex
+    < 'c') is pre-indexed; the remaining 1/4 is the "new ingest", matched
+    against the index and itself on the (band, bucket) collision key. The
+    corpus side is never re-shingled — the per-ingest pattern a rolling
+    100 TB pipeline runs. The oracle recomputes every signature/bucket
+    over the union and replays the new-vs-(corpus ∪ earlier-new) pair
+    selection."""
+    d = _docs(spark, sf_dir)
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) >= "c"
+    idx = dd.minhash_index(d.filter(~is_new))
+    out = dd.minhash_lsh_incremental(idx, d.filter(is_new),
+                                     n_hashes=16, bands=4, k=5, min_sig_sim=0.5)
+    return out.select("new_id", "match_id", "sig_sim")
+
+
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over shingle-sharing candidate pairs."""
     return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, min_jaccard=0.5,
@@ -1147,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_dedup_clusters_bigstar": q_doc_dedup_clusters_bigstar,
         "doc_minhash_lsh": q_doc_minhash_lsh,
+        "doc_dedup_incremental": q_doc_dedup_incremental,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_text_stats": q_doc_text_stats,
         "doc_winnow": q_doc_winnow,
@@ -1199,8 +1217,9 @@ SELECT doc_id, fp, dup_count FROM g WHERE rn = 1
 """.strip()
 
 
-def _minhash_oracle(n_hashes: int = 16, bands: int = 4,
-                    src: str = "documents") -> str:
+def _minhash_prefix(n_hashes: int, bands: int, src: str) -> tuple[str, str]:
+    """Shared CTE prefix (shingles -> sig -> bands) + the agree expr —
+    the signature arithmetic both minhash oracles replay bit-for-bit."""
     from th2_listener_mysql_binlog_go_spark.functions.dedup import MINHASH_P, minhash_coeffs
 
     coeffs = minhash_coeffs(n_hashes)
@@ -1216,11 +1235,19 @@ def _minhash_oracle(n_hashes: int = 16, bands: int = 4,
         for b in range(bands)
     )
     agree = " + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(n_hashes))
-    return f"""
+    prefix = f"""
 WITH {_shingle_ctes(src)},
 bs AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT % {MINHASH_P} AS b FROM sh),
 sig AS (SELECT doc_id, {hs} FROM bs GROUP BY doc_id),
-bands AS ({band_selects}),
+bands AS ({band_selects})""".strip()
+    return prefix, agree
+
+
+def _minhash_oracle(n_hashes: int = 16, bands: int = 4,
+                    src: str = "documents") -> str:
+    prefix, agree = _minhash_prefix(n_hashes, bands, src)
+    return f"""
+{prefix},
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -1230,6 +1257,35 @@ ag AS (
   FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
 )
 SELECT id_a, id_b, CAST(agree / {n_hashes}.0 AS DOUBLE) AS sig_sim
+FROM ag WHERE agree / {n_hashes}.0 >= 0.5
+""".strip()
+
+
+def _minhash_incr_oracle(n_hashes: int = 16, bands: int = 4) -> str:
+    """Replays minhash_lsh_incremental's new-vs-(corpus ∪ earlier-new)
+    pair selection: signatures/buckets over the whole table, a doc is
+    "new" iff md5(doc_id)'s first hex >= 'c'; a new doc matches any
+    indexed (non-new) collision peer, and any SMALLER-id new peer."""
+    prefix, agree = _minhash_prefix(n_hashes, bands, "documents")
+    return f"""
+{prefix},
+newd AS (
+  SELECT doc_id, substring(md5(CAST(doc_id AS STRING)), 1, 1) >= 'c' AS is_new
+  FROM documents
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS match_id
+  FROM bands a
+  JOIN newd na ON na.doc_id = a.doc_id AND na.is_new
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id
+  JOIN newd nb ON nb.doc_id = b.doc_id
+  WHERE (NOT nb.is_new) OR b.doc_id < a.doc_id
+),
+ag AS (
+  SELECT p.new_id, p.match_id, ({agree}) AS agree
+  FROM pairs p JOIN sig sa ON sa.doc_id = p.new_id JOIN sig sb ON sb.doc_id = p.match_id
+)
+SELECT new_id, match_id, CAST(agree / {n_hashes}.0 AS DOUBLE) AS sig_sim
 FROM ag WHERE agree / {n_hashes}.0 >= 0.5
 """.strip()
 
@@ -2018,6 +2074,7 @@ WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || '|' || '3'), 1, 8))::B
         "doc_dedup_clusters": _components_oracle(),
         "doc_dedup_clusters_bigstar": _components_oracle(),
         "doc_minhash_lsh": _minhash_oracle(),
+        "doc_dedup_incremental": _minhash_incr_oracle(),
         "doc_ngram_jaccard": _jaccard_oracle(),
         "doc_text_stats": _text_stats_oracle(),
         "doc_winnow": _winnow_oracle(),

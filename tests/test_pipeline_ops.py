@@ -352,3 +352,60 @@ def test_mixture_sample_hits_targets_and_caps(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     out.unpersist()
+
+
+def test_minhash_incremental_matches_full_pairs(spark, docs, tmp_path):
+    """Incremental dedup ≡ full-corpus LSH restricted to pairs touching a
+    new doc — the invariant that lets a rolling ingest dedup per batch
+    against a stored index instead of re-LSH-ing the corpus. Also drives
+    the index through a parquet round-trip (the persisted-index path) and
+    pins the plan: the corpus side is never re-shingled."""
+    from th2_listener_mysql_binlog_go_spark.functions.dedup import (
+        minhash_index,
+        minhash_lsh_incremental,
+    )
+
+    new_ids = {1, 5, 6}
+    corpus_dir = str(tmp_path / "corpus_docs")
+    new_dir = str(tmp_path / "new_docs")
+    docs.filter(~F.col("doc_id").isin(*new_ids)).write.parquet(corpus_dir)
+    docs.filter(F.col("doc_id").isin(*new_ids)).write.parquet(new_dir)
+    corpus = spark.read.parquet(corpus_dir)
+    new = spark.read.parquet(new_dir)
+
+    idx_dir = str(tmp_path / "lsh_index")
+    minhash_index(corpus, n_hashes=16, bands=4).write.parquet(idx_dir)
+    index = spark.read.parquet(idx_dir)
+
+    out = minhash_lsh_incremental(index, new, n_hashes=16, bands=4,
+                                  min_sig_sim=0.4)
+    got = {(r["new_id"], r["match_id"]): r["sig_sim"] for r in out.collect()}
+
+    full = {(r["id_a"], r["id_b"]): r["sig_sim"] for r in
+            minhash_lsh_pairs(docs, n_hashes=16, bands=4,
+                              min_sig_sim=0.4).collect()}
+    expect = {}
+    for (a, b), s in full.items():  # a < b by contract
+        if b in new_ids:            # the later/max id is the "new" side
+            expect[(b, a)] = s
+        elif a in new_ids:          # new doc matched an indexed doc
+            expect[(a, b)] = s
+    assert got == expect and got, got
+
+    # the planted near-dup pair (0 indexed, 1/5 new) must surface
+    assert any(m == 0 for (_, m) in got)
+
+    # the corpus TEXT is never touched — only the new docs and the index
+    # parquet are inputs (the whole point of the incremental path)
+    # (the new side hides behind its persisted-signatures InMemoryRelation,
+    # so only the corpus-absence + index-presence facts are visible here;
+    # the value equivalence above already proves the new text is read)
+    inputs = out.inputFiles()
+    assert not any("corpus_docs" in f for f in inputs), inputs
+    assert any("lsh_index" in f for f in inputs), inputs
+
+    # exclude_new_pairs: only cross (new x index) matches remain
+    cross = minhash_lsh_incremental(index, new, n_hashes=16, bands=4,
+                                    min_sig_sim=0.4, include_new_pairs=False)
+    got_cross = {(r["new_id"], r["match_id"]) for r in cross.collect()}
+    assert got_cross == {p for p in got if p[1] not in new_ids}

@@ -89,31 +89,18 @@ def minhash_signature(text: Column, n_hashes: int = 16, k: int = 5) -> Column:
     return F.aggregate(bases, init, fold)
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_hashes: int = 16,
-    bands: int = 4,
-    k: int = 5,
-    min_sig_sim: float = 0.5,
-) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash LSH, verified by
-    signature agreement. Returns (id_a, id_b, sig_sim) with id_a < id_b.
-
-    Shuffle profile: one explode to ``bands`` rows/doc, one self-join on
-    (band, bucket) — collision groups only — then a distinct on pairs.
-    """
-    rows_per_band = n_hashes // bands
-    # Signature via explode + groupBy(min..): semantically identical to
-    # minhash_signature's fold (min is duplicate-insensitive) but ~2x
-    # faster — the fold materializes a fresh n_hashes-element array per
-    # shingle, while the aggregate runs map-side partial combine in
-    # codegen with no allocation, and the shuffle carries one partial
-    # signature per doc per map partition, not the shingle stream.
+def _minhash_sigs(df: DataFrame, text_col: str, id_col: str,
+                  n_hashes: int, k: int) -> DataFrame:
+    """(id, sig array<bigint>) — signature via explode + groupBy(min..):
+    semantically identical to minhash_signature's fold (min is
+    duplicate-insensitive) but ~2x faster — the fold materializes a fresh
+    n_hashes-element array per shingle, while the aggregate runs map-side
+    partial combine in codegen with no allocation, and the shuffle carries
+    one partial signature per doc per map partition, not the shingle
+    stream."""
     coeffs = minhash_coeffs(n_hashes)
     base = minhash_base(F.col("s"))
-    sigs = (
+    return (
         df.select(F.col(id_col).alias("id"),
                   F.explode(shingles(F.col(text_col), k)).alias("s"))
         .select("id", base.alias("b"))
@@ -121,11 +108,14 @@ def minhash_lsh_pairs(
         .agg(*[F.min((F.lit(a) * F.col("b") + F.lit(c)) % F.lit(MINHASH_P)).alias(f"h{i}")
                for i, (a, c) in enumerate(coeffs)])
         .select("id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
-        # persist: the banded self-join consumes this subtree TWICE (a and
-        # b sides); signatures are ~n_hashes*8B/doc, tiny next to the text
-        .persist()
     )
-    banded = sigs.select(
+
+
+def _band_rows(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(id, sig, band, bucket) — one row per (doc, band); bucket is the
+    md5 of the band's signature slice, the LSH collision key."""
+    rows_per_band = n_hashes // bands
+    return sigs.select(
         "id", "sig",
         F.explode(
             F.array(*[
@@ -143,6 +133,33 @@ def minhash_lsh_pairs(
             ])
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
+
+
+def _sig_sim(a_sig: Column, b_sig: Column, n_hashes: int) -> Column:
+    agree = F.size(F.filter(F.zip_with(a_sig, b_sig, lambda x, y: x == y),
+                            lambda v: v))
+    return (agree / F.lit(n_hashes)).cast("double")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    min_sig_sim: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, verified by
+    signature agreement. Returns (id_a, id_b, sig_sim) with id_a < id_b.
+
+    Shuffle profile: one explode to ``bands`` rows/doc, one self-join on
+    (band, bucket) — collision groups only — then a distinct on pairs.
+    """
+    # persist: the banded self-join consumes this subtree TWICE (a and
+    # b sides); signatures are ~n_hashes*8B/doc, tiny next to the text
+    sigs = _minhash_sigs(df, text_col, id_col, n_hashes, k).persist()
+    banded = _band_rows(sigs, n_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -167,6 +184,86 @@ def minhash_lsh_pairs(
     out = pairs.filter(F.col("sig_sim") >= min_sig_sim).select("id_a", "id_b", "sig_sim")
     # caller releases the pinned signature blocks via caching.release_cache
     return tag_cached(out, [sigs])
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Persistable LSH index rows for a corpus: (id, band, bucket, sig),
+    one row per (doc, band). Write them once when a batch ingests (e.g.
+    parquet, ideally bucketed/sorted by ``bucket`` so later probe joins
+    co-locate); ``minhash_lsh_incremental`` dedups every later batch
+    against them WITHOUT re-shingling or re-hashing the corpus. The rows
+    are ~bands * (16B + n_hashes*8B) per doc — orders of magnitude smaller
+    than the text they index."""
+    sigs = _minhash_sigs(df, text_col, id_col, n_hashes, k)
+    return _band_rows(sigs, n_hashes, bands).select("id", "band", "bucket", "sig")
+
+
+def minhash_lsh_incremental(
+    index: DataFrame,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    min_sig_sim: float = 0.5,
+    include_new_pairs: bool = True,
+) -> DataFrame:
+    """Near-dup matches of NEW documents against an already-indexed corpus
+    (``index`` = ``minhash_index`` rows, same n_hashes/bands/k): the
+    incremental dedup a rolling ingest actually runs — per-batch cost is
+    O(new + collisions), never O(corpus). Returns (new_id, match_id,
+    sig_sim): ``match_id`` is an indexed doc, or (with
+    ``include_new_pairs``) a smaller-id doc of the same new batch, so
+    "kept" = new docs with no output row.
+
+    Scale notes: the corpus side arrives pre-banded — only the new batch
+    is shingled/hashed; the join runs on the (band, bucket) collision key
+    (never all-pairs), and a small new batch broadcasts under AQE against
+    an arbitrarily large index scan. Identity re-ingests (same id on both
+    sides) are excluded — identical ids are an upsert, not a near-dup.
+    """
+    new_sigs = _minhash_sigs(new_df, text_col, id_col, n_hashes, k).persist()
+    new_banded = _band_rows(new_sigs, n_hashes, bands)
+    n, i = new_banded.alias("n"), index.alias("i")
+    matches = n.join(
+        i,
+        on=[
+            F.col("n.band") == F.col("i.band"),
+            F.col("n.bucket") == F.col("i.bucket"),
+            F.col("n.id") != F.col("i.id"),
+        ],
+    ).select(
+        F.col("n.id").alias("new_id"),
+        F.col("i.id").alias("match_id"),
+        _sig_sim(F.col("n.sig"), F.col("i.sig"), n_hashes).alias("sig_sim"),
+    )
+    if include_new_pairs:
+        a, b = new_banded.alias("a"), new_banded.alias("b")
+        intra = a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.id") > F.col("b.id"),  # later (max-id) doc is the "new" side
+            ],
+        ).select(
+            F.col("a.id").alias("new_id"),
+            F.col("b.id").alias("match_id"),
+            _sig_sim(F.col("a.sig"), F.col("b.sig"), n_hashes).alias("sig_sim"),
+        )
+        matches = matches.unionByName(intra)
+    # sig_sim is functionally determined by the pair, so distinct on all
+    # three columns collapses multi-band collisions to one row per pair
+    out = matches.distinct().filter(F.col("sig_sim") >= min_sig_sim)
+    return tag_cached(out, [new_sigs])
 
 
 # ------------------------------------------------------------------ ngram jaccard
