@@ -831,6 +831,28 @@ def q_minmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_size").cast("bigint").alias("max_size"))
 
 
+def q_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-maintained MinHash-LSH dedup index (plans/dedup_index.py):
+    full hash at the mid-replay snapshot, then ONE incremental refresh
+    from the changelog to head — changed docs re-hashed, deleted docs'
+    band rows tombstoned, the unchanged corpus never re-shingled (the
+    O(changes) plan is asserted). The oracle recomputes the index from
+    the FINAL replayed state, so the incremental maintenance must land
+    exactly where a from-scratch build would."""
+    from th2_listener_mysql_binlog_go_spark.plans.dedup_index import DedupIndexView
+
+    table, v_mid, nested, span = _replay_to_mid(
+        spark, sf_dir, "cdc_dedupidx_", finish=False)
+    view = DedupIndexView.create(
+        spark, table, os.path.join(os.path.dirname(table.root), "idx"),
+        id_expr="concat(repo, '/', path)", text_expr="content",
+        n_hashes=16, bands=4, k=5, num_buckets=8)
+    ReplayRunner(spark, table, batch_span=span).run(nested)
+    m = view.refresh()
+    assert m["plan"] == "incremental", m
+    return view.read().select("id", F.col("band").cast("int").alias("band"), "bucket")
+
+
 # ------------------------------------------------- training-data pipeline ops
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1158,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changes_diff": q_changes_diff,
         "cdc_incremental_agg": q_incremental_agg,
         "cdc_minmax_agg": q_minmax_agg,
+        "cdc_dedup_index": q_dedup_index,
         "doc_split_assign": q_doc_split_assign,
         "doc_mixture_sample": q_doc_mixture_sample,
         "doc_dedup_exact": q_doc_dedup_exact,
@@ -1236,7 +1259,7 @@ def _minhash_prefix(n_hashes: int, bands: int, src: str) -> tuple[str, str]:
     )
     agree = " + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(n_hashes))
     prefix = f"""
-WITH {_shingle_ctes(src)},
+{_shingle_ctes(src)},
 bs AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT % {MINHASH_P} AS b FROM sh),
 sig AS (SELECT doc_id, {hs} FROM bs GROUP BY doc_id),
 bands AS ({band_selects})""".strip()
@@ -1247,7 +1270,7 @@ def _minhash_oracle(n_hashes: int = 16, bands: int = 4,
                     src: str = "documents") -> str:
     prefix, agree = _minhash_prefix(n_hashes, bands, src)
     return f"""
-{prefix},
+WITH {prefix},
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -1268,7 +1291,7 @@ def _minhash_incr_oracle(n_hashes: int = 16, bands: int = 4) -> str:
     indexed (non-new) collision peer, and any SMALLER-id new peer."""
     prefix, agree = _minhash_prefix(n_hashes, bands, "documents")
     return f"""
-{prefix},
+WITH {prefix},
 newd AS (
   SELECT doc_id, substring(md5(CAST(doc_id AS STRING)), 1, 1) >= 'c' AS is_new
   FROM documents
@@ -1877,6 +1900,20 @@ SELECT lang,
   CAST(min(length(content)) AS BIGINT) AS min_size,
   CAST(max(length(content)) AS BIGINT) AS max_size
 FROM final GROUP BY lang
+""".strip(),
+        # the incrementally-maintained LSH index must equal a from-scratch
+        # minhash_index over the final replayed state (id = repo/path,
+        # bucket md5 certifies the whole signature slice)
+        "cdc_dedup_index": f"""
+WITH {stream}, {observed},
+dml AS (SELECT * FROM observed WHERE op IN ('INSERT','UPDATE','DELETE')),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY gtid DESC) AS rn FROM dml
+),
+state AS (SELECT repo, path, content FROM ranked WHERE rn = 1 AND op <> 'DELETE'),
+docs AS (SELECT repo || '/' || path AS doc_id, coalesce(content, '') AS text FROM state),
+{_minhash_prefix(16, 4, "docs")[0]}
+SELECT doc_id AS id, CAST(band AS INT) AS band, bucket FROM bands
 """.strip(),
         "cdc_lineage_metrics": f"""
 WITH {stream}, {observed},
