@@ -141,3 +141,41 @@ def test_load_and_guards(spark, tmp_path):
         DedupIndexView.create(spark, t, str(tmp_path / "idx2"),
                               id_expr="repo", text_expr="content",
                               n_hashes=16, bands=3)
+
+
+def test_streaming_applier_maintains_dedup_index(spark, tmp_path):
+    """DedupIndexView duck-types the views= interface (table / source /
+    refresh), so the streaming shell maintains the dedup index epoch by
+    epoch alongside an aggregate view — and the final index equals a
+    from-scratch recompute even though file-paced epochs force diff-plan
+    refresh windows."""
+    from th2_listener_mysql_binlog_go_spark.plans.matview import IncrementalAggView
+    from th2_listener_mysql_binlog_go_spark.sources.changestream import (
+        CHANGE_SCHEMA,
+        synthetic_changestream,
+    )
+    from th2_listener_mysql_binlog_go_spark.streaming.structured import StreamingApplier
+
+    full_schema = SCHEMA[:2] + [("commit", "string"), ("lang", "string")] + SCHEMA[2:]
+    src = str(tmp_path / "events")
+    synthetic_changestream(spark, 1500, n_repos=25, n_paths=40,
+                           truncate_per_10k=0).repartition(4).write.parquet(src)
+    table = LakeTable.create(spark, str(tmp_path / "t"), full_schema,
+                             ["repo", "path"], num_buckets=4)
+    idx = DedupIndexView.create(
+        spark, table, str(tmp_path / "idx"),
+        id_expr="concat(repo, '/', path)", text_expr="content",
+        n_hashes=8, bands=2, k=4, num_buckets=2)
+    agg = IncrementalAggView.create(
+        spark, table, str(tmp_path / "v"), dims=["lang"],
+        aggs={"n": ("count",)}, num_buckets=2)
+    v0 = idx.table.snapshot.version
+
+    sa = StreamingApplier(spark, table, views=[idx, agg])
+    q = sa.start(src, str(tmp_path / "ckpt"), CHANGE_SCHEMA,
+                 available_now=True, max_files_per_trigger=2)
+    q.awaitTermination(300)
+
+    assert idx.table.snapshot.version - v0 >= 1   # refreshed mid-stream
+    assert idx.source_version == table.snapshot.version
+    _assert_index_matches(idx, table)

@@ -167,6 +167,10 @@ class DedupIndexView:
         m.update({"from_version": from_v, "to_version": to_v, "plan": plan})
         return m
 
+    @property
+    def source_version(self) -> int:
+        return int(self.table.snapshot.properties["index_source_version"])
+
     # ------------------------------------------------------------ queries
 
     def read(self) -> DataFrame:
