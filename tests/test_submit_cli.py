@@ -274,3 +274,61 @@ def test_spark_submit_handoff_and_key_history(spark, tmp_path):
     assert events and events[-1]["_is_current"]
     gtids = [e["_gtid"] for e in events]
     assert gtids == sorted(gtids)
+
+
+def test_spark_submit_dedup_index_lifecycle(spark, tmp_path):
+    """Dedup-index surface as real spark-submit child processes: build
+    over a replayed table, advance the source + refresh in later
+    processes (watermark persisted), then match a candidate batch whose
+    clone of an indexed document must surface."""
+    zpath = _zip_pkg(str(tmp_path))
+    script = str(tmp_path / "run_cdc.py")
+    with open(script, "w") as f:
+        f.write(RUNNER)
+
+    src = str(tmp_path / "events")
+    synthetic_changestream(spark, 1200, n_repos=15, n_paths=30,
+                           truncate_per_10k=0).write.parquet(src)
+    table_dir = str(tmp_path / "t")
+    idx_dir = str(tmp_path / "idx")
+
+    _submit(zpath, script, "create", "--table", table_dir,
+            "--schema", "repo string, path string, commit string, lang string, content string",
+            "--keys", "repo,path", "--num-buckets", "8")
+    _submit(zpath, script, "replay", "--table", table_dir,
+            "--source", src, "--batch-span", "400", "--max-batches", "1")
+    created = _submit(
+        zpath, script, "dedup-index-create", "--source", table_dir,
+        "--index", idx_dir, "--id-expr", "concat(repo,'/',path)",
+        "--text-expr", "content", "--n-hashes", "8", "--bands", "2",
+        "--k", "4", "--num-buckets", "4")
+    assert created["rows"] > 0 and created["rows"] % 2 == 0  # bands per doc
+
+    _submit(zpath, script, "replay", "--table", table_dir,
+            "--source", src, "--batch-span", "400")
+    refreshed = _submit(zpath, script, "dedup-index-refresh",
+                        "--source", table_dir, "--index", idx_dir)
+    assert refreshed["to_version"] > refreshed["from_version"]
+    again = _submit(zpath, script, "dedup-index-refresh",
+                    "--source", table_dir, "--index", idx_dir)
+    assert again["skipped"] is True
+
+    # candidate batch: an exact clone of a live indexed doc + a unique doc
+    live = LakeTable.load(spark, table_dir).read().limit(1).collect()[0]
+    new_dir = str(tmp_path / "new")
+    spark.createDataFrame(
+        [("nX", "clone", live["content"]),
+         ("nX", "uniq", "ein voellig anderes deutsches dokument ohne "
+                        "jede gemeinsamkeit mit irgendwas hier drin")],
+        "repo string, path string, content string").write.parquet(new_dir)
+    out_dir = str(tmp_path / "pairs")
+    matched = _submit(zpath, script, "dedup-index-match",
+                      "--source", table_dir, "--index", idx_dir,
+                      "--new", new_dir, "--min-sig-sim", "0.9",
+                      "--cross-only", "--out", out_dir)
+    assert matched["pairs"] >= 1
+    pairs = {(r["new_id"], r["match_id"])
+             for r in spark.read.parquet(out_dir).collect()}
+    assert ("nX/clone", f"{live['repo']}/{live['path']}") in pairs
+    assert all(nid != "nX/uniq" for nid, _ in pairs)
+    shutil.rmtree(src, ignore_errors=True)

@@ -39,6 +39,9 @@ the persisted watermark):
   view-create     materialize a GROUP BY aggregate view over a table
   view-refresh    advance a view from the source changelog (incremental)
   view-show       print a view's groups
+  dedup-index-create   build a MinHash-LSH dedup index over a table's text
+  dedup-index-refresh  advance the index from the changelog (O(changes))
+  dedup-index-match    near-dup matches of a candidate parquet batch -> parquet
 
 Example (single table, create + replay + compact):
 
@@ -484,6 +487,59 @@ def cmd_view_show(args) -> dict:
             "source_version": v.source_version, "rows": rows}
 
 
+def cmd_dedup_index_create(args) -> dict:
+    """Build a MinHash-LSH dedup index table over a lake table's text;
+    advance it incrementally with ``dedup-index-refresh``, probe a
+    candidate ingest with ``dedup-index-match``."""
+    from .plans.dedup_index import DedupIndexView
+    from .plans.lake import LakeTable
+
+    spark = _spark("cdc-dedup-index-create")
+    src = LakeTable.load(spark, args.source)
+    v = DedupIndexView.create(
+        spark, src, args.index, id_expr=args.id_expr,
+        text_expr=args.text_expr, n_hashes=args.n_hashes,
+        bands=args.bands, k=args.k, num_buckets=args.num_buckets)
+    return {"index": args.index, "source": args.source,
+            "source_version": v.source_version,
+            "rows": v.read().count()}
+
+
+def cmd_dedup_index_refresh(args) -> dict:
+    """Advance the dedup index to the source's current version —
+    O(changes), idempotent under crash-replay."""
+    from .plans.dedup_index import DedupIndexView
+    from .plans.lake import LakeTable
+
+    spark = _spark("cdc-dedup-index-refresh")
+    src = LakeTable.load(spark, args.source)
+    v = DedupIndexView.load(spark, src, args.index)
+    m = v.refresh(mode=args.mode)
+    out = {"index": args.index, "source": args.source}
+    out.update({k: m[k] for k in ("skipped", "from_version", "to_version",
+                                  "plan") if k in m})
+    return out
+
+
+def cmd_dedup_index_match(args) -> dict:
+    """Near-dup matches of a candidate batch (parquet of documents)
+    against the indexed corpus: writes (new_id, match_id, sig_sim)
+    parquet to --out; the corpus text is never read."""
+    from .plans.dedup_index import DedupIndexView
+    from .plans.lake import LakeTable
+
+    spark = _spark("cdc-dedup-index-match")
+    src = LakeTable.load(spark, args.source)
+    v = DedupIndexView.load(spark, src, args.index)
+    out = v.match(spark.read.parquet(args.new),
+                  min_sig_sim=args.min_sig_sim,
+                  include_new_pairs=not args.cross_only)
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    return {"index": args.index, "new": args.new, "out": args.out,
+            "pairs": n}
+
+
 def cmd_show(args) -> dict:
     from .plans.lake import LakeTable
 
@@ -850,6 +906,39 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--view", required=True)
     sp.add_argument("--limit", type=int, default=50)
     sp.set_defaults(fn=cmd_view_show)
+
+    sp = sub.add_parser("dedup-index-create")
+    sp.add_argument("--source", required=True, help="source lake table root")
+    sp.add_argument("--index", required=True, help="index table root to create")
+    sp.add_argument("--id-expr", required=True, dest="id_expr",
+                    help="SQL expr, injective over the source keys "
+                         "(e.g. \"concat(repo,'/',path)\")")
+    sp.add_argument("--text-expr", required=True, dest="text_expr",
+                    help="SQL expr for the hashed text (e.g. content)")
+    sp.add_argument("--n-hashes", type=int, default=16, dest="n_hashes")
+    sp.add_argument("--bands", type=int, default=4)
+    sp.add_argument("--k", type=int, default=5, help="shingle width")
+    sp.add_argument("--num-buckets", type=int, default=16, dest="num_buckets")
+    sp.set_defaults(fn=cmd_dedup_index_create)
+
+    sp = sub.add_parser("dedup-index-refresh")
+    sp.add_argument("--source", required=True)
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--mode", choices=["auto", "incremental", "diff"],
+                    default="auto")
+    sp.set_defaults(fn=cmd_dedup_index_refresh)
+
+    sp = sub.add_parser("dedup-index-match")
+    sp.add_argument("--source", required=True)
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--new", required=True,
+                    help="parquet dir of candidate documents")
+    sp.add_argument("--min-sig-sim", type=float, default=0.5,
+                    dest="min_sig_sim")
+    sp.add_argument("--cross-only", action="store_true", dest="cross_only",
+                    help="only new-vs-index matches (skip new-vs-new)")
+    sp.add_argument("--out", required=True, help="parquet output directory")
+    sp.set_defaults(fn=cmd_dedup_index_match)
 
     args = p.parse_args(argv)
     print(json.dumps(args.fn(args)))
