@@ -148,22 +148,28 @@ class DedupIndexView:
         if to_v <= from_v:
             return {"skipped": True, "from_version": from_v, "to_version": to_v}
         plan = self.source.changes_plan(from_v, to_v) if mode == "auto" else mode
-        ch = self.source.changes(from_v, to_v, mode=mode)
-        ct = F.col("_change_type")
-        upserts = (self._index_rows(ch.filter(ct != "DELETE"))
-                   .withColumn(OP_COL, F.lit("INSERT")))
-        deletes = (
-            self._doc_df(ch.filter(ct == "DELETE"))  # DELETE carries the before image
-            .select(F.col("doc_id").alias("id"))
-            .withColumn("band", F.explode(F.array(*[F.lit(b) for b in range(self.bands)])))
-            .withColumn("bucket", F.lit(None).cast("string"))
-            .withColumn("sig", F.lit(None).cast("array<bigint>"))
-            .withColumn(OP_COL, F.lit("DELETE")))
-        delta = upserts.unionByName(deletes).withColumn(
-            GTID_COL, F.lit(to_v).cast("bigint"))
-        m = self.table.merge(
-            delta, batch_id=to_v, mode="mor",
-            extra_properties={"index_source_version": str(to_v)})
+        # the delta consumes the changelog twice (upserts + deletes) and
+        # Catalyst does not dedup common subtrees — persist the scan so
+        # the O(changes) plan (and its old-state join) runs once
+        ch = self.source.changes(from_v, to_v, mode=mode).persist()
+        try:
+            ct = F.col("_change_type")
+            upserts = (self._index_rows(ch.filter(ct != "DELETE"))
+                       .withColumn(OP_COL, F.lit("INSERT")))
+            deletes = (
+                self._doc_df(ch.filter(ct == "DELETE"))  # DELETE carries the before image
+                .select(F.col("doc_id").alias("id"))
+                .withColumn("band", F.explode(F.array(*[F.lit(b) for b in range(self.bands)])))
+                .withColumn("bucket", F.lit(None).cast("string"))
+                .withColumn("sig", F.lit(None).cast("array<bigint>"))
+                .withColumn(OP_COL, F.lit("DELETE")))
+            delta = upserts.unionByName(deletes).withColumn(
+                GTID_COL, F.lit(to_v).cast("bigint"))
+            m = self.table.merge(
+                delta, batch_id=to_v, mode="mor",
+                extra_properties={"index_source_version": str(to_v)})
+        finally:
+            ch.unpersist()
         m.update({"from_version": from_v, "to_version": to_v, "plan": plan})
         return m
 
