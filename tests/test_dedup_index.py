@@ -179,3 +179,39 @@ def test_streaming_applier_maintains_dedup_index(spark, tmp_path):
     assert idx.table.snapshot.version - v0 >= 1   # refreshed mid-stream
     assert idx.source_version == table.snapshot.version
     _assert_index_matches(idx, table)
+
+
+def test_rebuild_after_watermark_expiry(spark, tmp_path):
+    """When the source expires the index's watermark version, refresh()
+    raises (the changes window is gone); rebuild() recovers with a full
+    re-hash in ONE atomic commit — a truncate marker kills every old
+    index row in the same snapshot that adds the recomputed ones."""
+    t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                         ["repo", "path"], num_buckets=2)
+    t.merge(_batch(spark, [("r1", "a", BASE, "INSERT", 1),
+                           ("r2", "b", "some other words entirely", "INSERT", 2)]),
+            batch_id=1, mode="mor")
+    view = DedupIndexView.create(
+        spark, t, str(tmp_path / "idx"),
+        id_expr="concat(repo, '/', path)", text_expr="content",
+        n_hashes=8, bands=2, k=4, num_buckets=2)
+    for i in range(2, 8):   # advance the source well past the watermark
+        t.merge(_batch(spark, [
+            (f"r{i}", "c", BASE + f" variant {i}", "INSERT", i + 10),
+            ("r2", "b", None, "DELETE", 100) if i == 4
+            else (f"r{i}", "d", f"doc {i} words", "INSERT", i + 200),
+        ]), batch_id=i, mode="mor")
+    t.expire_snapshots(keep_last=2)
+    with pytest.raises(ValueError, match="expired"):
+        view.refresh()
+    m = view.rebuild()
+    assert m.get("rebuilt") and m["to_version"] == t.snapshot.version
+    _assert_index_matches(view, t)
+    assert "r2/b" not in {r["id"] for r in view.read().collect()}
+    # idempotent: a replayed rebuild is a no-op
+    assert view.rebuild().get("skipped")
+    # and incremental refresh resumes from the rebuilt watermark
+    t.merge(_batch(spark, [("rz", "z", "zig zag words", "INSERT", 300)]),
+            batch_id=9, mode="mor")
+    view.refresh()
+    _assert_index_matches(view, t)

@@ -514,10 +514,10 @@ def cmd_dedup_index_refresh(args) -> dict:
     spark = _spark("cdc-dedup-index-refresh")
     src = LakeTable.load(spark, args.source)
     v = DedupIndexView.load(spark, src, args.index)
-    m = v.refresh(mode=args.mode)
+    m = v.rebuild() if args.rebuild else v.refresh(mode=args.mode)
     out = {"index": args.index, "source": args.source}
     out.update({k: m[k] for k in ("skipped", "from_version", "to_version",
-                                  "plan") if k in m})
+                                  "plan", "rebuilt") if k in m})
     return out
 
 
@@ -926,6 +926,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--index", required=True)
     sp.add_argument("--mode", choices=["auto", "incremental", "diff"],
                     default="auto")
+    sp.add_argument("--rebuild", action="store_true",
+                    help="full re-hash in one atomic commit — the recovery "
+                         "path when the index watermark version was expired "
+                         "from the source's history")
     sp.set_defaults(fn=cmd_dedup_index_refresh)
 
     sp = sub.add_parser("dedup-index-match")

@@ -173,6 +173,29 @@ class DedupIndexView:
         m.update({"from_version": from_v, "to_version": to_v, "plan": plan})
         return m
 
+    def rebuild(self) -> dict:
+        """Full re-hash in ONE atomic commit — the recovery path when
+        the refresh watermark fell out of the source's retained snapshot
+        history (``changes()`` raises "unknown or expired"; the index,
+        like an aggregate view, CAN be safely rebuilt from current
+        state). All previous index rows die via a ``truncate_gtid =
+        v−1`` marker committed atomically WITH the recomputed rows
+        (written at ``_gtid = v``): readers never see a half-rebuilt
+        index, and a crash before the commit changes nothing."""
+        v = self.source.snapshot.version
+        from_v = int(self.table.snapshot.properties["index_source_version"])
+        if v <= from_v:
+            return {"skipped": True, "from_version": from_v, "to_version": v}
+        rows = (self._index_rows(self.source.read())
+                .withColumn(OP_COL, F.lit("INSERT"))
+                .withColumn(GTID_COL, F.lit(v).cast("bigint")))
+        m = self.table.merge(
+            rows, batch_id=v, mode="mor",
+            extra_properties={"index_source_version": str(v),
+                              "truncate_gtid": str(v - 1)})
+        m.update({"from_version": from_v, "to_version": v, "rebuilt": True})
+        return m
+
     @property
     def source_version(self) -> int:
         return int(self.table.snapshot.properties["index_source_version"])
