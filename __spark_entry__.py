@@ -107,6 +107,21 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def _prep_replay(nested: DataFrame) -> tuple[DataFrame, int, int]:
+    """Persist a derived change stream for a replay query's many passes
+    (the runner's bounds discovery, the DDL prescan, and every batch's
+    gtid-slice all re-scan it; uncached, each pass re-derives the
+    md5/concat synthesis from parquet). ONE aggregation job materializes
+    the cache and measures the exact (min, max) gtid, which callers pass
+    to ``ReplayRunner.run(bounds=...)`` so the runner skips its own
+    discovery scan. Purely intra-invocation: the cache is built from the
+    parquet inputs on every call and callers unpersist when their last
+    replay over the stream is done (guide §5: reuse-justified persist)."""
+    nested = nested.persist()
+    b = nested.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
+    return nested, int(b["lo"]), int(b["hi"])
+
+
 def _docs_view(spark: SparkSession, sf_dir: str) -> None:
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
 
@@ -141,14 +156,14 @@ def q_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full engine replay (decode -> filter -> segment ->
     merge-on-read delta commits -> read-time LWW) of the derived stream
     into a lake table; returns the converged final state."""
-    flat = derived_changestream(spark, sf_dir)
-    nested = to_change_schema(flat)
-    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
-    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 8)
+    nested, lo, hi = _prep_replay(to_change_schema(derived_changestream(spark, sf_dir)))
+    span = max(1, (hi - lo + 1) // 8)
     tmp = _mkdtemp("cdc_replay_")
     table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
                              key_cols=["repo", "path"], num_buckets=16)
-    ReplayRunner(spark, table, batch_span=span).run(nested)
+    ReplayRunner(spark, table, batch_span=span,
+                 pipeline_depth=3).run(nested, bounds=(lo, hi))
+    nested.unpersist()
     return table.read().select("repo", "path", "commit", "lang", "content")
 
 
@@ -160,17 +175,20 @@ def q_replay_with_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle — the engine's hardest logic under oracle proof."""
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
     flat = spark.sql(DERIVED_DDL_STREAM_SQL)
-    nested = to_change_schema(
+    nested, lo, hi = _prep_replay(to_change_schema(
         flat,
         row_fields=TARGET_SCHEMA + [("stars", "int")],
         with_ddl=True,
-    )
-    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
-    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 6)
+    ))
+    span = max(1, (hi - lo + 1) // 6)
     tmp = _mkdtemp("cdc_replay_ddl_")
     table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
                              key_cols=["repo", "path"], num_buckets=16)
-    ReplayRunner(spark, table, batch_span=span).run(nested)
+    # DDL batches drain the pipeline and run sequentially, so depth 3
+    # only overlaps the DDL-free spans — semantics unchanged.
+    ReplayRunner(spark, table, batch_span=span,
+                 pipeline_depth=3).run(nested, bounds=(lo, hi))
+    nested.unpersist()
     table.compact()  # evolved schema + truncate marker survive compaction
     out = table.read()
     # a tiny sf can derive zero ALTER rows -> the column never evolved;
@@ -190,14 +208,14 @@ def q_correction_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay bookkeeping untouched. Not reference operators (the binlog
     only carries deletes; these originate them) — the training-data
     lake's takedown surface."""
-    flat = derived_changestream(spark, sf_dir)
-    nested = to_change_schema(flat)
-    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
-    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 4)
+    nested, lo, hi = _prep_replay(to_change_schema(derived_changestream(spark, sf_dir)))
+    span = max(1, (hi - lo + 1) // 4)
     tmp = _mkdtemp("cdc_corr_")
     table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
                              key_cols=["repo", "path"], num_buckets=8)
-    ReplayRunner(spark, table, batch_span=span).run(nested)
+    ReplayRunner(spark, table, batch_span=span,
+                 pipeline_depth=3).run(nested, bounds=(lo, hi))
+    nested.unpersist()
     table.delete_where("lang = 'go'")
     table.update_where("lang = 'py'", {"content": "md5(content)",
                                        "commit": "'REDACTED'"})
@@ -210,15 +228,16 @@ def q_replay_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the identical final state."""
     from th2_listener_mysql_binlog_go_spark.operators.apply import ApplyConfig
 
-    flat = derived_changestream(spark, sf_dir)
-    nested = to_change_schema(flat)
-    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
-    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 4)
+    nested, lo, hi = _prep_replay(to_change_schema(derived_changestream(spark, sf_dir)))
+    span = max(1, (hi - lo + 1) // 4)
     tmp = _mkdtemp("cdc_cow_")
     table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
                              key_cols=["repo", "path"], num_buckets=8)
+    # cow merges read the table between batches, so they cannot pipeline;
+    # the cached stream + precomputed bounds still cut the per-batch scans
     ReplayRunner(spark, table, batch_span=span,
-                 config=ApplyConfig(merge_mode="cow")).run(nested)
+                 config=ApplyConfig(merge_mode="cow")).run(nested, bounds=(lo, hi))
+    nested.unpersist()
     return table.read().select("repo", "path", "commit", "lang", "content")
 
 
@@ -230,21 +249,23 @@ def q_replay_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     a third run must clamp to a no-op (S12's beyond-source watermark
     guard). The final state hash-matches the cdc_replay_final_state
     oracle — resume converges to exactly the uninterrupted result."""
-    flat = derived_changestream(spark, sf_dir)
-    nested = to_change_schema(flat)
-    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
-    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 8)
+    nested, lo, hi = _prep_replay(to_change_schema(derived_changestream(spark, sf_dir)))
+    span = max(1, (hi - lo + 1) // 8)
     tmp = _mkdtemp("cdc_resume_")
     root = os.path.join(tmp, "t")
     table = LakeTable.create(spark, root, TARGET_SCHEMA,
                              key_cols=["repo", "path"], num_buckets=16)
-    m1 = ReplayRunner(spark, table, batch_span=span).run(nested, max_batches=3)
+    m1 = ReplayRunner(spark, table, batch_span=span,
+                      pipeline_depth=3).run(nested, max_batches=3, bounds=(lo, hi))
     assert m1["batches"] == 3
     # fresh handle: resume state comes only from persisted snapshot props
     resumed = LakeTable.load(spark, root)
-    ReplayRunner(spark, resumed, batch_span=span).run(nested)
-    m3 = ReplayRunner(spark, LakeTable.load(spark, root), batch_span=span).run(nested)
+    ReplayRunner(spark, resumed, batch_span=span,
+                 pipeline_depth=3).run(nested, bounds=(lo, hi))
+    m3 = ReplayRunner(spark, LakeTable.load(spark, root),
+                      batch_span=span).run(nested, bounds=(lo, hi))
     assert m3.get("clamped") and m3["events"] == 0
+    nested.unpersist()
     return LakeTable.load(spark, root).read().select(
         "repo", "path", "commit", "lang", "content")
 
@@ -399,16 +420,16 @@ def q_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     row counts) written by the runner — checked against SQL recomputing
     the same metrics from the raw stream (the reference's per-message
     {name,pos,seq,timestamp} metadata + Prometheus monitors analogue)."""
-    flat = derived_changestream(spark, sf_dir)
-    nested = to_change_schema(flat)
-    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
-    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 5)
+    nested, lo, hi = _prep_replay(to_change_schema(derived_changestream(spark, sf_dir)))
+    span = max(1, (hi - lo + 1) // 5)
     tmp = _mkdtemp("cdc_lin_")
     table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
                              key_cols=["repo", "path"], num_buckets=8)
     runner = ReplayRunner(spark, table, batch_span=span,
-                          lineage_dir=os.path.join(tmp, "lineage"))
-    runner.run(nested)
+                          lineage_dir=os.path.join(tmp, "lineage"),
+                          pipeline_depth=3)
+    runner.run(nested, bounds=(lo, hi))
+    nested.unpersist()
     lin = runner.lineage.read(spark)
     return lin.filter(F.col("partition_id") == -1).select(
         "batch_id",
@@ -427,16 +448,16 @@ def q_multitable_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
     flat = spark.sql(DERIVED_MULTI_STREAM_SQL)
-    nested = to_change_schema(flat)
-    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
-    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 4)
+    nested, lo, hi = _prep_replay(to_change_schema(flat))
+    span = max(1, (hi - lo + 1) // 4)
     tmp = _mkdtemp("cdc_multi_")
     cat = LakeCatalog.create(spark, os.path.join(tmp, "cat"))
     for t in ("files", "files2"):
         cat.create_table("repos", t, TARGET_SCHEMA, ["repo", "path"], num_buckets=8)
     cfg = ApplyConfig(observed={"repos": ["files", "files2"]}, num_buckets=8)
     CatalogReplayRunner(spark, cat, batch_span=span, config=cfg,
-                        pipeline_depth=2).run(nested)
+                        pipeline_depth=2).run(nested, bounds=(lo, hi))
+    nested.unpersist()
     parts = [
         cat.get("repos", t).read().select(
             F.lit(t).alias("target_table"), "repo", "path", "commit", "lang", "content"
@@ -574,22 +595,23 @@ def _replay_to_mid(spark: SparkSession, sf_dir: str, prefix: str,
     the derived stream in 8 gtid-span batches, capturing the snapshot
     version after batch 4 — the same cutoff arithmetic the DuckDB oracles
     redo (span = greatest(1, (hi-lo+1)//8); cutoff = (lo//span + 4) *
-    span). Returns (table, v_mid, nested, span) so callers that replay
-    further (rollback-forward, branch backfill) reuse the stream and span
-    instead of re-deriving and re-scanning. ``finish=False`` stops at the
-    mid point."""
-    flat = derived_changestream(spark, sf_dir)
-    nested = to_change_schema(flat)
-    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
-    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 8)
+    span). Returns (table, v_mid, nested, span, bounds) so callers that
+    replay further (rollback-forward, branch backfill) reuse the PERSISTED
+    stream, span and bounds instead of re-deriving and re-scanning —
+    callers unpersist ``nested`` after their last replay over it.
+    ``finish=False`` stops at the mid point."""
+    nested, lo, hi = _prep_replay(to_change_schema(derived_changestream(spark, sf_dir)))
+    span = max(1, (hi - lo + 1) // 8)
     tmp = _mkdtemp(prefix)
     table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
                              key_cols=["repo", "path"], num_buckets=16)
-    ReplayRunner(spark, table, batch_span=span).run(nested, max_batches=4)
+    ReplayRunner(spark, table, batch_span=span,
+                 pipeline_depth=3).run(nested, max_batches=4, bounds=(lo, hi))
     v_mid = table.snapshot.version
     if finish:
-        ReplayRunner(spark, table, batch_span=span).run(nested)
-    return table, v_mid, nested, span
+        ReplayRunner(spark, table, batch_span=span,
+                     pipeline_depth=3).run(nested, bounds=(lo, hi))
+    return table, v_mid, nested, span, (lo, hi)
 
 
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,7 +619,8 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     committed after 4 of 8 replay batches, read back after the head has
     moved on — through a compaction, so the old snapshot's file pins are
     what make the answer, not the live file set."""
-    table, v_mid, _, _ = _replay_to_mid(spark, sf_dir, "cdc_tt_")
+    table, v_mid, nested, _, _ = _replay_to_mid(spark, sf_dir, "cdc_tt_")
+    nested.unpersist()
     table.compact()
     return table.read_at(v_mid).select("repo", "path", "commit", "lang", "content")
 
@@ -611,11 +634,13 @@ def q_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     correction — no stream event can resurrect those keys) and the replay
     bookkeeping (the restored watermark re-admits the second half's
     batches under the exactly-once guard)."""
-    table, v_mid, nested, span = _replay_to_mid(spark, sf_dir, "cdc_rb_")
+    table, v_mid, nested, span, bounds = _replay_to_mid(spark, sf_dir, "cdc_rb_")
     table.delete_where("md5(repo || '|' || path) LIKE '1%'")
     r = table.rollback(v_mid)
     assert not r["noop"] and r["restored"] == v_mid
-    ReplayRunner(spark, table, batch_span=span).run(nested)
+    ReplayRunner(spark, table, batch_span=span,
+                 pipeline_depth=3).run(nested, bounds=bounds)
+    nested.unpersist()
     return table.read().select("repo", "path", "commit", "lang", "content")
 
 
@@ -627,11 +652,13 @@ def q_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     publishes via the fast-forward-only swap. The returned main state
     hash-matches the full-replay oracle ONLY if the staged commits landed
     on the branch and the publish made them main's history."""
-    table, _, nested, span = _replay_to_mid(spark, sf_dir, "cdc_wap_",
-                                            finish=False)
+    table, _, nested, span, bounds = _replay_to_mid(spark, sf_dir, "cdc_wap_",
+                                                    finish=False)
     v_main, wm_main = table.snapshot.version, table.watermark_gtid
     branch = table.create_branch("backfill")
-    ReplayRunner(spark, branch, batch_span=span).run(nested)
+    ReplayRunner(spark, branch, batch_span=span,
+                 pipeline_depth=3).run(nested, bounds=bounds)
+    nested.unpersist()
     assert branch.read().count() > 0  # the audit read
     fresh = LakeTable.load(spark, table.root)
     assert (fresh.snapshot.version, fresh.watermark_gtid) == (v_main, wm_main)
@@ -649,14 +676,14 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same keys."""
     from functools import reduce
 
-    flat = derived_changestream(spark, sf_dir)
-    nested = to_change_schema(flat)
-    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
-    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 4)
+    nested, lo, hi = _prep_replay(to_change_schema(derived_changestream(spark, sf_dir)))
+    span = max(1, (hi - lo + 1) // 4)
     tmp = _mkdtemp("cdc_lookup_")
     table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
                              key_cols=["repo", "path"], num_buckets=16)
-    ReplayRunner(spark, table, batch_span=span).run(nested)
+    ReplayRunner(spark, table, batch_span=span,
+                 pipeline_depth=3).run(nested, bounds=(lo, hi))
+    nested.unpersist()
     keys = sorted(
         (r["repo"], r["path"])
         for r in table.read().select("repo", "path")
@@ -685,15 +712,20 @@ def q_key_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from th2_listener_mysql_binlog_go_spark.operators.apply import ApplyConfig
 
-    flat = derived_changestream(spark, sf_dir)
+    # persist the FLAT stream: the replay's batch slices read it through
+    # to_change_schema (a cheap cached-scan projection) and the key-probe
+    # collect below re-filters it — one cache serves both
+    flat = derived_changestream(spark, sf_dir).persist()
     nested = to_change_schema(flat)
     b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
-    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 4)
+    lo, hi = int(b["lo"]), int(b["hi"])
+    span = max(1, (hi - lo + 1) // 4)
     tmp = _mkdtemp("cdc_keyhist_")
     table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
                              key_cols=["repo", "path"], num_buckets=16)
-    ReplayRunner(spark, table, batch_span=span,
-                 config=ApplyConfig(auto_compact_deltas=None)).run(nested)
+    ReplayRunner(spark, table, batch_span=span, pipeline_depth=3,
+                 config=ApplyConfig(auto_compact_deltas=None)
+                 ).run(nested, bounds=(lo, hi))
     keys = sorted(
         (r["repo"], r["path"])
         for r in flat.filter(
@@ -703,6 +735,7 @@ def q_key_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.md5(F.concat_ws("|", "repo", "path")).startswith("0"))
         .collect()
     )[:12]
+    flat.unpersist()
     parts = [table.key_history(repo, path) for repo, path in keys]
     out = reduce(lambda a, c: a.unionByName(c), parts)
     return out.select(
@@ -726,7 +759,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     winner from the raw stream with an inequality join + row_number."""
     from th2_listener_mysql_binlog_go_spark.operators.apply import ApplyConfig
 
-    flat = derived_changestream(spark, sf_dir)
+    flat = derived_changestream(spark, sf_dir).persist()
     nested = to_change_schema(flat)
     b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
     lo, hi = int(b["lo"]), int(b["hi"])
@@ -734,16 +767,28 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = _mkdtemp("cdc_asof_")
     table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
                              key_cols=["repo", "path"], num_buckets=16)
-    ReplayRunner(spark, table, batch_span=span,
-                 config=ApplyConfig(auto_compact_deltas=None)).run(nested)
-    keys = (flat.filter(
-        (F.col("schema_name") == "repos") & (F.col("table_name") == "files")
-        & F.col("op").isin("INSERT", "UPDATE", "DELETE"))
+    ReplayRunner(spark, table, batch_span=span, pipeline_depth=3,
+                 config=ApplyConfig(auto_compact_deltas=None)
+                 ).run(nested, bounds=(lo, hi))
+    # collect the (bounded, md5-prefix-selected) probe keys once and build
+    # the probe set as a LOCAL relation: the same deterministic rows, but
+    # asof_join's keyset sample and the probe union now re-execute a local
+    # scan instead of the whole stream derivation — and a local relation is
+    # trivially deterministic across re-execution (the asof_join probes
+    # contract), so the cached stream can be dropped before returning.
+    key_rows = sorted(
+        (r["repo"], r["path"])
+        for r in flat.filter(
+            (F.col("schema_name") == "repos") & (F.col("table_name") == "files")
+            & F.col("op").isin("INSERT", "UPDATE", "DELETE"))
         .select("repo", "path").distinct()
-        .filter(F.md5(F.concat_ws("|", "repo", "path")).startswith("0")))
+        .filter(F.md5(F.concat_ws("|", "repo", "path")).startswith("0"))
+        .collect())
+    flat.unpersist()
     positions = [lo + ((hi - lo) * j) // 4 for j in (1, 2, 3)]
-    probes = keys.crossJoin(
-        spark.createDataFrame([(p,) for p in positions], "as_of_gtid long"))
+    probes = spark.createDataFrame(
+        [(repo, path, p) for repo, path in key_rows for p in positions],
+        "repo string, path string, as_of_gtid long")
     out = table.asof_join(probes)
     return out.select(
         "repo", "path", "as_of_gtid", "commit", "lang", "content",
@@ -759,7 +804,8 @@ def q_changes_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     + touched-bucket join, never a full-table read) is asserted, and the
     DuckDB oracle recomputes the full-state diff — fast path vs
     semantic ground truth."""
-    table, v_mid, _, _ = _replay_to_mid(spark, sf_dir, "cdc_changes_")
+    table, v_mid, nested, _, _ = _replay_to_mid(spark, sf_dir, "cdc_changes_")
+    nested.unpersist()
     assert table.changes_plan(v_mid) == "incremental"
     return table.changes(v_mid).select(
         "repo", "path", "commit", "lang", "content",
@@ -777,19 +823,20 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground-truth recompute."""
     from th2_listener_mysql_binlog_go_spark.plans.matview import IncrementalAggView
 
-    flat = derived_changestream(spark, sf_dir)
-    nested = to_change_schema(flat)
-    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
-    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 8)
+    nested, lo, hi = _prep_replay(to_change_schema(derived_changestream(spark, sf_dir)))
+    span = max(1, (hi - lo + 1) // 8)
     tmp = _mkdtemp("cdc_matview_")
     table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
                              key_cols=["repo", "path"], num_buckets=16)
-    ReplayRunner(spark, table, batch_span=span).run(nested, max_batches=4)
+    ReplayRunner(spark, table, batch_span=span,
+                 pipeline_depth=3).run(nested, max_batches=4, bounds=(lo, hi))
     view = IncrementalAggView.create(
         spark, table, os.path.join(tmp, "v"), dims=["lang"],
         aggs={"n_files": ("count",), "total_size": ("sum", "length(content)")},
         num_buckets=4)
-    ReplayRunner(spark, table, batch_span=span).run(nested)
+    ReplayRunner(spark, table, batch_span=span,
+                 pipeline_depth=3).run(nested, bounds=(lo, hi))
+    nested.unpersist()
     assert table.changes_plan(view.source_version) == "incremental"
     view.refresh()
     return view.read().select(
@@ -808,21 +855,22 @@ def q_minmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max over the final state."""
     from th2_listener_mysql_binlog_go_spark.plans.matview import IncrementalAggView
 
-    flat = derived_changestream(spark, sf_dir)
-    nested = to_change_schema(flat)
-    b = flat.agg(F.min("gtid").alias("lo"), F.max("gtid").alias("hi")).collect()[0]
-    span = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // 8)
+    nested, lo, hi = _prep_replay(to_change_schema(derived_changestream(spark, sf_dir)))
+    span = max(1, (hi - lo + 1) // 8)
     tmp = _mkdtemp("cdc_minmax_")
     table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA,
                              key_cols=["repo", "path"], num_buckets=16)
-    ReplayRunner(spark, table, batch_span=span).run(nested, max_batches=4)
+    ReplayRunner(spark, table, batch_span=span,
+                 pipeline_depth=3).run(nested, max_batches=4, bounds=(lo, hi))
     view = IncrementalAggView.create(
         spark, table, os.path.join(tmp, "v"), dims=["lang"],
         aggs={"n_files": ("count",), "min_size": ("min", "length(content)"),
               "max_size": ("max", "length(content)")},
         num_buckets=4)
     assert view.needs_recompute
-    ReplayRunner(spark, table, batch_span=span).run(nested)
+    ReplayRunner(spark, table, batch_span=span,
+                 pipeline_depth=3).run(nested, bounds=(lo, hi))
+    nested.unpersist()
     view.refresh()
     return view.read().select(
         "lang",
@@ -841,13 +889,22 @@ def q_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly where a from-scratch build would."""
     from th2_listener_mysql_binlog_go_spark.plans.dedup_index import DedupIndexView
 
-    table, v_mid, nested, span = _replay_to_mid(
+    from th2_listener_mysql_binlog_go_spark.operators.apply import ApplyConfig
+
+    table, v_mid, nested, span, bounds = _replay_to_mid(
         spark, sf_dir, "cdc_dedupidx_", finish=False)
     view = DedupIndexView.create(
         spark, table, os.path.join(os.path.dirname(table.root), "idx"),
         id_expr="concat(repo, '/', path)", text_expr="content",
         n_hashes=16, bands=4, k=5, num_buckets=8)
-    ReplayRunner(spark, table, batch_span=span).run(nested)
+    # auto-compaction OFF for the refresh window: a compaction inside it
+    # would legitimately fall changes_plan back to 'diff' and crash the
+    # asserted-incremental gate below when the event count grows (round-5
+    # advice #1); the refreshed index rows are identical either way.
+    ReplayRunner(spark, table, batch_span=span, pipeline_depth=3,
+                 config=ApplyConfig(auto_compact_deltas=None)
+                 ).run(nested, bounds=bounds)
+    nested.unpersist()
     m = view.refresh()
     assert m["plan"] == "incremental", m
     return view.read().select("id", F.col("band").cast("int").alias("band"), "bucket")

@@ -254,10 +254,22 @@ class ReplayRunner:
         stream: DataFrame,
         max_batches: int | None = None,
         allow_gaps: bool = False,
+        bounds: tuple[int, int] | None = None,
     ) -> dict:
         """Replay ``stream`` (change events, CHANGE_SCHEMA-shaped) into the
-        table from the current watermark. Returns summary metrics."""
-        bounds = self._bounds(stream)
+        table from the current watermark. Returns summary metrics.
+
+        ``bounds``: the stream's exact ``(min_gtid, max_gtid)`` when the
+        caller already computed it — skips the discovery aggregation job
+        (one full-stream scan for an unpartitioned source). Bounds that
+        are not the stream's true extremes silently mis-plan batches
+        (stale hi skips the tail; stale lo over-spans), so only pass
+        values measured from THIS stream."""
+        if bounds is not None:
+            b_lo, b_hi = bounds
+            bounds = {"lo": b_lo, "hi": b_hi}
+        else:
+            bounds = self._bounds(stream)
         if bounds["lo"] is None:
             return {"batches": 0, "events": 0}
         lo, hi = bounds["lo"], bounds["hi"]
@@ -466,8 +478,13 @@ class CatalogReplayRunner:
         return int(self.catalog.properties.get("watermark_gtid", "-1"))
 
     def run(self, stream: DataFrame, max_batches: int | None = None,
-            allow_gaps: bool = False) -> dict:
-        bounds = self._bounds(stream)
+            allow_gaps: bool = False,
+            bounds: tuple[int, int] | None = None) -> dict:
+        # same precomputed-bounds contract as ReplayRunner.run
+        if bounds is not None:
+            bounds = {"lo": bounds[0], "hi": bounds[1]}
+        else:
+            bounds = self._bounds(stream)
         if bounds["lo"] is None:
             return {"batches": 0, "events": 0}
         lo, hi = bounds["lo"], bounds["hi"]
