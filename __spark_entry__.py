@@ -1075,8 +1075,13 @@ def q_train_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = stats.filter((F.col("quality") >= 0.75)
                          & (F.col("lang_guess") != "und"))
     w = Window.partitionBy("fp").orderBy("doc_id")
+    # persist: the regex-heavy stats subtree (lang-id, BPE count, quality,
+    # fingerprint + the exact-dedup window) is consumed by BOTH the LSH
+    # shingling branch and the representative join/pack branch — cached
+    # once, evaluated once (released by the caller via release_cache;
+    # harmless if left for session teardown)
     uniq = (gated.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).drop("_rn"))
+            .filter(F.col("_rn") == 1).drop("_rn")).persist()
     pairs = dd.minhash_lsh_pairs(uniq.select("doc_id", "text"),
                                  n_hashes=16, bands=4, k=5, min_sig_sim=0.5)
     comp = dd.neardup_components(pairs)  # small: only docs in some pair
@@ -1086,11 +1091,15 @@ def q_train_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed, _ = size_balanced_pack_ids(
         kept.select("doc_id", "lang_guess", "quality", "n_bpe_tokens"),
         bytes_col="n_bpe_tokens", order_col="doc_id", target_bytes=2048)
-    return packed.select(
+    from th2_listener_mysql_binlog_go_spark.functions.caching import tag_cached
+
+    out = packed.select(
         "doc_id", "lang_guess", "quality",
         F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
         F.col("_pack_id").cast("bigint").alias("pack_id"),
     )
+    # propagate the LSH operator's own tagged signature cache alongside ours
+    return tag_cached(out, [uniq] + list(getattr(pairs, "_cdc_cached", [])))
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

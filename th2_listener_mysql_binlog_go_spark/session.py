@@ -37,7 +37,30 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Local mode hosts every executor thread inside the driver JVM, so
+        # the heap must be sized for cores * per-task state; 8g at 32 cores
+        # spent 5-7s of GC per merge write stage and ~26s in a compaction
+        # (event-log task metrics, OPTIMIZATION_r06.md §headline). On a
+        # cluster, spark-submit --driver-memory/--executor-memory override.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "14g"))
+        # The lake's manifest reads pass explicit LEAF-FILE paths (no
+        # recursive discovery needed), but above this many paths Spark
+        # launches a distributed listing JOB — one tiny task per path
+        # (512-task stages worth ~1.3s per compaction, pure scheduling).
+        # A driver-side stat of a few thousand posix/object paths is
+        # milliseconds; raise the bar so the job form kicks in only at
+        # genuinely huge file counts (env-tunable for object stores with
+        # slow per-path metadata).
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                os.environ.get("SPARK_LIST_JOB_THRESHOLD", "4096"))
+        # Delta/base file codec: lz4 decompresses fastest and this engine's
+        # files are write-once/read-once-into-compaction, so compression
+        # CPU sits on the merge critical path (measured: lz4 beat snappy by
+        # ~1s/roll and uncompressed by more at 4M events). On
+        # bandwidth-constrained clusters set CDC_PARQUET_CODEC=zstd for the
+        # smaller files (guide §6) — a deployment choice, not a semantic.
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("CDC_PARQUET_CODEC", "lz4"))
     )
     n_shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
     builder = builder.config("spark.sql.shuffle.partitions", str(n_shuffle))
