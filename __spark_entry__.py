@@ -691,8 +691,11 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )[:12]
     # half via single-key lookup, half via the batch variant — both
-    # bucket-pruned plans answer under the SAME DuckDB oracle
-    parts = [table.lookup(repo, path) for repo, path in keys[:6]]
+    # bucket-pruned plans answer under the SAME DuckDB oracle; buckets
+    # precomputed in ONE job (key_buckets) instead of one job per lookup
+    bks = table.key_buckets(keys[:6])
+    parts = [table.lookup(repo, path, bucket=b)
+             for (repo, path), b in zip(keys[:6], bks)]
     parts.append(table.lookup_many(keys[6:]))
     out = reduce(lambda a, c: a.unionByName(c), parts)
     return out.select("repo", "path", "commit", "lang", "content")
@@ -736,7 +739,9 @@ def q_key_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )[:12]
     flat.unpersist()
-    parts = [table.key_history(repo, path) for repo, path in keys]
+    # one planning job for all 12 probes (key_buckets), not one per key
+    parts = [table.key_history(repo, path, bucket=b)
+             for (repo, path), b in zip(keys, table.key_buckets(keys))]
     out = reduce(lambda a, c: a.unionByName(c), parts)
     return out.select(
         "repo", "path", "commit", "lang", "content",

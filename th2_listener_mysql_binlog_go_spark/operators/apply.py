@@ -423,15 +423,37 @@ class BatchApplier:
                 "DDLs land in one batch"
             )
 
-        bounds = [d["gtid"] for d in schema_ddls]
-        segments: list[tuple[int | None, int | None]] = []
+        # Segment ONLY at schema-CHANGING DDLs: an ALTER that provably
+        # leaves the column set untouched (re-ADD of an existing column,
+        # same-type MODIFY, rename-to-self, DROP of an absent column —
+        # i.e. exactly the statements _apply_ddl skips or commits as a
+        # no-column-change version) commutes with every merge, so
+        # splitting the batch around it buys nothing and costs a whole
+        # merge job per occurrence (round-6: 9 of cdc_replay_with_ddl's
+        # 10 ALTERs were no-op re-ADDs — ~0.7s of pure fixed cost each).
+        # The DDLs themselves still APPLY in gtid order with their own
+        # sub-ids (metrics, version history, crash-replay identical);
+        # only the data-segmentation boundaries move.
+        changing = self._simulate_schema_changes(schema_ddls)
+        plan: list[tuple[str, object, object]] = []
         lo: int | None = None
-        for b in bounds:
-            segments.append((lo, b))
-            lo = b
-        segments.append((lo, None))
+        for d, ch in zip(schema_ddls, changing):
+            if ch:
+                plan.append(("seg", lo, d["gtid"]))
+                lo = d["gtid"]
+            plan.append(("ddl", d, None))
+        plan.append(("seg", lo, None))
+        last_seg_idx = max(i for i, p in enumerate(plan) if p[0] == "seg")
 
-        for i, (lo_g, hi_g) in enumerate(segments):
+        for i, step in enumerate(plan):
+            if step[0] == "ddl":
+                ddl_sub = batch_id * 1024 + pos
+                pos += 1
+                if ddl_sub > self._last_batch_id:
+                    applied = self._apply_ddl(step[1])
+                    metrics["ddl_applied" if applied else "ddl_dropped"] += 1
+                continue
+            _, lo_g, hi_g = step
             sub_id = batch_id * 1024 + pos
             pos += 1
             # Flatten under the table in force *at this segment*: a
@@ -458,7 +480,7 @@ class BatchApplier:
                     # the last segment's commit carries the truncate marker
                     # and the batch-complete property (resume skip);
                     # every segment carries the crash-durable extra_props
-                    extra_properties=(final_props if i == len(segments) - 1
+                    extra_properties=(final_props if i == last_seg_idx
                                       else (seg_props or None)),
                 )
                 if not m.get("skipped"):
@@ -468,10 +490,66 @@ class BatchApplier:
                     metrics["buckets_touched"] = max(metrics["buckets_touched"], m["buckets_touched"])
                     metrics["partitions"].extend(m.get("partitions", []))
                     metrics["segments"] += 1
-            if i < len(schema_ddls):
-                ddl_sub = batch_id * 1024 + pos
-                pos += 1
-                if ddl_sub > self._last_batch_id:
-                    applied = self._apply_ddl(schema_ddls[i])
-                    metrics["ddl_applied" if applied else "ddl_dropped"] += 1
         return metrics
+
+    def _simulate_schema_changes(self, schema_ddls: list[dict]) -> list[bool]:
+        """Per DDL: would applying it CHANGE the table's column set?
+
+        Walks the DDL sequence against a driver-side copy of the current
+        column specs, mirroring _apply_ddl/LakeTable exactly: ADD changes
+        iff the name is absent; RENAME iff old exists, differs from new,
+        and new is absent; MODIFY iff the type differs and the widening
+        is in lake._WIDEN_OK; DROP iff the column exists and is not a
+        key. Anything else that _apply_ddl would skip (parse failure,
+        unknown kind) is non-changing. CREATE/DROP TABLE and any state
+        the simulation cannot track (no table, post-CREATE rebind) make
+        that DDL — and, conservatively, every later one — changing."""
+        from ..plans.lake import _WIDEN_OK
+
+        if not schema_ddls:
+            return []
+        out: list[bool] = []
+        if self.table is None:
+            return [True] * len(schema_ddls)
+        cols = {c.name: c.type for c in self.table.snapshot.columns}
+        keys = set(self.table.snapshot.key_names)
+        known = True
+        for d in schema_ddls:
+            if not known or d["op"] != "ALTER_TABLE":
+                out.append(True)
+                known = False  # CREATE/DROP rebinds the table: stop simulating
+                continue
+            cmd = parse_alter(d["ddl"] or "")
+            if cmd.kind == "add":
+                if cmd.column not in cols:
+                    cols[cmd.column] = cmd.type_ or "string"
+                    out.append(True)
+                else:
+                    out.append(False)
+            elif cmd.kind == "rename":
+                if (cmd.column in cols and cmd.new_name != cmd.column
+                        and cmd.new_name not in cols):
+                    cols[cmd.new_name] = cols.pop(cmd.column)
+                    if cmd.column in keys:
+                        keys.discard(cmd.column)
+                        keys.add(cmd.new_name)
+                    out.append(True)
+                else:
+                    out.append(False)
+            elif cmd.kind == "modify":
+                cur = cols.get(cmd.column)
+                new = cmd.type_ or "string"
+                if cur is not None and cur != new and (cur, new) in _WIDEN_OK:
+                    cols[cmd.column] = new
+                    out.append(True)
+                else:
+                    out.append(False)
+            elif cmd.kind == "drop":
+                if cmd.column in cols and cmd.column not in keys:
+                    del cols[cmd.column]
+                    out.append(True)
+                else:
+                    out.append(False)
+            else:
+                out.append(False)  # _apply_ddl would skip it too
+        return out

@@ -550,8 +550,37 @@ class LakeTable:
             out = out.drop(GTID_COL, SEQ_COL, BUCKET_COL)
         return out
 
+    def key_buckets(self, key_rows: list[tuple],
+                    snapshot: Snapshot | None = None) -> list[int]:
+        """Bucket id per key row (order-preserving), computed by ONE
+        driver-local job through the writers' own Catalyst bucket
+        expression. A caller probing N keys (point-read loops, audit
+        samples) passes the results to ``lookup(bucket=...)`` /
+        ``key_history(bucket=...)`` — N probes cost one planning job,
+        not N (round-6: 12 sequential ``_key_bucket_snapshot`` jobs were
+        ~2s of cdc_key_history's 5s wall)."""
+        snap = snapshot or self.snapshot
+        keys = snap.key_names
+        if not key_rows:
+            return []
+        for kv in key_rows:
+            if len(kv) != len(keys):
+                raise ValueError(
+                    f"expected {len(keys)} key values {tuple(keys)}, "
+                    f"got {tuple(kv)}")
+        st = _struct_of(snap.columns)
+        kdf = self.spark.createDataFrame(
+            [tuple(kv) + (i,) for i, kv in enumerate(key_rows)],
+            T.StructType([T.StructField(k, st[k].dataType) for k in keys]
+                         + [T.StructField("_i", T.LongType())]))
+        bucket_of = self._bucket_expr_of(keys, snap.num_buckets)
+        got = {r["_i"]: r["b"] for r in
+               kdf.select(F.col("_i"), bucket_of.alias("b")).collect()}
+        return [got[i] for i in range(len(key_rows))]
+
     def lookup(self, *key_values, include_meta: bool = False,
-               snapshot: Snapshot | None = None) -> DataFrame:
+               snapshot: Snapshot | None = None,
+               bucket: int | None = None) -> DataFrame:
         """Point read of one key: the bucket function pins the key to ONE
         bucket, so the plan opens only that bucket's files — O(table /
         num_buckets) IO however large the table — and the key-equality
@@ -562,11 +591,13 @@ class LakeTable:
         from one bucket's worth of files.
 
         ``key_values`` follow the table's key column order. Returns an
-        empty DataFrame for an absent (or deleted / truncated) key."""
+        empty DataFrame for an absent (or deleted / truncated) key.
+        ``bucket``: the key's precomputed bucket id (from
+        :meth:`key_buckets`) — skips the per-call bucket-planning job."""
         snap = snapshot or self.snapshot
         keys = snap.key_names
         key_types = {c.name: c.type for c in snap.columns}
-        sub = self._key_bucket_snapshot(snap, key_values)
+        sub = self._key_bucket_snapshot(snap, key_values, bucket=bucket)
         out = self.read(include_meta=include_meta, snapshot=sub)
         for k, v in zip(keys, key_values):
             out = out.filter(F.col(k).eqNullSafe(F.lit(v).cast(key_types[k])))
@@ -603,8 +634,11 @@ class LakeTable:
             [tuple(kv) for kv in key_rows],
             T.StructType([T.StructField(k, st[k].dataType) for k in keys]))
         bucket_of = self._bucket_expr_of(keys, snap.num_buckets)
+        # no distinct(): the keyset is driver-bounded already, and a
+        # distinct over a local relation inserts a whole shuffle stage
+        # for what a python set does for free
         buckets = {r["b"] for r in
-                   kdf.select(bucket_of.alias("b")).distinct().collect()}
+                   kdf.select(bucket_of.alias("b")).collect()}
         sub = snap.sub([fi for fi in snap.files if fi["bucket"] in buckets])
         out = self.read(include_meta=include_meta, snapshot=sub)
         # capped like changes()' keyset pushdown: a giant In literal list
@@ -622,16 +656,26 @@ class LakeTable:
             join_cond = c if join_cond is None else (join_cond & c)
         return out.join(F.broadcast(probe), join_cond, "left_semi")
 
-    def _key_bucket_snapshot(self, snap: "Snapshot", key_values: tuple) -> "Snapshot":
+    def _key_bucket_snapshot(self, snap: "Snapshot", key_values: tuple,
+                             bucket: int | None = None) -> "Snapshot":
         """Sub-snapshot holding only the files of ``key_values``' bucket.
         The bucket is computed by one driver-local row through the SAME
         Catalyst expression the writers use (no hand-rolled xxhash64
-        parity to maintain), a millisecond single-task job."""
+        parity to maintain), a single-task job — or supplied precomputed
+        (``bucket``, from :meth:`key_buckets`' one-job batch) so N-key
+        probe loops don't pay N planning jobs."""
         keys = snap.key_names
         if len(key_values) != len(keys):
             raise ValueError(
                 f"expected {len(keys)} key values {tuple(keys)}, "
                 f"got {len(key_values)}")
+        if bucket is not None:
+            if not (0 <= bucket < snap.num_buckets):
+                raise ValueError(
+                    f"bucket {bucket} out of range for {snap.num_buckets} "
+                    "buckets (stale precomputed bucket? recompute via "
+                    "key_buckets on this snapshot)")
+            return snap.sub([fi for fi in snap.files if fi["bucket"] == bucket])
         key_types = {c.name: c.type for c in snap.columns}
         # snap's bucketing, not head's (time travel across a rebucket)
         bucket_of = self._bucket_expr_of(keys, snap.num_buckets)
@@ -643,7 +687,8 @@ class LakeTable:
         return snap.sub([fi for fi in snap.files if fi["bucket"] == b])
 
     def key_history(self, *key_values,
-                    snapshot: Snapshot | None = None) -> DataFrame:
+                    snapshot: Snapshot | None = None,
+                    bucket: int | None = None) -> DataFrame:
         """Row-level audit: every RETAINED change event for one key, in
         apply order — the per-key view of the changelog (the reference's
         downstream consumers correlate a key's lifecycle by replaying its
@@ -667,11 +712,12 @@ class LakeTable:
         (time travel). Output: the table columns +
         ``(_gtid, _seq, _op, _is_current)``, ordered by ``(_gtid,
         _seq)`` ascending; ``_is_current`` marks the LWW winner —
-        false on every row when the key is currently deleted."""
+        false on every row when the key is currently deleted.
+        ``bucket``: precomputed bucket id (see :meth:`lookup`)."""
         snap = snapshot or self.snapshot
         keys = snap.key_names
         key_types = {c.name: c.type for c in snap.columns}
-        sub = self._key_bucket_snapshot(snap, key_values)
+        sub = self._key_bucket_snapshot(snap, key_values, bucket=bucket)
         trunc = int(sub.properties.get("truncate_gtid", "-1"))
         live = [fi for fi in sub.files if not self._gtid_dead(fi, trunc)]
         base = self._read_mapped(
@@ -785,8 +831,7 @@ class LakeTable:
                                   for k in keys]))
                 bucket_of = self._bucket_expr_of(keys, snap.num_buckets)
                 buckets = {r["b"] for r in
-                           kdf.select(bucket_of.alias("b"))
-                           .distinct().collect()}
+                           kdf.select(bucket_of.alias("b")).collect()}
                 membership = self._membership_cond(
                     [dict(zip(keys, (r[k] for k in keys))) for r in sample],
                     keys)
