@@ -344,27 +344,25 @@ def q_wire_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.concat(F.lit("!"), F.col("payload")))
         .otherwise(F.col("payload")))
     back = decode_stream(wire, quarantine=True)
-    good = back.filter(
-        ~F.col("_undecodable") & F.col("op").isin("INSERT", "UPDATE", "DELETE")
+    # single pass: the old good/bad filter + union consumed the decode
+    # subtree twice (Catalyst does not dedup common subtrees), re-running
+    # the whole from_json decode; one filter + conditional projection
+    # emits the identical rows from one decode
+    undec = F.col("_undecodable")
+    good_val = lambda c: F.when(~undec, c).cast("string")  # noqa: E731
+    return back.filter(
+        undec | F.col("op").isin("INSERT", "UPDATE", "DELETE")
     ).select(
-        "gtid", "op",
-        F.coalesce(F.col("after.repo"), F.col("before.repo")).alias("repo"),
-        F.coalesce(F.col("after.path"), F.col("before.path")).alias("path"),
-        F.coalesce(F.col("after.commit"), F.col("before.commit")).alias("commit"),
-        F.coalesce(F.col("after.lang"), F.col("before.lang")).alias("lang"),
-        F.coalesce(F.col("after.content"), F.col("before.content")).alias("content"),
-        F.lit(None).cast("string").alias("reason"),
-        F.lit(0).alias("quarantined"),
-    )
-    null_s = F.lit(None).cast("string")
-    bad = back.filter(F.col("_undecodable")).select(
         "gtid",
-        null_s.alias("op"), null_s.alias("repo"), null_s.alias("path"),
-        null_s.alias("commit"), null_s.alias("lang"), null_s.alias("content"),
-        F.col("_reason").alias("reason"),
-        F.lit(1).alias("quarantined"),
+        good_val(F.col("op")).alias("op"),
+        good_val(F.coalesce(F.col("after.repo"), F.col("before.repo"))).alias("repo"),
+        good_val(F.coalesce(F.col("after.path"), F.col("before.path"))).alias("path"),
+        good_val(F.coalesce(F.col("after.commit"), F.col("before.commit"))).alias("commit"),
+        good_val(F.coalesce(F.col("after.lang"), F.col("before.lang"))).alias("lang"),
+        good_val(F.coalesce(F.col("after.content"), F.col("before.content"))).alias("content"),
+        F.when(undec, F.col("_reason")).cast("string").alias("reason"),
+        F.when(undec, F.lit(1)).otherwise(F.lit(0)).alias("quarantined"),
     )
-    return good.unionByName(bad)
 
 
 def q_wire_batched_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

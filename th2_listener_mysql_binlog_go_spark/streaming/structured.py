@@ -286,20 +286,24 @@ class StreamingApplier:
 
             epoch_id = int(epoch_id) + epoch_base
             t0 = time.monotonic()
-            pinned = None
+            # pin the decoded micro-batch: the apply consumes it at least
+            # twice (the DDL-candidate collect, then every segment's
+            # flatten) and for the wire shell each pass would otherwise
+            # re-run the from_json decode of the whole epoch
+            pinned = batch_df.persist()
             if quarantine_dir is not None:
-                pinned = batch_df.persist()
                 batch_df = _quarantine_split(
                     pinned, quarantine_dir, int(epoch_id),
                     _quarantine_namespace(checkpoint_dir))
+            else:
+                batch_df = pinned
             try:
                 m = self.applier.apply(
                     batch_df, batch_id=int(epoch_id),
                     final_extra_props={"last_complete_batch": str(int(epoch_id))},
                 )
             finally:
-                if pinned is not None:
-                    pinned.unpersist()
+                pinned.unpersist()
             if self.lineage:
                 wall_ms = int((time.monotonic() - t0) * 1000)
                 base = {
