@@ -229,6 +229,16 @@ def minhash_lsh_incremental(
     (never all-pairs), and a small new batch broadcasts under AQE against
     an arbitrarily large index scan. Identity re-ingests (same id on both
     sides) are excluded — identical ids are an upsert, not a near-dup.
+
+    Caveat (round-5 advice #3): a candidate batch that re-ingests an
+    ALREADY-INDEXED id with changed text can emit the same
+    (new_id, match_id) pair twice with different sig_sims — once against
+    the stale index signature and once against the fresh intra-batch one
+    — and the distinct() below correctly keeps both rows (they differ in
+    sig_sim). Consumers keying on the bare pair should aggregate (e.g.
+    max(sig_sim)); the maintained-index path (plans/dedup_index.py)
+    refreshes the index before matching, so re-ingested ids never carry
+    stale signatures there.
     """
     new_sigs = _minhash_sigs(new_df, text_col, id_col, n_hashes, k).persist()
     new_banded = _band_rows(new_sigs, n_hashes, bands)

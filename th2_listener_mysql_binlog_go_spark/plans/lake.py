@@ -810,6 +810,14 @@ class LakeTable:
           batch watermark) plan-time-drops every file whose stamped
           commit-level ``gtid_lo`` exceeds it and row-filters the rest
           (envelope semantics: unstamped files are never dropped).
+
+        ``probes`` must be DETERMINISTIC across re-execution (round-5
+        advice #2): the keyset sample below collects the probes plan once
+        and the union re-executes it — a nondeterministic source (e.g. a
+        fresh ``rand()``-derived set per execution) can surface keys the
+        collected sample missed, and the bucket/membership pruning would
+        then silently drop their matches. Persist/localCheckpoint such a
+        source first, or pass a local relation (collected rows).
         """
         from ..operators.asof import asof_join as _asof
 
