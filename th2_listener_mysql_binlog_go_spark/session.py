@@ -12,6 +12,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """~25% of physical RAM, clamped to [4g, 32g].
+
+    Local mode hosts every executor thread AND the SQL cache in one JVM:
+    a static 8g default OOMed a 16M-row cached stream (4x the standard
+    bench scale) and 24g an equivalent 40M-row one, while a static 32g
+    would refuse to start on small dev hosts — so the default derives
+    from the machine (scale-adaptive, not a constant tuned to one box).
+    ``SPARK_DRIVER_MEMORY`` overrides; clusters set it via spark-submit.
+    """
+    try:
+        with open("/proc/meminfo") as fh:
+            kb = int(next(ln for ln in fh if ln.startswith("MemTotal")).split()[1])
+        gb = max(4, min(32, kb // (1024 * 1024) // 4))
+    except (OSError, StopIteration, ValueError):
+        gb = 8
+    return f"{gb}g"
+
+
 def build_session(
     app_name: str = "cdc-ingest",
     master: str | None = None,
@@ -38,11 +57,14 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         # Local mode hosts every executor thread inside the driver JVM, so
-        # the heap must be sized for cores * per-task state; 8g at 32 cores
-        # spent 5-7s of GC per merge write stage and ~26s in a compaction
-        # (event-log task metrics, OPTIMIZATION_r06.md §headline). On a
-        # cluster, spark-submit --driver-memory/--executor-memory override.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "14g"))
+        # the heap must be sized for cores * per-task state + the SQL
+        # cache; 8g at 32 cores spent 5-7s of GC per merge write stage and
+        # ~26s in a compaction (event-log task metrics,
+        # OPTIMIZATION_r06.md §headline), and OOMed outright once the
+        # cached bench stream grew 4x. Default derives from machine RAM
+        # (_default_driver_memory); spark-submit overrides on clusters.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()))
         # The lake's manifest reads pass explicit LEAF-FILE paths (no
         # recursive discovery needed), but above this many paths Spark
         # launches a distributed listing JOB — one tiny task per path
